@@ -1,0 +1,113 @@
+"""Driver-gate replica: runs __spark_entry__ exactly as the driver does.
+
+Usage: python scripts/verify_driver_gate.py [sf_dir]
+
+- smoke: entry(spark) must return rows with a stable schema
+- for each queries() entry with an oracle_sql(): run both, compare
+  row count, sorted column names, and an order-insensitive value hash
+  (floats rounded to 6 before hashing, like a tolerant driver).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            v = round(v, 6)
+            if v == int(v):
+                return str(int(v))
+            return repr(v)
+        if v is None:
+            return "NULL"
+        return str(v)
+
+    lines = sorted(",".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("verify-driver-gate")
+
+    t0 = time.time()
+    flag = entry_mod.entry(spark)
+    n = flag.count()
+    print(f"entry(): {n} rows in {time.time()-t0:.1f}s schema={flag.schema.simpleString()}")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in sorted(queries.items()):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        cols = df.columns
+        rows = [tuple(r) for r in df.collect()]
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
+            assert len(rows) >= 0
+            continue
+        cur = con.execute(oracles[name])
+        dcols = [d[0] for d in cur.description]
+        drows = [tuple(r) for r in cur.fetchall()]
+        ok_rows = len(rows) == len(drows)
+        ok_cols = sorted(cols) == sorted(dcols)
+        h_s, h_d = value_hash(cols, rows), value_hash(dcols, drows)
+        ok_hash = h_s == h_d
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"  {name}: {status} rows={len(rows)}/{len(drows)} "
+            f"cols={'=' if ok_cols else 'DIFF'} hash={'=' if ok_hash else 'DIFF'} ({dt:.1f}s)"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"    spark cols: {sorted(cols)}")
+                print(f"    duck  cols: {sorted(dcols)}")
+
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
