@@ -329,3 +329,11 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 6).alias("value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Plugin registration (import side effects). Bottom of module so the
+# shared dicts and register() exist when submodules import them.
+# --------------------------------------------------------------------------
+
+from realtime_analytics_pipeline_spark import registry_relational  # noqa: E402,F401

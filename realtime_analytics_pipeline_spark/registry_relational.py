@@ -1,0 +1,182 @@
+"""Gated queries: relational suite (joins, top-N, OVER windows, set
+ops, rollup, sliding windows, as-of join) over the TPC-H-ish tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from realtime_analytics_pipeline_spark.operators import relational as R
+from realtime_analytics_pipeline_spark.registry import register
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q1_pricing_summary", _Q1_SQL)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_SQL)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@register("tpch_q5_regional_revenue", _Q5_SQL)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+_TOPCUST_SQL = """
+WITH counts AS (
+    SELECT o_custkey, count(*) AS order_count FROM orders GROUP BY 1
+)
+SELECT n_name, c_custkey, c_name, order_count,
+       row_number() OVER (
+           PARTITION BY n_name ORDER BY order_count DESC, c_custkey) AS rnk
+FROM customer
+JOIN counts ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+QUALIFY rnk <= 3
+"""
+
+
+@register("top_customers_per_nation", _TOPCUST_SQL)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers_per_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_SLIDING_SQL = """
+SELECT ((epoch_ms(ts) // 60000) - j) * 60000 AS window_start_ms,
+       ((epoch_ms(ts) // 60000) - j) * 60000 + 300000 AS window_end_ms,
+       event_type,
+       count(*) AS event_count
+FROM events, (SELECT unnest(range(5)) AS j)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_window_5m1m", _SLIDING_SQL)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sliding_event_counts(load_events(spark, sf_dir))
+
+
+_EXCEPT_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-02'
+EXCEPT
+SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02'
+"""
+
+
+@register("users_viewed_not_purchased", _EXCEPT_SQL)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.users_viewed_not_purchased(load_events(spark, sf_dir))
+
+
+_INTERSECT_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-02'
+INTERSECT
+SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02'
+"""
+
+
+@register("users_viewed_and_clicked", _INTERSECT_SQL)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.users_viewed_and_clicked(load_events(spark, sf_dir))
+
+
+_ROLLUP_SQL = """
+SELECT day_ms, event_type, count(*) AS event_count
+FROM (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, event_type
+    FROM events
+)
+GROUP BY ROLLUP(day_ms, event_type)
+HAVING count(*) >= 5
+"""
+
+
+@register("event_type_daily_rollup", _ROLLUP_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.event_type_daily_rollup(load_events(spark, sf_dir), min_count=5)
+
+
+_ASOF_SQL = """
+SELECT CAST(p.user_id AS VARCHAR) AS user_id,
+       CAST(p.event_id AS VARCHAR) AS hit_id,
+       epoch_ms(p.ts) AS hit_ms,
+       epoch_ms(v.ts) AS last_view_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("asof_purchase_attribution", _ASOF_SQL)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.asof_attribution(load_events(spark, sf_dir))

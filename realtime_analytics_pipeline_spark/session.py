@@ -30,6 +30,10 @@ def get_spark(app_name: str = "realtime-analytics-pipeline-spark") -> SparkSessi
         # testdata events.parquet stores ts as TIMESTAMP(NANOS); read as
         # long and convert (DuckDB truncates ns->us identically)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP (UTC
+        # session) not TIMESTAMP_NTZ: keeps epoch functions applicable and
+        # keeps timestamp predicates pushable (no implicit casts in plan)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -46,4 +50,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
