@@ -1,0 +1,32 @@
+"""Vector column functions over ``array<float>`` embedding columns.
+
+Built-in higher-order functions (``zip_with`` + ``aggregate``) — JVM
+expression-tree evaluation, Arrow-free, no UDF. Cast to double before
+arithmetic so results match DuckDB's ``::DOUBLE[]`` math exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,279 @@
+"""Deduplication operators (LLM-data-pipeline extensions).
+
+Four families, each with its 100 TB story:
+
+- **Exact** (`dedup_exact`): hash-groupBy on content. One shuffle on
+  the md5 fingerprint (not the full text — 32-byte keys, not KB-size),
+  min-id as survivor. Linear scale-out.
+- **N-gram Jaccard** (`jaccard_pairs`): exact pairwise similarity via
+  an inverted shingle index (explode → self-join on shingle →
+  count/union). Correct but quadratic in docs-per-shingle — the
+  motivation for MinHash below; fine at verification scale, documented
+  as such.
+- **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_pairs`):
+  64-perm signatures via seeded xxhash64 min-aggregation, banded into
+  16 buckets of 4 — candidate pairs only where a band collides. This
+  is the scale path: cost ~ O(docs × shingles) + O(collisions), no
+  all-pairs term.
+- **SimHash** (`simhash_pairs`): 64-bit sign-sum sketch in 4×16-bit
+  chunks; pigeonhole banding (hamming ≤ 3 ⟹ ≥ 1 equal chunk) finds
+  candidates, exact hamming via bit_count(xor) filters.
+
+Embedding near-dup (`embedding_dup_pairs`) lives here too: brute-force
+all-pairs cosine (exact, verifiable) with the LSH-bucketed variant in
+``operators/similarity.py`` as the approximate scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.functions.text import (
+    fingerprint,
+    shingle_expr,
+    tokens,
+)
+from realtime_analytics_pipeline_spark.functions.vectors import as_double, cosine
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group identical texts, keep the smallest doc_id.
+
+    Shuffles on the md5 fingerprint; carrying the fingerprint rather
+    than the text through the exchange keeps shuffle volume flat even
+    for multi-KB documents.
+    """
+    return (
+        documents.select(
+            F.col("doc_id"), fingerprint("text").alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "fp", "dup_count")
+    )
+
+
+def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs + per-doc set size."""
+    toks = documents.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", shingle_expr("toks", n).alias("shingles"))
+    exploded = toks.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    return exploded
+
+
+def jaccard_pairs(
+    documents: DataFrame, n: int = 1, threshold: float = 0.9
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity for all pairs ≥ threshold.
+
+    Inverted-index self-join: pairs only materialize for docs sharing
+    a shingle. Output: doc_a, doc_b (a < b), jaccard (rounded 6).
+    """
+    sh = _doc_shingles(documents, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 1, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of
+    xxhash64(i, shingle). One explode + one groupBy; the i-th
+    permutation is the i-th seed column, all JVM-side."""
+    sh = _doc_shingles(documents, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 1,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """LSH candidate generation + signature-estimated Jaccard.
+
+    Bands of rows_per_band signature slots hash to a bucket; docs
+    sharing any (band, bucket) become candidates; the estimate is the
+    fraction of equal signature components. Output:
+    doc_a, doc_b, est_jaccard.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(documents, n, num_perm).cache()
+    band_cols = []
+    for j in range(bands):
+        slots = [
+            F.col("sig").getItem(j * rows_per_band + k)
+            for k in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(j).alias("band"), F.xxhash64(*slots).alias("bucket"))
+        )
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+        f"/ cast({num_perm} as double)"
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: 64-bit sketch as 4×16-bit chunks.
+
+    bit_b = sign of Σ_tokens (±1 by bit b of xxhash64(token));
+    candidates via equal-chunk pigeonhole (hamming ≤ 3 ⟹ some chunk
+    of 4 equal); exact hamming via bit_count(xor).
+    """
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ]
+    )
+    chunk_exprs = []
+    for c in range(4):
+        terms = " + ".join(
+            f"(CASE WHEN s{16 * c + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(16)
+        )
+        chunk_exprs.append(F.expr(terms).cast("long").alias(f"c{c}"))
+    sketches = bit_sums.select("doc_id", *chunk_exprs)
+
+    chunks = sketches.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("idx"), F.col(f"c{c}").alias("val")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "ch.idx", "ch.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ska = sketches.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)],
+    )
+    skb = sketches.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
+    )
+    return (
+        cands.join(ska, "doc_a")
+        .join(skb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Exact all-pairs (broadcast one side) — the verifiable baseline.
+    At 100 TB use the LSH-bucketed ANN in operators/similarity.py to
+    generate candidates and this formula only on candidates.
+    """
+    e = embeddings.select(
+        F.col("vec_id"), as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns.
+
+- `cosine_topk`: brute-force exact top-k — broadcast the (small) query
+  set against the full corpus, per-query heap via row_number. The
+  exact baseline every ANN variant is measured against. Scales
+  linearly in corpus size; the broadcast keeps it shuffle-free until
+  the final tiny top-k window.
+- `lsh_ann_topk`: random-hyperplane LSH — deterministic hyperplanes
+  (seeded, data-independent), bucket by sign bits, search only within
+  the query's bucket. The 100 TB path: candidate set per query is
+  ~corpus/2^bits, and bucketing is a plain shuffle-by-key. Recall is
+  approximate by construction (documented; no oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.functions.vectors import as_double, cosine, dot
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for queries vec_id < query_max_id.
+
+    Output: query_id, neighbor_id, cos, rnk — ranked by (rounded cos
+    desc, neighbor_id) so the result set is deterministic across
+    engines even under float-ULP differences.
+    """
+    e = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    q = e.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 bytes —
+    reproducible across sessions, no RNG state."""
+    planes = []
+    for j in range(bits):
+        vals = []
+        for d in range(0, dim, 4):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()
+            vals.extend(
+                struct.unpack(">4i", h[:16])[i] / 2**31 for i in range(4)
+            )
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Bucket id = sign-bit string over the hyperplanes (JVM-side
+    zip_with/aggregate dot products, no UDF)."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(dot(F.col(vec_col), lit_plane) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket.
+
+    Output schema matches `cosine_topk` (query_id, neighbor_id, cos,
+    rnk). Recall < 1 by design; candidates fall to ~N/2^bits.
+    """
+    planes = _hyperplanes(dim, bits)
+    e = embeddings.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+    ).withColumn("bucket", lsh_bucket_expr("v", planes))
+    q = e.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("v")), 6)
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (IVF building block): centroids =
+    per-label mean vectors, each vector assigned to its nearest
+    centroid by cosine. Demonstrates the coarse-quantizer step of an
+    IVF index as pure DataFrame ops (posexplode → per-dim mean →
+    rebuild array → broadcast join)."""
+    dims = embeddings.select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("d", "x")
+    )
+    cent = (
+        dims.groupBy("label", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(dm, p -> p.m)").alias("cv"),
+        )
+    )
+    e = embeddings.select("vec_id", "label", as_double("embedding").alias("v"))
+    scored = e.join(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -337,3 +337,4 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from realtime_analytics_pipeline_spark import registry_relational  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_docs  # noqa: E402,F401

@@ -1,0 +1,221 @@
+"""Gated queries: LLM-data-pipeline extensions over documents +
+embeddings (dedup, similarity search, text analysis).
+
+Sketch-based operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) are
+registered WITHOUT oracles — their hash functions are Spark-native and
+approximate by construction; the driver records the weaker rows-only
+check. Every exactly-computable op ships a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from realtime_analytics_pipeline_spark.operators import dedup as D
+from realtime_analytics_pipeline_spark.operators import similarity as S
+from realtime_analytics_pipeline_spark.operators import text_analysis as T
+from realtime_analytics_pipeline_spark.registry import register
+from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+_SPLIT = "string_split(text, ' ')"
+_SW = f"list_filter({_SPLIT}, t -> list_contains(['the', 'a'], t))"
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       len({_SPLIT}) AS n_tokens,
+       len(list_distinct({_SPLIT})) AS n_distinct,
+       round((length(text) - (len({_SPLIT}) - 1)) * 1.0 / len({_SPLIT}), 6)
+           AS avg_token_len,
+       round(len({_SW}) * 1.0 / len({_SPLIT}), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       round(0.4 * least(1.0, n / 100.0)
+             + 0.3 * (1 - sw / n)
+             + 0.3 * (nd / n), 6) AS quality_score
+FROM (
+    SELECT doc_id,
+           len({_SPLIT}) * 1.0 AS n,
+           len({_SW}) * 1.0 AS sw,
+           len(list_distinct({_SPLIT})) * 1.0 AS nd
+    FROM documents
+)
+"""
+
+
+@register("text_quality_scores", _QUALITY_SQL)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+_LANGID_SQL = f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'und' END AS pred_lang,
+       round(ratio, 6) AS en_stopword_ratio
+FROM (
+    SELECT doc_id, lang,
+           len({_SW}) * 1.0 / len({_SPLIT}) AS ratio
+    FROM documents
+)
+"""
+
+
+@register("text_language_id", _LANGID_SQL)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+       md5(text) AS fp,
+       md5(array_to_string(list_sort(list_distinct({_SPLIT})), ' '))
+           AS fp_normalized
+FROM documents
+"""
+
+
+@register("text_fingerprints", _FP_SQL)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_SOURCE_ROLLUP_SQL = f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len({_SPLIT})) AS total_tokens,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(len({_SPLIT})), 6) AS avg_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("text_source_rollup", _SOURCE_ROLLUP_SQL)
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.source_token_rollup(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS dup_count
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doubled corpus: every text appears twice, so the operator has
+    # real duplicates to collapse (the raw corpus has none)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs.unionByName(docs))
+
+
+_JACCARD_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9
+"""
+
+
+@register("dedup_tokenset_jaccard", _JACCARD_SQL)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.9
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: sketch hashes are engine-native
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.9
+    )
+
+
+@register("dedup_simhash")  # rows-only: sketch hashes are engine-native
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_EMB_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_TOPK_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv, v), 6) AS cos
+    FROM q, c WHERE vec_id != query_id
+)
+SELECT query_id, neighbor_id, cos, rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM s
+)
+WHERE rnk <= 5
+"""
+
+
+@register("sim_cosine_topk", _TOPK_SQL)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_ann_lsh_topk")  # rows-only: approximate by construction
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_label_centroids")  # rows-only: iterative-style op
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))
