@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query materializes fully through the noop sink (no driver
+collect, no result truncation — times the whole distributed plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_analytics_pipeline_spark import registry  # noqa: E402
+from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: every operator family, excluding the O(n²)-by-design
+# exact-pair verifiers (jaccard/embedding all-pairs run in the
+# correctness gate at sf0.01; the LSH variants are the scale path
+# benchmarked here).
+HEADLINE = [
+    "event_metrics_1m",
+    "performance_metrics_5m",
+    "session_metrics",
+    "serving_event_pivot",
+    "events_sliding_window_5m1m",
+    "asof_purchase_attribution",
+    "event_type_daily_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "top_customers_per_nation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "text_stats",
+    "text_quality_scores",
+    "text_source_rollup",
+    "multimodal_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("rtap-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (100 TB posture):
+
+- media is an opaque ``binary`` column with a typed metadata struct
+  (mime, byte size, content hash) — never parsed by Catalyst, never a
+  join key; engines shuffle the small metadata, not the bytes;
+- decode / feature-extraction runs as ``mapInPandas`` — Arrow-batched
+  Python, one GIL-free batch per partition slice, the only sane way
+  to run codec libraries inside Spark;
+- actual image/audio decode is STUBBED (`decode_image` raises
+  NotImplementedError: PIL/ffmpeg are not in this container). The
+  Spark-side plumbing — schema, batch shape, partitioning, UDF
+  signature — is real and tested with a deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """documents -> media table: deterministic fake payload (utf-8 of
+    the text) standing in for image bytes, with real typed metadata.
+    All metadata is computed engine-side (encode/md5/length are
+    Catalyst built-ins) — the binary column itself is carried opaque."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder slot. Image/audio codecs are not available in this
+    environment; wire PIL/torchvision/ffmpeg here in production."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries (e.g. PIL) not present "
+        "in this container; extract_features uses a deterministic fake"
+    )
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: pseudo width/height from the
+    content hash — stable across runs/partitions, shaped like a real
+    decoder's output."""
+    h = hashlib.md5(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Arrow ships (doc_id, payload, ...) batches to Python; each batch
+    yields one feature frame. Partitioning is inherited — at scale,
+    repartition upstream so each task holds O(batch) payload bytes
+    (spark.sql.files.maxPartitionBytes governs the scan side).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
+                    "head_hex": [bytes(p[:8]).hex() for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -61,3 +61,46 @@ def event_metrics(
             "user_count",
         )
     )
+
+
+def event_metrics_exact_streaming(
+    events: DataFrame,
+    window: str | None = None,
+    allowed_types: Sequence[str] | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Streaming-safe EXACT distinct-user counts via chained stateful
+    aggregation (Spark ≥3.5 multiple-stateful-operator support):
+
+    phase 1: (window, type, user) partial counts — the distinct set is
+    materialized as state keys, not an in-agg distinct;
+    phase 2: re-window on ``window_time`` → sum(counts) + count(users).
+
+    Same result as ``event_metrics`` (proved in the driver gate), but
+    legal under ``writeStream`` append mode, and the same shape a
+    1000-executor job wants anyway: phase 1 pre-shrinks the shuffle to
+    one row per (window, type, user).
+    """
+    window = window or config.metrics_window
+    allowed = list(allowed_types or config.allowed_event_types)
+    per_user = (
+        events.where(F.col("event_type").isin(allowed))
+        .groupBy(F.window("event_time", window), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_user.groupBy(
+            F.window(F.window_time("window"), window), "event_type"
+        )
+        .agg(
+            F.sum("cnt").alias("event_count"),
+            F.count(F.lit(1)).alias("user_count"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "user_count",
+        )
+    )

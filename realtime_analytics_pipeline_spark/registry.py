@@ -338,3 +338,5 @@ def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from realtime_analytics_pipeline_spark import registry_relational  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_docs  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_streaming  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_multimodal  # noqa: E402,F401

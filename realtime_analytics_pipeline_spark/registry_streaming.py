@@ -1,0 +1,65 @@
+"""Gated query: streaming parity.
+
+Runs the EventAggregator graph as a real Structured Streaming query —
+file micro-batch source → watermark → chained stateful aggregation
+(exact distinct users) → append-mode memory sink, availableNow — and
+returns the materialized table.
+
+Oracle: the batch event-metrics SQL restricted to watermark-finalized
+windows (window_end ≤ max event time − 10 s). Append mode only emits
+closed windows; Spark's terminal no-data micro-batch advances the
+watermark to global-max − delay, so the finalized set is deterministic
+for a fixed input.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators.event_metrics import (
+    event_metrics_exact_streaming,
+)
+from realtime_analytics_pipeline_spark.registry import _ALLOWED_SQL, register
+from realtime_analytics_pipeline_spark.streaming.jobs import (
+    read_events_stream_from_dir,
+    run_to_memory_table,
+)
+
+_counter = itertools.count()
+
+_STREAMING_EM_SQL = f"""
+WITH em AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           event_type,
+           count(*) AS event_count,
+           count(DISTINCT user_id) AS user_count
+    FROM events
+    WHERE event_type IN ({_ALLOWED_SQL})
+    GROUP BY 1, 2, 3
+)
+SELECT * FROM em
+WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_event_metrics", _STREAMING_EM_SQL)
+def q_streaming_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream_from_dir(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+    agg = event_metrics_exact_streaming(stream)
+    out = agg.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "event_type",
+        "event_count",
+        "user_count",
+    )
+    table = f"stream_event_metrics_{os.getpid()}_{next(_counter)}"
+    run_to_memory_table(out, table, output_mode="append")
+    return spark.table(table)

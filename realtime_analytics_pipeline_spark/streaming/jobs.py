@@ -1,0 +1,147 @@
+"""Structured Streaming wrappers around the batch operators.
+
+Reference parity (SURVEY §2.1, §2.4, §2.5):
+
+- S1-S3: Kafka JSON source with declared schema, lenient parse,
+  event-time + watermark (kafka_source.py:6-19, event_source.py:50-57)
+- W1-W3: the same windowed aggregations as batch — operators are pure
+  ``DataFrame -> DataFrame`` so ``readStream`` swaps in directly
+- X1/X3: three independent ``writeStream`` queries, one checkpoint
+  each (vs Flink's StatementSet, job_coordinator.py:66-77 — Spark
+  idiom is per-query checkpoints; a shared-scan ``foreachBatch``
+  variant is in sinks.py)
+- W5: late rows beyond the watermark are dropped by the streaming
+  aggregation, matching Flink's no-allowed-lateness configuration
+- W6 (idle-source timeout) has no Spark knob; Spark's watermark is
+  global-min across partitions — documented known difference.
+
+The streaming file source splits input into per-file micro-batches;
+``availableNow`` lets the same graph run to completion on finite data
+(used by tests and the gated parity query).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from realtime_analytics_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from realtime_analytics_pipeline_spark.schema import (
+    ANALYTICS_EVENT_SCHEMA,
+    normalize_testdata_events,
+    normalize_wire_events,
+)
+from realtime_analytics_pipeline_spark.session import tune_session
+
+# testdata events.parquet layout with ts surfaced as nanos bigint
+# (spark.sql.legacy.parquet.nanosAsLong, see schema.py)
+TESTDATA_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream_from_dir(
+    spark: SparkSession,
+    directory: str,
+    watermark: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """File-based streaming source over testdata-layout parquet.
+
+    One micro-batch per file by default — write the fixture with
+    multiple files to exercise multi-batch watermark progression.
+    """
+    tune_session(spark)
+    if os.path.isfile(directory):
+        # the file source only accepts directories; wrap a single
+        # parquet file in a symlink dir (read-only testdata stays put)
+        wrap = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(directory, os.path.join(wrap, os.path.basename(directory)))
+        directory = wrap
+    raw = (
+        spark.readStream.schema(TESTDATA_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+    )
+    events = normalize_testdata_events(raw)
+    return events.withWatermark(
+        "event_time", watermark or config.watermark_delay
+    )
+
+
+def read_events_stream_from_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "analytics_events",
+    starting_offsets: str = "earliest",
+    watermark: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Production source: Kafka topic of nested JSON events.
+
+    Parity with kafka_source.py:6-19 — declared schema, earliest
+    offsets, lenient JSON (from_json PERMISSIVE nulls malformed
+    fields, corrupt rows dropped via event-id null filter). Requires
+    the spark-sql-kafka connector on the classpath (not present in the
+    test container — construction is covered by parity of the parse
+    chain, exercised via ``parse_wire_json`` below).
+    """
+    tune_session(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_wire_json(raw, watermark or config.watermark_delay)
+
+
+def parse_wire_json(raw: DataFrame, watermark: str) -> DataFrame:
+    """value bytes -> canonical event columns (shared by Kafka source
+    and any file/socket JSON transport)."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), ANALYTICS_EVENT_SCHEMA
+        ).alias("e")
+    ).select("e.*")
+    events = normalize_wire_events(parsed)
+    # lenient-parse semantics: drop rows whose envelope failed to parse
+    return events.where(F.col("event_id").isNotNull()).withWatermark(
+        "event_time", watermark
+    )
+
+
+def run_to_memory_table(
+    df: DataFrame,
+    table_name: str,
+    output_mode: str = "append",
+) -> None:
+    """Execute a (finite) streaming DataFrame to completion into an
+    in-memory table via availableNow — the harness used by tests and
+    the gated streaming-parity query."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

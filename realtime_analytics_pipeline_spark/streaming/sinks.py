@@ -1,0 +1,93 @@
+"""Streaming sinks.
+
+Reference parity (SURVEY §2.1 S5-S7, §2.6 T8, §2.5 X5):
+
+- S5 Kafka JSON sink: append window rows as JSON values. Spark's Kafka
+  sink is at-least-once; the reference's transactional exactly-once is
+  replaced by idempotent-by-key downstream writes (deterministic
+  window keys), the standard Spark pattern.
+- S6 ClickHouse batch insert → ``foreach_batch_partitioned_parquet``:
+  idempotent per-window-partition overwrite, partition + sort layout
+  mirroring the MergeTree ORDER BY keys (ddl.py:11,24,35).
+- S7 Redis windowed cache → ``foreach_batch_retention_view``: keeps
+  the newest N windows materialized, the T5 retention semantics.
+- T8 micro-batch size / retry discipline maps to
+  ``maxOffsetsPerTrigger`` + checkpointing (offset commit after
+  successful write comes free from the checkpoint protocol).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_kafka_json(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """S5: stream rows to a Kafka topic as JSON (requires connector)."""
+    payload = df.select(F.to_json(F.struct("*")).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def foreach_batch_partitioned_parquet(
+    out_dir: str,
+    partition_col: str = "window_start",
+    sort_cols: tuple[str, ...] = ("window_start",),
+) -> Callable[[DataFrame, int], None]:
+    """S6-equivalent storage sink: each micro-batch is written
+    partitioned by window and sorted within partitions — the
+    Parquet analog of ClickHouse MergeTree ORDER BY (window_start,
+    key). dynamic partitionOverwriteMode makes replays idempotent
+    (exactly-once effect per window partition, X5)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.withColumn(
+                "_part", F.date_format(partition_col, "yyyyMMddHH")
+            )
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("_part")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def foreach_batch_retention_view(
+    out_dir: str,
+    retain: int,
+    time_col: str = "window_start",
+) -> Callable[[DataFrame, int], None]:
+    """S7-equivalent cache sink: materialize only the newest ``retain``
+    windows of the running result (Redis ZREMRANGEBYRANK semantics,
+    repository.py:111-115) as a small serving parquet."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from realtime_analytics_pipeline_spark.operators.serving import (
+            retention_trim,
+        )
+
+        trimmed = retention_trim(batch_df, retain, time_col=time_col)
+        trimmed.write.mode("overwrite").parquet(out_dir)
+
+    return write

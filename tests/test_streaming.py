@@ -1,0 +1,127 @@
+"""Structured Streaming tests: batch/stream parity, watermark late-drop,
+wire-JSON parsing, idempotent partitioned sink."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators.event_metrics import (
+    event_metrics,
+    event_metrics_exact_streaming,
+)
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+from realtime_analytics_pipeline_spark.streaming import sinks
+from realtime_analytics_pipeline_spark.streaming.jobs import (
+    parse_wire_json,
+    read_events_stream_from_dir,
+    run_to_memory_table,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_streaming_complete_mode_equals_batch(spark, tmp_path):
+    """availableNow + complete mode over multi-file input must equal
+    the batch result exactly (no watermark eviction in complete).
+    Distinct-free aggregation (exact distinct needs the chained
+    two-phase form, covered in the append test)."""
+    src = str(tmp_path / "stream_src")
+    raw = load_table(spark, SF_SMOKE, "events")
+    raw.repartitionByRange(4, "ts").write.parquet(src)
+
+    def counts(df):
+        return (
+            df.groupBy(F.window("event_time", "60 seconds"), "event_type")
+            .agg(F.count(F.lit(1)).alias("event_count"))
+            .select("window.start", "window.end", "event_type", "event_count")
+        )
+
+    stream = read_events_stream_from_dir(spark, src)
+    run_to_memory_table(counts(stream), "t_complete", output_mode="complete")
+    got = _rows_set(spark.table("t_complete"))
+    want = _rows_set(counts(load_events(spark, SF_SMOKE)))
+    assert got == want
+
+
+def test_streaming_append_exact_distinct_subset(spark, tmp_path):
+    """Chained stateful aggregation (exact distinct users) in append
+    mode: emits only watermark-finalized windows — a non-empty subset
+    of the batch result, with values identical where emitted."""
+    src = str(tmp_path / "stream_src_append")
+    raw = load_table(spark, SF_SMOKE, "events").orderBy("ts")
+    raw.repartitionByRange(4, "ts").write.parquet(src)
+
+    stream = read_events_stream_from_dir(spark, src)
+    run_to_memory_table(
+        event_metrics_exact_streaming(stream), "t_append", output_mode="append"
+    )
+    got = _rows_set(spark.table("t_append"))
+    want = _rows_set(event_metrics(load_events(spark, SF_SMOKE)))
+    assert got, "append mode over 4 micro-batches must finalize windows"
+    assert got <= want
+    assert len(got) < len(want)  # the last watermark-open windows are held back
+
+
+def test_parse_wire_json_lenient(spark):
+    """Nested wire JSON → canonical columns; corrupt rows dropped
+    (kafka_source.py:16-17 lenient-parse parity)."""
+    good = {
+        "event": {"id": "e1", "type": "page_view"},
+        "device": {"user_agent": "Mozilla Mobile", "screen_width": 1280,
+                   "screen_height": 720},
+        "user": {"id": "u1"},
+        "context": {"url": "https://x.com/p", "referrer": None,
+                    "ip_address": None, "session_id": "s1"},
+        "properties": {"k": "v"},
+        "metrics": {"load_time": 123, "interaction_time": 456},
+        "timestamp": 1704067200000,
+    }
+    rows = [
+        (json.dumps(good),),
+        ("{not valid json",),
+        (json.dumps({"unrelated": 1}),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = parse_wire_json(raw, "10 seconds")
+    collected = out.collect()
+    assert len(collected) == 1
+    r = collected[0]
+    assert r.event_id == "e1"
+    assert r.event_type == "page_view"
+    assert r.user_id == "u1"
+    assert r.session_id == "s1"
+    assert r.load_time == 123
+    assert r.event_time.isoformat().startswith("2024-01-01T00:00:00")
+
+
+def test_foreach_batch_partitioned_parquet_idempotent(spark, tmp_path):
+    """Replaying the same batch must not duplicate rows (dynamic
+    partition overwrite = idempotent upsert-by-window, X5 parity)."""
+    out_dir = str(tmp_path / "storage_sink")
+    em = event_metrics(load_events(spark, SF_SMOKE))
+    write = sinks.foreach_batch_partitioned_parquet(out_dir)
+    write(em, 0)
+    n1 = spark.read.parquet(out_dir).count()
+    write(em, 1)  # replay
+    n2 = spark.read.parquet(out_dir).count()
+    assert n1 == n2 == em.count()
+
+
+def test_foreach_batch_retention_view(spark, tmp_path):
+    out_dir = str(tmp_path / "cache_sink")
+    em = event_metrics(load_events(spark, SF_SMOKE))
+    write = sinks.foreach_batch_retention_view(out_dir, retain=7)
+    write(em, 0)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 7
+    newest_batch = {
+        r.window_start
+        for r in em.orderBy(F.col("window_start").desc()).limit(7).collect()
+    }
+    assert {r.window_start for r in got.collect()} == newest_batch
