@@ -1,0 +1,89 @@
+"""Physical-plan quality gates.
+
+These assert the *shape* of the plans Catalyst produces — the
+properties that decide whether a query survives a 100× scale-up:
+filter pushdown into the parquet scan, column pruning, broadcast
+joins for dimension sides, whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from realtime_analytics_pipeline_spark.operators import relational as R
+from realtime_analytics_pipeline_spark.operators.event_metrics import event_metrics
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_event_metrics_pushdown_and_pruning(spark):
+    plan = plan_of(event_metrics(load_events(spark, SF_SMOKE)))
+    # IN-list filter reaches the parquet scan
+    assert "In(event_type" in plan.split("PushedFilters")[1].splitlines()[0]
+    # scan reads only the referenced physical columns
+    assert "props" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert plan.count("HashAggregate") >= 3  # two-phase distinct agg
+
+
+def test_q1_shipdate_pushdown(spark):
+    plan = plan_of(R.pricing_summary(load_table(spark, SF_SMOKE, "lineitem")))
+    assert "LessThanOrEqual(l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+    # pruned: only the 7 referenced columns, not all 11
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    plan = plan_of(
+        R.shipping_priority(
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    # top-N compiles to TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(
+        R.regional_revenue(
+            load_table(spark, SF_SMOKE, "region"),
+            load_table(spark, SF_SMOKE, "nation"),
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "orders"),
+            load_table(spark, SF_SMOKE, "lineitem"),
+            load_table(spark, SF_SMOKE, "supplier"),
+        )
+    )
+    # every dimension join is broadcast: lineitem (the fact) only
+    # exchanges for orders⋈lineitem and the final aggregation
+    assert plan.count("BroadcastHashJoin") >= 3
+    region_pred = "EqualTo(r_name,ASIA)"
+    assert region_pred in plan or "PushedFilters: [IsNotNull(r_name)" in plan
+
+
+def test_session_window_single_shuffle(spark):
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        session_metrics,
+    )
+
+    import re
+
+    plan = plan_of(session_metrics(load_events(spark, SF_SMOKE)))
+    # one exchange for the session key — no extra repartitioning
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
