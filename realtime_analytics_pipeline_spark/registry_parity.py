@@ -229,6 +229,136 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PERF_DEVICE_SQL = f"""
+WITH ua AS (
+    SELECT ts, value,
+           CASE user_id % {len(_UA_CASES)}
+               WHEN 0 THEN '{_UA_CASES[0]}'
+               WHEN 1 THEN '{_UA_CASES[1]}'
+               WHEN 2 THEN '{_UA_CASES[2]}'
+               WHEN 3 THEN '{_UA_CASES[3]}'
+               ELSE '{_UA_CASES[4]}'
+           END AS user_agent
+    FROM events
+    WHERE event_type = 'view' AND value IS NOT NULL
+)
+SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+       (epoch_ms(ts) // 300000) * 300000 + 300000 AS window_end_ms,
+       CASE WHEN user_agent LIKE '%Mobile%' THEN 'Mobile'
+            WHEN user_agent LIKE '%Tablet%' THEN 'Tablet'
+            WHEN user_agent LIKE '%Bot%' THEN 'Bot'
+            ELSE 'Desktop' END AS device_category,
+       round(avg(value), 6) AS avg_load_time,
+       round(quantile_cont(value, 0.95), 6) AS p95_load_time
+FROM ua
+GROUP BY 1, 2, 3
+"""
+
+
+@register("performance_by_device", _PERF_DEVICE_SQL)
+def q_perf_by_device(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference PerformanceTracker chain
+    (performance_tracker.py:12-46): equality filter on the page-view
+    analog + IS NOT NULL + device categorization + 300 s window +
+    avg/p95 — exercised as one composed pipeline."""
+    ev = load_events(spark, sf_dir).withColumn("user_agent", _ua_expr())
+    df = performance_metrics(
+        ev,
+        category_col=categorize_device("user_agent"),
+        event_type_filter="view",
+    )
+    return df.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "device_category",
+        F.round("avg_load_time", 6).alias("avg_load_time"),
+        F.round("p95_load_time", 6).alias("p95_load_time"),
+    )
+
+
+_SESSION_DEVICE_SQL = f"""
+WITH ua AS (
+    SELECT user_id, event_id, ts,
+           CASE user_id % {len(_UA_CASES)}
+               WHEN 0 THEN '{_UA_CASES[0]}'
+               WHEN 1 THEN '{_UA_CASES[1]}'
+               WHEN 2 THEN '{_UA_CASES[2]}'
+               WHEN 3 THEN '{_UA_CASES[3]}'
+               ELSE '{_UA_CASES[4]}'
+           END AS user_agent
+    FROM events
+),
+cat AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN user_agent LIKE '%Mobile%' THEN 'Mobile'
+                WHEN user_agent LIKE '%Tablet%' THEN 'Tablet'
+                WHEN user_agent LIKE '%Bot%' THEN 'Bot'
+                ELSE 'Desktop' END AS device_category
+    FROM ua
+),
+flagged AS (
+    SELECT user_id, event_id, ts, device_category,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM cat
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, ts, device_category,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT CAST(user_id AS VARCHAR) AS session_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       epoch_ms(min(ts)) AS start_ms,
+       epoch_ms(max(ts)) AS end_ms,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration,
+       count(*) AS page_count,
+       max(device_category) AS device_category
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+@register("session_metrics_devices", _SESSION_DEVICE_SQL)
+def q_session_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference session sink schema (session_metrics_sink.py:4-15)
+    including MAX(device_category) (session_tracker.py:45)."""
+    ev = load_events(spark, sf_dir).withColumn(
+        "device_category", categorize_device(_ua_expr())
+    )
+    sess = (
+        ev.groupBy(
+            F.session_window("event_time", "30 minutes"),
+            "session_id",
+            "user_id",
+        )
+        .agg(
+            F.min("event_time").alias("start_time"),
+            F.max("event_time").alias("end_time"),
+            F.count(F.lit(1)).alias("page_count"),
+            F.max("device_category").alias("device_category"),
+        )
+    )
+    return sess.select(
+        "session_id",
+        "user_id",
+        F.unix_millis("start_time").alias("start_ms"),
+        F.unix_millis("end_time").alias("end_ms"),
+        (
+            (F.unix_micros("end_time") - F.unix_micros("start_time"))
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("duration"),
+        "page_count",
+        "device_category",
+    )
+
+
 @register("event_metrics_approx")  # rows-only: HLL++ is engine-specific
 def q_event_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB variant of event_metrics: approx_count_distinct (HLL++,
