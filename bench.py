@@ -39,7 +39,7 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "top_customers_per_nation",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_3gram",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",

@@ -160,6 +160,18 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_lsh_3gram")  # rows-only: realistic sparse-bucket run
+def q_minhash_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH over 3-word shingles — the production configuration
+    (discriminative shingles → sparse buckets). On the synthetic
+    word-salad corpus this finds few/no pairs; it benchmarks the
+    signature+banding pipeline cost without the output-bound tail of
+    the degenerate unigram variant."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
 @register("dedup_simhash")  # rows-only: sketch hashes are engine-native
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)

@@ -35,6 +35,10 @@ def get_spark(app_name: str = "realtime-analytics-pipeline-spark") -> SparkSessi
         # keeps timestamp predicates pushable (no implicit casts in plan)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/rtap_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,59 @@
+"""Custom stateful operator (applyInPandasWithState): running totals
+with carried state across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.sources.batch import load_table
+from realtime_analytics_pipeline_spark.streaming.jobs import (
+    read_events_stream_from_dir,
+)
+from realtime_analytics_pipeline_spark.streaming.stateful import (
+    running_totals_per_type,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_running_totals_accumulate_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    raw = load_table(spark, SF_SMOKE, "events")
+    raw.repartitionByRange(3, "ts").write.parquet(src)
+
+    stream = read_events_stream_from_dir(spark, src, watermark="0 seconds")
+    out = running_totals_per_type(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("running_totals").collect()
+    # multiple micro-batches → multiple emissions per type, monotone
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (r.cumulative_events, r.approx_cumulative_users)
+        )
+    truth = {
+        r.event_type: r.cnt
+        for r in raw.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    users_truth = {
+        r.event_type: r.u
+        for r in raw.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(by_type) == set(truth)
+    for t, seq in by_type.items():
+        events_seq = [e for e, _ in seq]
+        assert events_seq == sorted(events_seq), "must be monotone"
+        assert events_seq[-1] == truth[t], "final total must be exact"
+        # bloom estimate within 15% of the true distinct count
+        est = seq[-1][1]
+        assert abs(est - users_truth[t]) / users_truth[t] <= 0.15
