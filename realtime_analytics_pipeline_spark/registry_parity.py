@@ -359,6 +359,67 @@ def q_session_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+           AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+@register("props_json_extraction", _JSON_PROPS_SQL)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the carried ``props`` column (the
+    reference carries properties MAP without reading it — this shows
+    the engine CAN query it): get_json_object → typed aggregation."""
+    raw = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        raw.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_INTERFACE_SQL = """
+SELECT event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       count(*) AS n
+FROM events
+WHERE event_type IN ('view', 'click')
+GROUP BY 1, 2
+HAVING count(*) >= 10
+"""
+
+
+@register("sql_interface_demo", _SQL_INTERFACE_SQL)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: register the table as a temp view
+    and run the query as a SQL string through Catalyst — identical
+    semantics to the DataFrame API (same optimizer, same plans)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_sql_demo"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id AS STRING) AS user_id,
+               count(*) AS n
+        FROM events_sql_demo
+        WHERE event_type IN ('view', 'click')
+        GROUP BY 1, 2
+        HAVING count(*) >= 10
+        """
+    )
+
+
 @register("event_metrics_approx")  # rows-only: HLL++ is engine-specific
 def q_event_metrics_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB variant of event_metrics: approx_count_distinct (HLL++,
