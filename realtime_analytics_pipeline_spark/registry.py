@@ -341,3 +341,4 @@ from realtime_analytics_pipeline_spark import registry_docs  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_streaming  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_multimodal  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_parity  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F401

@@ -1,0 +1,136 @@
+"""Gated queries: analytic completions — outer joins, window frames,
+grouped-map pandas transforms."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from realtime_analytics_pipeline_spark.registry import register
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+
+_OUTER_SQL = """
+SELECT n_name,
+       vol.n_orders,
+       round(vol.total, 2) AS total
+FROM nation
+LEFT JOIN (
+    SELECT c_nationkey, count(*) AS n_orders, sum(o_totalprice) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < TIMESTAMP '1995-02-01'
+    GROUP BY 1
+) vol ON n_nationkey = c_nationkey
+"""
+
+
+@register("nation_order_volume_outer", _OUTER_SQL)
+def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every nation appears, null volume where the
+    early-1995 window has no orders."""
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    vol = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return nation.join(
+        vol, nation.n_nationkey == vol.c_nationkey, "left"
+    ).select("n_name", "n_orders", F.round("total", 2).alias("total"))
+
+
+_RUNNING_SQL = """
+WITH daily AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day_ms, event_type, n,
+       sum(n) OVER (
+           PARTITION BY event_type ORDER BY day_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+FROM daily
+"""
+
+
+@register("events_running_totals", _RUNNING_SQL)
+def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME aggregation: per-type daily counts with a
+    cumulative ROWS UNBOUNDED PRECEDING running sum."""
+    ev = load_events(spark, sf_dir)
+    day_ms = (
+        (F.unix_millis("event_time") / F.lit(86400000)).cast("long")
+        * F.lit(86400000)
+    ).alias("day_ms")
+    daily = ev.select(day_ms, "event_type").groupBy("day_ms", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ms")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("running_total", F.sum("n").over(w))
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           avg(len(string_split(text, ' '))) OVER (PARTITION BY source) AS mu,
+           stddev_samp(len(string_split(text, ' '))) OVER (PARTITION BY source)
+               AS sigma
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       round((n_tokens - mu) / sigma, 6) AS z_score
+FROM stats
+"""
+
+_ZSCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("z_score", DoubleType()),
+    ]
+)
+
+
+@register("doc_length_zscores", _ZSCORE_SQL)
+def q_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform (applyInPandas): per-source token-length
+    z-scores. The normalization needs whole-group context — the shape
+    where grouped pandas beats window functions for real feature
+    engineering (here verifiable against a window-function oracle)."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_tokens"].mean()
+        sigma = pdf["n_tokens"].std(ddof=1)
+        out = pdf[["doc_id", "source", "n_tokens"]].copy()
+        out["z_score"] = ((pdf["n_tokens"] - mu) / sigma).round(6)
+        return out
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return docs.groupBy("source").applyInPandas(normalize, _ZSCORE_SCHEMA)
