@@ -56,7 +56,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("rtap-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # warm the JVM through the real code paths (parquet scan + shuffle +
+    # codegen) at the smallest SF so first-measured-query overhead is
+    # execution, not bring-up
+    registry.QUERIES["event_metrics_1m"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -16,7 +16,7 @@ Mirrors the reference's processing knobs
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

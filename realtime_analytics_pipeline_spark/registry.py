@@ -28,7 +28,7 @@ from realtime_analytics_pipeline_spark.operators.session_metrics import (
     session_metrics_by_lag,
 )
 from realtime_analytics_pipeline_spark.operators import serving
-from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+from realtime_analytics_pipeline_spark.sources.batch import load_events
 
 ALLOWED = list(DEFAULT_CONFIG.allowed_event_types)
 _ALLOWED_SQL = ", ".join(f"'{t}'" for t in ALLOWED)

@@ -24,7 +24,6 @@ from realtime_analytics_pipeline_spark.operators.performance_metrics import (
     performance_metrics,
 )
 from realtime_analytics_pipeline_spark.registry import register
-from realtime_analytics_pipeline_spark.schema import ANALYTICS_EVENT_SCHEMA
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
 from realtime_analytics_pipeline_spark.streaming.jobs import parse_wire_json
 
