@@ -28,6 +28,7 @@ from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
 # benchmarked here).
 HEADLINE = [
     "event_metrics_1m",
+    "streaming_event_metrics",  # full streaming pipeline, append mode
     "performance_metrics_5m",
     "session_metrics",
     "serving_event_pivot",

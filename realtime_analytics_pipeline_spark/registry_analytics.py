@@ -88,6 +88,33 @@ def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn("running_total", F.sum("n").over(w))
 
 
+_SALTED_COUNTS_SQL = """
+SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+       (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+       event_type,
+       count(*) AS event_count
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("event_counts_salted", _SALTED_COUNTS_SQL)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation — must equal the plain
+    group-by result exactly (same oracle shape as event_metrics)."""
+    from realtime_analytics_pipeline_spark.operators.skew import (
+        salted_event_counts,
+    )
+
+    out = salted_event_counts(load_events(spark, sf_dir))
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        F.unix_millis("window_end").alias("window_end_ms"),
+        "event_type",
+        "event_count",
+    )
+
+
 _ZSCORE_SQL = """
 WITH stats AS (
     SELECT doc_id, source,
