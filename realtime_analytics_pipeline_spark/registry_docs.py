@@ -108,6 +108,36 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.source_token_rollup(load_table(spark, sf_dir, "documents"))
 
 
+_REGEX_OPS_SQL = """
+SELECT doc_id,
+       CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS src_num,
+       len(regexp_split_to_array(text, '[^a-z0-9]+')) AS n_re_tokens,
+       upper(substr(text, 1, 10)) AS head_upper,
+       levenshtein(substr(text, 1, 12), 'spark engine') AS lev_to_spark
+FROM documents
+"""
+
+
+@register("text_regex_ops", _REGEX_OPS_SQL)
+def q_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex/string scalar surface (SURVEY §2.10 text ops):
+    regexp_extract, BPE-ish regex tokenization, case mapping, and
+    levenshtein edit distance — all Catalyst built-ins, mirrored by
+    DuckDB's identical functions."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)", 1).cast("long").alias("src_num"),
+        F.size(F.split("text", r"[^a-z0-9]+")).cast("long").alias("n_re_tokens"),
+        F.upper(F.substring("text", 1, 10)).alias("head_upper"),
+        F.levenshtein(F.substring("text", 1, 12), F.lit("spark engine")).alias(
+            "lev_to_spark"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
