@@ -5,11 +5,15 @@ file micro-batch source → watermark → chained stateful aggregation
 (exact distinct users) → append-mode memory sink, availableNow — and
 returns the materialized table.
 
-Oracle: the batch event-metrics SQL restricted to watermark-finalized
-windows (window_end ≤ max event time − 10 s). Append mode only emits
-closed windows; Spark's terminal no-data micro-batch advances the
-watermark to global-max − delay, so the finalized set is deterministic
-for a fixed input.
+Oracle: the batch event-metrics SQL restricted to the finalized set a
+CHAINED windowed aggregation emits: window_end ≤ max event time −
+watermark delay (10 s) − window size (60 s). The extra window-length
+lag is Spark's multi-stateful watermark propagation — the downstream
+aggregate's effective watermark is delayed by the upstream window
+duration, so the window generation that phase 1 emits in the terminal
+no-data batch stays open in phase 2 until more data arrives (verified
+empirically at sf0.001/0.01/0.1; a single-aggregate stream has no such
+lag).
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ WITH em AS (
     GROUP BY 1, 2, 3
 )
 SELECT * FROM em
-WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 70000
 """
 
 
