@@ -43,6 +43,8 @@ HEADLINE = [
     "dedup_minhash_lsh_3gram",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_cosine_topk_blas",
+    "dedup_embedding_cosine_blas",
     "sim_ann_lsh_topk",
     "text_stats",
     "text_quality_scores",

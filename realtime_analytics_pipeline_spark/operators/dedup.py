@@ -34,7 +34,7 @@ from realtime_analytics_pipeline_spark.functions.text import (
     shingle_expr,
     tokens,
 )
-from realtime_analytics_pipeline_spark.functions.vectors import as_double, cosine
+from realtime_analytics_pipeline_spark.functions.vectors import as_double, dot, unit
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -286,14 +286,16 @@ def embedding_dup_pairs(
     At 100 TB use the LSH-bucketed ANN in operators/similarity.py to
     generate candidates and this formula only on candidates.
     """
+    # unit-normalize per vector (one-time) so each of the O(n²) pairs
+    # costs a single dot product instead of dot + two norms
     e = embeddings.select(
-        F.col("vec_id"), as_double("embedding").alias("v")
+        F.col("vec_id"), unit(as_double("embedding")).alias("v")
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

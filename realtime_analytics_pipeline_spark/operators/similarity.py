@@ -20,7 +20,12 @@ import struct
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from realtime_analytics_pipeline_spark.functions.vectors import as_double, cosine, dot
+from realtime_analytics_pipeline_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    unit,
+)
 
 
 def cosine_topk(
@@ -34,13 +39,14 @@ def cosine_topk(
     desc, neighbor_id) so the result set is deterministic across
     engines even under float-ULP differences.
     """
-    e = embeddings.select("vec_id", as_double("embedding").alias("v"))
+    # unit-normalize once per vector: each candidate pair costs ONE dot
+    e = embeddings.select("vec_id", unit(as_double("embedding")).alias("v"))
     q = e.where(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cos", F.round(dot(F.col("qv"), F.col("v")), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,9 +101,11 @@ def lsh_ann_topk(
     rnk). Recall < 1 by design; candidates fall to ~N/2^bits.
     """
     planes = _hyperplanes(dim, bits)
+    # hyperplane signs are scale-invariant, so bucketing the unit
+    # vector is identical — and each candidate then costs one dot
     e = embeddings.select(
         "vec_id",
-        as_double("embedding").alias("v"),
+        unit(as_double("embedding")).alias("v"),
     ).withColumn("bucket", lsh_bucket_expr("v", planes))
     q = e.where(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
@@ -110,7 +118,7 @@ def lsh_ann_topk(
         & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cands.withColumn(
-        "cos", F.round(cosine(F.col("qv"), F.col("v")), 6)
+        "cos", F.round(dot(F.col("qv"), F.col("v")), 6)
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

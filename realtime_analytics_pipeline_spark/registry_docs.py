@@ -261,3 +261,23 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_label_centroids")  # rows-only: iterative-style op
 def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_cosine_topk_blas")  # rows-only: BLAS ULP nondeterminism
+def q_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.similarity_blas import (
+        cosine_topk_blas,
+    )
+
+    return cosine_topk_blas(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_embedding_cosine_blas")  # rows-only: BLAS fast path
+def q_emb_dup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.similarity_blas import (
+        embedding_dup_pairs_blas,
+    )
+
+    return embedding_dup_pairs_blas(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
