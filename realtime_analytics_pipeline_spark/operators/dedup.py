@@ -11,8 +11,8 @@ Four families, each with its 100 TB story:
   motivation for MinHash below; fine at verification scale, documented
   as such.
 - **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_pairs`):
-  64-perm signatures via seeded xxhash64 min-aggregation, banded into
-  16 buckets of 4 — candidate pairs only where a band collides. This
+  64-perm signatures via seeded xxhash64 min-aggregation, banded
+  (default 8 bands × 8 rows) — candidate pairs only where a band collides. This
   is the scale path: cost ~ O(docs × shingles) + O(collisions), no
   all-pairs term.
 - **SimHash** (`simhash_pairs`): 64-bit sign-sum sketch in 4×16-bit
