@@ -68,6 +68,67 @@ def test_streaming_append_exact_distinct_subset(spark, tmp_path):
     assert len(got) < len(want)  # the last watermark-open windows are held back
 
 
+def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
+    """W5: a row arriving in a later micro-batch with event time older
+    than the watermark is silently dropped (no allowed-lateness —
+    event_source.py:53-57 parity). An in-delay out-of-order row is
+    kept."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "late_src")
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    ts=base_ns + off_ms * 1_000_000,
+                    user_id=1,
+                    event_type="view",
+                    value=1.0,
+                    props="{}",
+                )
+                for i, off_ms in rows
+            ],
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 0: events at 0s..120s → watermark 110s after this batch
+    write_file([(1, 0), (2, 61_000), (3, 120_000)], "a")
+    _time.sleep(1.1)  # file source orders batches by modification time
+    # batch 1: in-delay out-of-order row at 115s (kept) + advance to 240s
+    write_file([(5, 115_000), (6, 240_000)], "b")
+    _time.sleep(1.1)
+    # batch 2: LATE row at 30s — the late-record filter uses the
+    # watermark with one batch of lag (110s here), so the drop needs
+    # the late row to arrive ≥2 batches after its window closed
+    write_file([(4, 30_000), (7, 300_000)], "c")
+
+    stream = read_events_stream_from_dir(spark, src)
+    counts = (
+        stream.groupBy(F.window("event_time", "60 seconds"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(F.col("window.start").alias("window_start"), "event_count")
+    )
+    run_to_memory_table(counts, "t_late", output_mode="append")
+    got = {
+        (r.window_start.isoformat(), r.event_count)
+        for r in spark.table("t_late").collect()
+    }
+    assert got == {
+        # [0,60): only event 1 — late row 4 dropped
+        ("2024-01-01T00:00:00", 1),
+        # [60,120): events 2 and 5 — in-delay out-of-order row kept
+        ("2024-01-01T00:01:00", 2),
+        # [120,180): event 3; windows at/after 240s still open (the
+        # final watermark 290s has not passed their end), not emitted
+        ("2024-01-01T00:02:00", 1),
+    }
+
+
 def test_parse_wire_json_lenient(spark):
     """Nested wire JSON → canonical columns; corrupt rows dropped
     (kafka_source.py:16-17 lenient-parse parity)."""
