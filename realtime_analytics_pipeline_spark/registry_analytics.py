@@ -115,6 +115,86 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNION_SQL = """
+SELECT 'customer' AS kind, c_name AS name FROM customer WHERE c_custkey < 100
+UNION ALL
+SELECT 'supplier' AS kind, s_name AS name FROM supplier WHERE s_suppkey < 100
+"""
+
+
+@register("customer_supplier_union", _UNION_SQL)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) across heterogeneous tables with a
+    discriminator column."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 100)
+        .select(F.lit("customer").alias("kind"), F.col("c_name").alias("name"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 100)
+        .select(F.lit("supplier").alias("kind"), F.col("s_name").alias("name"))
+    )
+    return c.unionByName(s)
+
+
+_LATEST_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       CAST(event_id AS VARCHAR) AS event_id,
+       event_type,
+       epoch_ms(ts) AS ts_ms
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", _LATEST_SQL)
+def q_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax / DISTINCT ON-equivalent: newest event per user via a
+    deterministic row_number (ts desc, event_id desc tiebreak)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("event_time").desc(), F.col("event_id").cast("long").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_millis("event_time").alias("ts_ms"),
+        )
+    )
+
+
+_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("value_percentiles_by_type", _PCTL_SQL)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile exact percentiles (interpolating) per group."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
 _ZSCORE_SQL = """
 WITH stats AS (
     SELECT doc_id, source,
