@@ -16,6 +16,31 @@ from tests.conftest import SF_SMOKE
 from tests.test_plans import plan_of
 
 
+def test_partition_pruning_on_day_partitioned_layout(spark, tmp_path):
+    """A day-partitioned events layout must prune partitions for a
+    day-equality filter — the scan should touch one partition's files,
+    visible as a PartitionFilters entry in the plan."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF_SMOKE, "events")
+    (
+        ev.withColumn(
+            "day", F.from_unixtime(F.expr("ts DIV 1000000000"), "yyyy-MM-dd")
+        )
+        .write.partitionBy("day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("day") == "2024-01-05")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(day" in plan or "(day" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # and the filter is correct
+    want = ev.where(
+        F.from_unixtime(F.expr("ts DIV 1000000000"), "yyyy-MM-dd")
+        == "2024-01-05"
+    ).count()
+    assert back.count() == want
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketed_test")
     spark.catalog.setCurrentDatabase("bucketed_test")
