@@ -1,0 +1,131 @@
+"""Iterative graph/clustering operators.
+
+`connected_components`: collapse near-duplicate PAIRS into duplicate
+CLUSTERS — the standard post-step after MinHash/Jaccard pair mining
+(keep one representative per component). Implemented as iterative
+min-label propagation over DataFrames:
+
+    label(v) ← min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Each iteration is one join + one aggregate —
+all shuffle-partitioned by vertex, linear per round; rounds ≤ graph
+diameter (near-dup graphs are shallow: clusters are cliques or short
+chains, so 2-4 rounds in practice). `localCheckpoint` truncates the
+lineage each round so plans don't grow with iterations — the standard
+pattern for iterative DataFrame algorithms.
+
+`kmeans_lite`: a deterministic k-means (fixed init from the k smallest
+vec_ids, fixed iteration count) — the iterative-refinement shape for
+embedding workloads, all DataFrame ops (broadcast centroids, argmin
+assign, per-dimension mean update).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.functions.vectors import as_double, dot, unit
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(src, dst) edges -> (vertex, component) with component = min
+    vertex id reachable. Deterministic; terminates at fixpoint or
+    max_iter (fixpoint checked per round)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("vertex"), F.col("u").alias("component")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.vertex)
+            .groupBy("u")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.u, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_cluster_representatives(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """pairs -> (vertex, component, is_representative): keep the min-id
+    member of each duplicate cluster (the survivor set)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        "vertex",
+        "component",
+        (F.col("vertex") == F.col("component")).alias("is_representative"),
+    )
+
+
+def kmeans_lite(
+    embeddings: DataFrame, k: int = 8, iterations: int = 3
+) -> DataFrame:
+    """Deterministic k-means over unit vectors (cosine geometry):
+    init = the k smallest vec_ids; fixed iteration count; ties broken
+    by centroid id. Returns (vec_id, cluster, sim)."""
+    e = embeddings.select(
+        "vec_id", unit(as_double("embedding")).alias("v")
+    ).localCheckpoint()
+    centroids = e.orderBy("vec_id").limit(k).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for _ in range(iterations):
+        scored = e.join(F.broadcast(centroids)).withColumn(
+            "sim", dot(F.col("v"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cluster")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster", "v", F.round("sim", 6).alias("sim"))
+            .localCheckpoint()
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("d", "x")
+        )
+        centroids = (
+            dims.groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select(
+                "cluster",
+                unit(F.expr("transform(dm, p -> p.m)")).alias("cv"),
+            )
+        )
+    return assigned.select("vec_id", "cluster", "sim")

@@ -115,6 +115,41 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("tpch_q17_small_quantity", _Q17_SQL)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Q17 shape) through the SQL front
+    door — Catalyst decorrelates it into an aggregate + join; no
+    per-row re-execution (see tests/test_plans.py assertion)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q17_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM q17_lineitem
+        JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
 _UNION_SQL = """
 SELECT 'customer' AS kind, c_name AS name FROM customer WHERE c_custkey < 100
 UNION ALL

@@ -223,6 +223,63 @@ def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_SQL = f"""
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS vertex,
+       min(comp) AS component,
+       (u = min(comp)) AS is_representative
+FROM reach GROUP BY u
+"""
+
+
+@register("dedup_connected_components", _CC_SQL)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (DataFrame loop with lineage checkpoints); oracle is a
+    recursive-CTE transitive closure over the same pair set."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        dedup_cluster_representatives,
+    )
+
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.95
+    )
+    return dedup_cluster_representatives(pairs)
+
+
+@register("sim_kmeans_lite")  # rows-only: iterative algorithm
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.clustering import kmeans_lite
+
+    return kmeans_lite(load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -1,0 +1,45 @@
+"""Iterative operators: connected components + k-means invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators.clustering import (
+    connected_components,
+    kmeans_lite,
+)
+from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_on_known_graph(spark):
+    # components: {1,2,3,4} (chain), {10,11}, isolated-by-edges {20,21}
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.vertex: r.component for r in connected_components(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_chain_exceeding_one_round(spark):
+    # a long path needs multiple propagation rounds
+    n = 12
+    edges = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_kmeans_deterministic_and_total(spark):
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    a1 = {(r.vec_id, r.cluster) for r in kmeans_lite(embs, k=5).collect()}
+    a2 = {(r.vec_id, r.cluster) for r in kmeans_lite(embs, k=5).collect()}
+    assert a1 == a2  # deterministic across runs
+    assert len({v for v, _ in a1}) == embs.count()  # total assignment
+    assert len({c for _, c in a1}) <= 5
+    # every sim is a valid cosine
+    for r in kmeans_lite(embs, k=5).collect():
+        assert -1.000001 <= r.sim <= 1.000001

@@ -76,6 +76,19 @@ def test_q5_all_dims_broadcast(spark):
     assert region_pred in plan or "PushedFilters: [IsNotNull(r_name)" in plan
 
 
+def test_q17_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must be rewritten into an
+    aggregate + join — no per-row subquery re-execution."""
+    from realtime_analytics_pipeline_spark.registry_analytics import q_tpch_q17
+
+    from tests.conftest import SF_SMOKE as _SF
+
+    plan = plan_of(q_tpch_q17(spark, _SF))
+    # decorrelated: a standalone aggregate over l2 joined back in
+    assert "Subquery" not in plan  # no scalar-subquery node survives
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_session_window_single_shuffle(spark):
     from realtime_analytics_pipeline_spark.operators.session_metrics import (
         session_metrics,

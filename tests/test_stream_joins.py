@@ -1,0 +1,76 @@
+"""Stream-stream interval join and streaming dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+from realtime_analytics_pipeline_spark.streaming.jobs import (
+    read_events_stream_from_dir,
+    run_to_memory_table,
+)
+from realtime_analytics_pipeline_spark.streaming.joins import (
+    dedup_stream,
+    stream_attribution_join,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The streaming interval join over a drained finite source must
+    produce a subset of the batch interval join (watermark may hold
+    tail rows), with every emitted row exactly matching batch."""
+    src = str(tmp_path / "ssj_src")
+    load_table(spark, SF_SMOKE, "events").repartitionByRange(
+        3, "ts"
+    ).write.parquet(src)
+
+    stream = read_events_stream_from_dir(spark, src)
+    run_to_memory_table(
+        stream_attribution_join(stream), "t_ssj", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.table("t_ssj").collect()}
+
+    batch = stream_attribution_join(load_events(spark, SF_SMOKE))
+    want = {tuple(r) for r in batch.collect()}
+    assert got, "stream-stream join must emit rows"
+    assert got <= want
+    assert len(got) >= len(want) * 0.8  # only the watermark tail held
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event_ids within the
+    watermark horizon are emitted once."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "dedup_src")
+    base_ns = 1_704_067_200_000_000_000
+
+    def write_file(ids_offsets):
+        spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    ts=base_ns + off * 1_000_000,
+                    user_id=1,
+                    event_type="view",
+                    value=1.0,
+                    props="{}",
+                )
+                for i, off in ids_offsets
+            ]
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file([(1, 0), (2, 1000), (3, 2000)])
+    _time.sleep(1.1)
+    # replays of 2 and 3 (same ids, same times) + one new row
+    write_file([(2, 1000), (3, 2000), (4, 3000)])
+
+    stream = read_events_stream_from_dir(spark, src)
+    out = dedup_stream(stream, ["event_id"]).select("event_id")
+    run_to_memory_table(out, "t_dedup", output_mode="append")
+    got = sorted(r.event_id for r in spark.table("t_dedup").collect())
+    assert got == ["1", "2", "3", "4"]
