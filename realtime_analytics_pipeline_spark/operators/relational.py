@@ -1,5 +1,9 @@
 """Relational operator suite over the TPC-H-ish tables.
 
+Money arithmetic: revenue sums multiply DECIMAL(18,2)-cast factors and
+sum in decimal — exact integer math, identical across engines (double
+sums can land on opposite sides of a 2-decimal rounding boundary).
+
 The reference engine contains no joins, set ops, sorts-with-limit,
 OVER windows, or grouping sets (SURVEY §2.9) — its serving layer fakes
 the few it needs in Python. A complete engine needs them, so they are
@@ -85,8 +89,14 @@ def shipping_priority(
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -141,8 +151,14 @@ def regional_revenue(
     )
     return joined.groupBy("n_name").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 

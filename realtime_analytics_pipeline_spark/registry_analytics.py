@@ -20,10 +20,10 @@ from realtime_analytics_pipeline_spark.sources.batch import load_events, load_ta
 _OUTER_SQL = """
 SELECT n_name,
        vol.n_orders,
-       round(vol.total, 2) AS total
+       CAST(round(vol.total, 2) AS DOUBLE) AS total
 FROM nation
 LEFT JOIN (
-    SELECT c_nationkey, count(*) AS n_orders, sum(o_totalprice) AS total
+    SELECT c_nationkey, count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderdate < TIMESTAMP '1995-02-01'
     GROUP BY 1
@@ -45,12 +45,16 @@ def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
         )
     )
     return nation.join(
         vol, nation.n_nationkey == vol.c_nationkey, "left"
-    ).select("n_name", "n_orders", F.round("total", 2).alias("total"))
+    ).select(
+        "n_name",
+        "n_orders",
+        F.round("total", 2).cast("double").alias("total"),
+    )
 
 
 _RUNNING_SQL = """

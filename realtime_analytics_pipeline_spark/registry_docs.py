@@ -226,7 +226,8 @@ def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_SQL = f"""
 WITH RECURSIVE
 sh AS (
-    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM documents WHERE doc_id < 300
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -267,9 +268,12 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_cluster_representatives,
     )
 
-    pairs = D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.95
-    )
+    # gate on a bounded subgraph (doc_id < 300): the transitive-closure
+    # oracle is quadratic in component size and the degenerate corpus
+    # forms one giant component at larger SFs; the operator itself is
+    # unrestricted (tests cover arbitrary graphs)
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
     return dedup_cluster_representatives(pairs)
 
 

@@ -34,7 +34,7 @@ _Q3_SQL = """
 SELECT o_orderkey,
        epoch_ms(o_orderdate) AS o_orderdate_ms,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -58,7 +58,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -86,7 +86,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -122,8 +122,14 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -132,12 +138,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_SQL = """
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue
+       CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
 FROM (
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           l_extendedprice * (1 - l_discount) AS volume
+           CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -195,12 +201,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
     )
 
 
