@@ -86,6 +86,90 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 128, target_h: int = 128
+) -> DataFrame:
+    """Resize plumbing: mapInPandas batch transform binary -> binary.
+
+    Deterministic fake resample (truncate/cycle payload to
+    target_w*target_h/64 bytes) standing in for a real
+    PIL.Image.resize; schema and batch shape are what a real codec
+    would use.
+    """
+    out_len = target_w * target_h // 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(
+                    (p * (out_len // max(len(p), 1) + 1))[:out_len]
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing: binary 'video' -> one row per sampled
+    frame (every k-th fixed-size chunk). The fan-out row shape is what
+    a real ffmpeg frame sampler produces; sampling is deterministic."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, frames, md5s = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_k):
+                    chunk = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(chunk)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_md5": md5s,
+                }
+            )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

@@ -119,6 +119,52 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CASCADE_SQL = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+       event_type,
+       count(*) AS event_count,
+       CAST(round(sum(value), 2) AS DOUBLE) AS value_sum
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("cascade_rollup_1m_to_1h", _CASCADE_SQL)
+def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hypertable-style): hourly metrics
+    computed FROM the 1-minute aggregate, not from raw rows — the
+    incremental re-aggregation a continuous-rollup store performs.
+    Counts/sums re-aggregate exactly (algebraic); the oracle computes
+    hourly direct from raw, proving cascade == direct. value_sum in
+    DECIMAL so the two aggregation orders are bit-identical."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    minute = (
+        ev.groupBy(
+            F.window("event_time", "60 seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("vsum"),
+        )
+        .select(
+            F.col("w.start").alias("minute_start"), "event_type", "cnt", "vsum"
+        )
+    )
+    hour_ms = (
+        (F.unix_millis("minute_start") / F.lit(3600000)).cast("long")
+        * F.lit(3600000)
+    ).alias("hour_ms")
+    return (
+        minute.select(hour_ms, "event_type", "cnt", "vsum")
+        .groupBy("hour_ms", "event_type")
+        .agg(
+            F.sum("cnt").alias("event_count"),
+            F.round(F.sum("vsum"), 2).cast("double").alias("value_sum"),
+        )
+    )
+
+
 _Q17_SQL = """
 SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem

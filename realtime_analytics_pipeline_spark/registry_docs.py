@@ -142,6 +142,43 @@ def q_regex_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # --------------------------------------------------------------------------
 
+_TOP_NGRAMS_SQL = f"""
+WITH sh AS (
+    SELECT w[i] || ' ' || w[i + 1] AS ngram
+    FROM (SELECT {_SPLIT} AS w FROM documents),
+         (SELECT unnest(range(1, 500)) AS i)
+    WHERE i + 1 <= len(w)
+)
+SELECT ngram, count(*) AS freq
+FROM sh GROUP BY 1
+ORDER BY freq DESC, ngram
+LIMIT 20
+"""
+
+
+@register("text_top_bigrams", _TOP_NGRAMS_SQL)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram frequency: explode bigram shingles → count →
+    top-20 with lexicographic tiebreak."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.functions.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(tokens("text").alias("toks")).select(
+        F.explode(shingle_expr("toks", 2)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(20)
+    )
+
+
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS dup_count
 FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
