@@ -119,6 +119,54 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS value_stddev,
+       round(var_samp(value), 6) AS value_var,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       round(corr(value, epoch_ms(ts) % 86400000), 6) AS corr_time_of_day
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("value_stats_by_type", _STATS_SQL)
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance, min/max,
+    Pearson correlation (value vs time-of-day)."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    tod = (F.unix_millis("event_time") % F.lit(86400000)).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("value_stddev"),
+        F.round(F.var_samp("value"), 6).alias("value_var"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.round(F.corr(F.col("value"), tod), 6).alias("corr_time_of_day"),
+    )
+
+
+_ARRAYAGG_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY 1
+"""
+
+
+@register("event_types_per_user", _ARRAYAGG_SQL)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct set of event types per user
+    (collect_set + array_sort — deterministic array-typed output)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
 _CASCADE_SQL = """
 SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
        event_type,
