@@ -89,6 +89,81 @@ def dedup_cluster_representatives(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    train_iterations: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k search.
+
+    1. Train a coarse quantizer (deterministic k-means below).
+    2. Assign every corpus vector to its nearest centroid — the
+       inverted lists; at rest this is a table partitioned by
+       ``cluster`` (each list is a co-located scan unit).
+    3. Per query: rank centroids, keep the ``nprobe`` nearest, and
+       score ONLY vectors in those lists — candidates shrink to
+       ~nprobe/n_centroids of the corpus. The probe-list join is a
+       broadcast (queries × nprobe rows), so the corpus never
+       shuffles.
+
+    Output matches cosine_topk (query_id, neighbor_id, cos, rnk);
+    recall measured against the exact baseline in tests.
+    """
+    assigned = kmeans_lite(
+        embeddings, k=n_centroids, iterations=train_iterations
+    ).select("vec_id", "cluster")
+    e = embeddings.select(
+        "vec_id", unit(as_double("embedding")).alias("v")
+    ).join(assigned, "vec_id")
+
+    # rebuild centroid vectors from the final assignment
+    cent = (
+        e.select("cluster", F.posexplode("v").alias("d", "x"))
+        .groupBy("cluster", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select("cluster", unit(F.expr("transform(dm, p -> p.m)")).alias("cv"))
+    )
+
+    q = e.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # rank centroids per query, keep nprobe nearest lists
+    qc = q.join(F.broadcast(cent)).withColumn(
+        "csim", dot(F.col("qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cluster")
+    )
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "query_id", "qv", F.col("cluster").alias("probe_cluster")
+        )
+    )
+    cands = e.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.withColumn(
+        "cos", F.round(dot(F.col("qv"), F.col("v")), 6)
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def kmeans_lite(
     embeddings: DataFrame, k: int = 8, iterations: int = 3
 ) -> DataFrame:

@@ -321,6 +321,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lite(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("sim_ivf_topk")  # rows-only: approximate by construction
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.clustering import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

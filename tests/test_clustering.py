@@ -33,6 +33,32 @@ def test_connected_components_chain_exceeding_one_round(spark):
     assert len(got) == n + 1
 
 
+def test_ivf_topk_recall_and_score_parity(spark):
+    """IVF hits must carry exact cosines (same scores the brute-force
+    scorer computes) and reach reasonable recall@5 with nprobe=4 of 8
+    lists on unclustered data (candidates ≈ half the corpus)."""
+    from realtime_analytics_pipeline_spark.operators.similarity import cosine_topk
+
+    from realtime_analytics_pipeline_spark.operators.clustering import ivf_topk
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(embs, query_max_id=10, k=500).collect()
+    }
+    exact_top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(embs, query_max_id=10, k=5).collect()
+    }
+    ivf = ivf_topk(embs, query_max_id=10, k=5, nprobe=4).collect()
+    assert ivf
+    for r in ivf:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cos
+    hits = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(hits & exact_top5) / len(exact_top5)
+    assert recall >= 0.3, f"recall@5 {recall:.2f}"
+
+
 def test_kmeans_deterministic_and_total(spark):
     embs = load_table(spark, SF_SMOKE, "embeddings")
     a1 = {(r.vec_id, r.cluster) for r in kmeans_lite(embs, k=5).collect()}
