@@ -107,39 +107,80 @@ def cosine_topk_blas(
 
 
 def embedding_dup_pairs_blas(
-    embeddings: DataFrame, threshold: float = 0.3
+    embeddings: DataFrame, threshold: float = 0.3, n_blocks: int = 8
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via blocked gemm: each Arrow batch
-    multiplies against the full broadcast unit matrix and keeps only
-    upper-triangle hits over the threshold. Same output contract as
-    dedup.embedding_dup_pairs."""
-    spark = embeddings.sparkSession
-    all_rows = [
-        (r.vec_id, r.embedding)
-        for r in embeddings.select("vec_id", "embedding").collect()
-    ]
-    ids_all, mat_all = _unit_matrix(all_rows)
-    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    """All-pairs cosine ≥ threshold via BLOCK-PARTITIONED gemm.
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b = bc.value
-        for pdf in batches:
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ mat_b.T
+    Nothing is collected to the driver (the round-1 version broadcast
+    the full corpus matrix from a driver-side collect — a driver OOM
+    at scale). Instead each vector hashes into one of ``n_blocks``
+    blocks and is exploded to the ``n_blocks`` block-PAIRS it belongs
+    to; one applyInPandas group per pair (gi <= gj) runs a single gemm
+    between the two block matrices and keeps rounded hits over the
+    threshold. Peak executor memory per task is two blocks
+    (~2·N/n_blocks vectors), tunable via ``n_blocks``; shuffle volume
+    is N·n_blocks rows. Total flops stay O(N²) — exact all-pairs is
+    inherently quadratic; the LSH/IVF operators are the true 100 TB
+    path and this kernel is the exact verifier. Same output contract
+    as dedup.embedding_dup_pairs.
+    """
+
+    def pair_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        if gi == gj:
+            ids, m = _unit_matrix(
+                list(zip(pdf["vec_id"], pdf["embedding"]))
+            )
+            sims = m @ m.T
             ai, bi = np.nonzero(
                 (np.round(sims, 6) >= threshold)
-                & (ids_a[:, None] < ids_b[None, :])
+                & (ids[:, None] < ids[None, :])
             )
-            yield pd.DataFrame(
-                {
-                    "id_a": ids_a[ai],
-                    "id_b": ids_b[bi],
-                    "cos": np.round(sims[ai, bi], 6),
-                }
+            ids_a, ids_b = ids[ai], ids[bi]
+        else:
+            left = pdf[pdf["blk"] == gi]
+            right = pdf[pdf["blk"] == gj]
+            if left.empty or right.empty:
+                return empty
+            ids_l, m_l = _unit_matrix(
+                list(zip(left["vec_id"], left["embedding"]))
             )
+            ids_r, m_r = _unit_matrix(
+                list(zip(right["vec_id"], right["embedding"]))
+            )
+            sims = m_l @ m_r.T
+            ai, bi = np.nonzero(np.round(sims, 6) >= threshold)
+            # canonical (id_a < id_b) regardless of block order
+            ids_a = np.minimum(ids_l[ai], ids_r[bi])
+            ids_b = np.maximum(ids_l[ai], ids_r[bi])
+        if len(ids_a) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids_a,
+                "id_b": ids_b,
+                "cos": np.round(sims[ai, bi], 6),
+            }
+        )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        score, schema=_PAIRS_SCHEMA
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
+    e = embeddings.select("vec_id", "embedding", blk.alias("blk"))
+    # every block pair (gi<=gj) this row participates in — B entries
+    pair_of = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least("blk", F.lit(j)).alias("gi"),
+                    F.greatest("blk", F.lit(j)).alias("gj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    )
+    exploded = e.select("vec_id", "embedding", "blk", pair_of.alias("g"))
+    return (
+        exploded.select("vec_id", "embedding", "blk", "g.gi", "g.gj")
+        .groupBy("gi", "gj")
+        .applyInPandas(pair_gemm, schema=_PAIRS_SCHEMA)
     )

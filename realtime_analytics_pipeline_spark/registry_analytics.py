@@ -65,9 +65,10 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 )
 SELECT day_ms, event_type, n,
-       sum(n) OVER (
+       CAST(sum(n) OVER (
            PARTITION BY event_type ORDER BY day_ms
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_total
 FROM daily
 """
 
@@ -149,7 +150,8 @@ def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAYAGG_SQL = """
 SELECT CAST(user_id AS VARCHAR) AS user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',')
+           AS event_types,
        count(DISTINCT event_type) AS n_types
 FROM events
 GROUP BY 1
@@ -159,10 +161,14 @@ GROUP BY 1
 @register("event_types_per_user", _ARRAYAGG_SQL)
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: sorted distinct set of event types per user
-    (collect_set + array_sort — deterministic array-typed output)."""
+    (collect_set + array_sort). The gated output serializes the array
+    with array_join — the driver hashes str(value), and a pandas-side
+    numpy array would never string-equal Spark's Python list."""
     ev = load_events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
         F.count_distinct("event_type").alias("n_types"),
     )
 

