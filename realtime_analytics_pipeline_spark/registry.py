@@ -342,3 +342,102 @@ from realtime_analytics_pipeline_spark import registry_streaming  # noqa: E402,F
 from realtime_analytics_pipeline_spark import registry_multimodal  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_parity  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F401
+
+
+# --------------------------------------------------------------------------
+# Verification-window ordering.
+#
+# The driver oracle-checks the FIRST 50 registered queries; the rest run
+# under the (type-exact) local gate replica and pytest only.  More than 50
+# queries carry oracles, so registration order is an explicit policy:
+#
+#   1. _VERIFY_WINDOW — the ≤50 names whose hard driver evidence matters
+#      most this round: queries never driver-verified before, queries new
+#      this round, and the core reference-surface anchors.
+#   2. remaining oracled queries — pytest-pinned twins of in-window queries
+#      (e.g. session_metrics_lag == session_metrics by construction) or
+#      queries already driver-green in an earlier CORRECTNESS_r{N}.json.
+#   3. oracle-less sketches (LSH/IVF/approx) — rows-only either way.
+#
+# Names listed here but not (yet) registered are skipped, so the list can
+# carry the full round plan while queries land incrementally.
+# --------------------------------------------------------------------------
+
+_VERIFY_WINDOW = [
+    # -- never driver-verified before round 3 (capability anchors) --
+    "orders_range_join_buckets",
+    "performance_by_device",
+    "session_metrics_devices",
+    "props_json_extraction",
+    "sql_interface_demo",
+    "nation_order_volume_outer",
+    "events_running_totals",
+    "event_counts_salted",
+    "value_stats_by_type",
+    "event_types_per_user",
+    "cascade_rollup_1m_to_1h",
+    "tpch_q17_small_quantity",
+    "customer_supplier_union",
+    "latest_event_per_user",
+    "value_percentiles_by_type",
+    "doc_length_zscores",
+    # -- new in round 3 --
+    "streaming_session_metrics",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q12_shipmode_priority",
+    "sim_cosine_topk_blas",
+    "dedup_embedding_cosine_blas",
+    "sim_kmeans_lite",
+    "sim_label_centroids",
+    "multimodal_features",
+    # -- core reference surface + extension anchors (driver-green in r02;
+    #    kept in-window so the latest CORRECTNESS file still covers them) --
+    "event_metrics_1m",
+    "performance_metrics_5m",
+    "session_metrics",
+    "serving_event_pivot",
+    "serving_perf_pivot",
+    "serving_retention",
+    "events_projection_filter",
+    "streaming_event_metrics",
+    "device_categorization",
+    "wire_json_roundtrip",
+    "multimodal_metadata",
+    "dedup_exact",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_items",
+    "top_customers_per_nation",
+    "events_sliding_window_5m1m",
+    "asof_purchase_attribution",
+    "text_stats",
+]
+
+
+def _apply_verify_window() -> None:
+    assert len(_VERIFY_WINDOW) <= 50, "driver verifies only the first 50"
+    ordered: dict[str, QueryFn] = {}
+    for name in _VERIFY_WINDOW:
+        if name in QUERIES:
+            ordered[name] = QUERIES[name]
+    # then: previously-verified / pytest-pinned oracled queries, in
+    # original registration order
+    for name, fn in QUERIES.items():
+        if name not in ordered and name in ORACLES:
+            ordered[name] = fn
+    # finally: oracle-less sketches
+    for name, fn in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_verify_window()

@@ -56,11 +56,17 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
     def norm(v):
         # type-exact: a float NEVER collapses to an int (driver hashes
-        # 150.0 != 150 — see CORRECTNESS_r01 text_source_rollup)
+        # 150.0 != 150 — see CORRECTNESS_r01 text_source_rollup).
+        # str(), not repr(): np.float64 subclasses float and its str is
+        # the shortest-repr float string on every numpy version, while
+        # repr(np.float64(x)) becomes 'np.float64(x)' on numpy>=2.
+        # No extra rounding here — oracled queries pre-round to 6 in the
+        # SQL/DataFrame on both sides, and the driver hashes raw
+        # str(value), so the replica must be at-least-as-strict.
         if isinstance(v, float):
             if math.isnan(v):
                 return "NaN"
-            return repr(round(v, 6))
+            return str(v)
         if v is None:
             return "NULL"
         return str(v)
