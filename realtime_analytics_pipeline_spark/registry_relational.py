@@ -293,6 +293,190 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.event_type_daily_rollup(load_events(spark, sf_dir), min_count=5)
 
 
+_Q8_SQL = """
+SELECT o_year,
+       CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+           ns.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND p_type = 'PROMO'
+)
+GROUP BY 1
+"""
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (national market share): one supplier nation's share of
+    PROMO-part revenue sold into ASIA-region customers, by order year.
+    8-way join — three broadcast dims (part filter, nations, region),
+    numerator/denominator as exact DECIMAL sums divided as doubles."""
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    ).alias("volume")
+    joined = (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), volume, "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_Q9_SQL = """
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+    SELECT ns.n_name AS nation,
+           year(o_orderdate) AS o_year,
+           CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+             - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_name LIKE '%red%'
+)
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q9_product_profit", _Q9_SQL)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per supplier-nation, per order
+    year, profit proxy = discounted revenue − retail value of shipped
+    quantity, over parts whose name matches a token (the schema has no
+    partsupp/ps_supplycost — retail value stands in for supply cost).
+    All arithmetic in DECIMAL so both engines aggregate exactly."""
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).alias("amount")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+_Q12_SQL = """
+SELECT delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+    SELECT o_orderpriority,
+           CASE WHEN (epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) // 86400000 <= 30 THEN 'fast'
+                WHEN (epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) // 86400000 <= 90 THEN 'medium'
+                ELSE 'slow' END AS delay_bucket
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+)
+GROUP BY 1
+"""
+
+
+@register("tpch_q12_shipmode_priority", _Q12_SQL)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipping-priority split): the schema has no
+    l_shipmode/commitdate, so lines are bucketed by ship delay
+    (order→ship days) instead, counting urgent/high vs lower-priority
+    lines per bucket. Conditional-aggregation (pivot-style CASE sums)
+    over a single fact-fact join; ms arithmetic avoids engine-specific
+    date-diff semantics."""
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay_days = F.floor(
+        (F.unix_millis("l_shipdate") - F.unix_millis("o_orderdate"))
+        / F.lit(86400000)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.when(delay_days <= 30, "fast")
+            .when(delay_days <= 90, "medium")
+            .otherwise("slow")
+            .alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).cast("long").alias("is_high"),
+            F.when(high, 0).otherwise(1).cast("long").alias("is_low"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum("is_low").alias("low_line_count"),
+        )
+    )
+
+
 _ASOF_SQL = """
 SELECT CAST(p.user_id AS VARCHAR) AS user_id,
        CAST(p.event_id AS VARCHAR) AS hit_id,
