@@ -314,7 +314,53 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_representatives(pairs)
 
 
-@register("sim_kmeans_lite")  # rows-only: iterative algorithm
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    """Loop-unrolled DuckDB twin of clustering.kmeans_lite: fixed init
+    (unit vectors of the k smallest vec_ids), ``iterations`` rounds of
+    argmax-cosine assignment + unit-normalized per-dim mean update.
+    Deterministic on both engines; sims rounded to 6 only on output."""
+    unit_v = (
+        "list_transform(embedding::DOUBLE[], x -> x / "
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
+    )
+    ctes = [
+        f"e AS (SELECT vec_id, {unit_v} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS cv FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""a{i} AS (
+    SELECT vec_id, cluster, v, sim FROM (
+        SELECT e.vec_id, c.cluster, e.v,
+               list_dot_product(e.v, c.cv) AS sim,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cv) DESC, c.cluster) AS rn
+        FROM e CROSS JOIN c{i - 1} c
+    ) WHERE rn = 1
+)"""
+        )
+        if i < iterations:
+            ctes.append(
+                f"""m{i} AS (
+    SELECT cluster, list(m ORDER BY d) AS ml FROM (
+        SELECT cluster, d, avg(v[d]) AS m
+        FROM a{i}, (SELECT unnest(range(1, {dims + 1})) AS d)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+)"""
+            )
+            ctes.append(
+                f"c{i} AS (SELECT cluster, list_transform(ml, x -> x / "
+                f"sqrt(list_dot_product(ml, ml))) AS cv FROM m{i})"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cluster, round(sim, 6) AS sim FROM a{iterations}"
+    )
+
+
+@register("sim_kmeans_lite", _kmeans_oracle_sql())
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.operators.clustering import kmeans_lite
 
@@ -363,12 +409,39 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("sim_label_centroids")  # rows-only: iterative-style op
+_CENTROIDS_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+    SELECT label AS c_label, list(m ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(v[d]) AS m
+        FROM e, (SELECT unnest(range(1, 65)) AS d)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+scored AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           list_cosine_similarity(e.v, c.cv) AS cos
+    FROM e CROSS JOIN cent c
+)
+SELECT vec_id, label, c_label AS assigned_label, round(cos, 6) AS cos
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rnk
+    FROM scored
+)
+WHERE rnk = 1
+"""
+
+
+@register("sim_label_centroids", _CENTROIDS_SQL)
 def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("sim_cosine_topk_blas")  # rows-only: BLAS ULP nondeterminism
+# BLAS kernels carry the SAME oracles as their expression-tree twins:
+# both round to 6 decimals before any thresholding/ranking, and
+# round-6 parity is additionally pinned in tests/test_similarity_blas.py
+@register("sim_cosine_topk_blas", _TOPK_SQL)
 def q_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.operators.similarity_blas import (
         cosine_topk_blas,
@@ -377,7 +450,7 @@ def q_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_blas(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("dedup_embedding_cosine_blas")  # rows-only: BLAS fast path
+@register("dedup_embedding_cosine_blas", _EMB_DUP_SQL)
 def q_emb_dup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.operators.similarity_blas import (
         embedding_dup_pairs_blas,

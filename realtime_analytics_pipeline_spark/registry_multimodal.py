@@ -36,7 +36,27 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: fake-decoder dims
+# the fake decoder derives width/height from the first two md5 digest
+# bytes (binary_ops._fake_decode_dims): byte k = hex chars 2k+1..2k+2
+def _md5_byte(pos: int) -> str:
+    hi = f"strpos('0123456789abcdef', substr(md5(text), {2 * pos + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr(md5(text), {2 * pos + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_FEATURES_SQL = f"""
+SELECT doc_id,
+       'application/octet-stream' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(64 + {_md5_byte(0)} % 192 AS INT) AS width,
+       CAST(64 + {_md5_byte(1)} % 192 AS INT) AS height,
+       lower(hex(substr(text, 1, 8))) AS head_hex
+FROM documents
+"""
+
+
+@register("multimodal_features", _FEATURES_SQL)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
