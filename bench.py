@@ -3,10 +3,15 @@
 
 Prints ONE JSON line:
 {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "sf": 0.1}
+ "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
+ "reps": 3, "sf": 0.1}
 
 Each query materializes fully through the noop sink (no driver
 collect, no result truncation — times the whole distributed plan).
+Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries"
+reports per-query MEDIANS and "spread" the min/max envelope — this VM
+has documented 2-4x run-to-run wall-clock noise, so single-shot
+numbers are not comparable across rounds.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -29,6 +35,7 @@ from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "event_metrics_1m",
     "streaming_event_metrics",  # full streaming pipeline, append mode
+    "streaming_session_metrics",  # streaming session windows, append mode
     "performance_metrics_5m",
     "session_metrics",
     "serving_event_pivot",
@@ -39,7 +46,10 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
     "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
     "tpch_q17_small_quantity",
     "top_customers_per_nation",
     "dedup_exact",
@@ -69,14 +79,24 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"  {name}: median {timings[name]:.2f}s "
+            f"[{spread[name][0]:.2f}, {spread[name][1]:.2f}] x{reps}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -86,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )

