@@ -23,15 +23,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# micro-precision wire timestamps; consumers parse with the same format
+KAFKA_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def kafka_json_payload(
+    df: DataFrame, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The exact wire projection ``write_kafka_json`` ships to the
+    broker: value = flat JSON of the whole row (the reference's Flink
+    sinks emit value-only ``format=json`` rows of the sink schemas,
+    kafka_sink.py:10-46); key (optional) = JSON of the partition-key
+    columns so downstream consumers see per-key ordering. Factored out
+    so the wire contract is testable without a broker
+    (tests/test_kafka_contract.py).
+
+    Timestamps are serialized at MICROsecond precision (Spark's
+    to_json default is millis, which silently truncates session
+    start/end times — a lossy wire format)."""
+    opts = {"timestampFormat": KAFKA_TS_FORMAT}
+    value = F.to_json(F.struct("*"), opts).alias("value")
+    if key_cols:
+        return df.select(
+            F.to_json(
+                F.struct(*[F.col(c) for c in key_cols]), opts
+            ).alias("key"),
+            value,
+        )
+    return df.select(value)
+
 
 def write_kafka_json(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     checkpoint_dir: str,
+    key_cols: tuple[str, ...] = (),
 ):
     """S5: stream rows to a Kafka topic as JSON (requires connector)."""
-    payload = df.select(F.to_json(F.struct("*")).alias("value"))
+    payload = kafka_json_payload(df, key_cols)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
