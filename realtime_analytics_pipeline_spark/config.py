@@ -36,6 +36,13 @@ class EngineConfig:
     window_retention_count: int = 120
     recent_windows_limit: int = 20
 
+    # streaming state backend (SURVEY §4): None = Spark's default
+    # HDFS-backed in-memory provider (state must fit in executor
+    # heap); ROCKSDB_STATE_STORE_PROVIDER spills state to local disk —
+    # the 100 TB configuration for large session/distinct state, same
+    # role as Flink's RocksDB state backend in the reference deployment
+    state_store_provider: str | None = None
+
     # extension defaults (driver-mandated LLM-data ops)
     shingle_size: int = 3
     minhash_permutations: int = 64
@@ -44,5 +51,9 @@ class EngineConfig:
     cosine_dup_threshold: float = 0.95
     topk_neighbors: int = 5
 
+
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 DEFAULT_CONFIG = EngineConfig()

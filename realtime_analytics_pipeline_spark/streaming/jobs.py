@@ -57,6 +57,26 @@ TESTDATA_EVENTS_SCHEMA = StructType(
 )
 
 
+def configure_state_store(
+    spark: SparkSession, config: EngineConfig = DEFAULT_CONFIG
+) -> SparkSession:
+    """Select the streaming state store backend per config.
+
+    ``state_store_provider`` is read at QUERY START (it is baked into
+    the checkpoint's offset metadata) — call before ``start()``; an
+    existing checkpoint keeps whatever provider it began with.
+    RocksDB is the large-state choice: session windows and exact
+    distinct hold per-key state proportional to active keys, and the
+    default provider keeps all of it in executor heap.
+    """
+    if config.state_store_provider:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            config.state_store_provider,
+        )
+    return spark
+
+
 def read_events_stream_from_dir(
     spark: SparkSession,
     directory: str,
