@@ -107,7 +107,10 @@ def cosine_topk_blas(
 
 
 def embedding_dup_pairs_blas(
-    embeddings: DataFrame, threshold: float = 0.3, n_blocks: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_blocks: int | None = None,
+    block_rows: int = 2048,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via BLOCK-PARTITIONED gemm.
 
@@ -123,7 +126,21 @@ def embedding_dup_pairs_blas(
     inherently quadratic; the LSH/IVF operators are the true 100 TB
     path and this kernel is the exact verifier. Same output contract
     as dedup.embedding_dup_pairs.
+
+    Sizing rule (``n_blocks=None``): blocks scale with the corpus so
+    neither memory nor parallelism is a fixed cap — at least
+    ceil(N / block_rows) blocks so a block pair (two slabs + the
+    block_rows² sim matrix, ~35 MB at the 2048 default) fits in task
+    memory at ANY corpus size, and at least min(16, N/64) blocks so
+    small corpora still fan out ~B²/2 concurrent gemm tasks. The
+    linear-in-B shuffle replication this buys is the price of exact
+    all-pairs, paid deliberately.
     """
+    if n_blocks is None:
+        n = embeddings.count()
+        mem_blocks = -(-n // block_rows)  # per-task memory bound
+        par_blocks = min(16, max(2, n // 64))  # small-corpus parallelism
+        n_blocks = min(512, max(mem_blocks, par_blocks))
 
     def pair_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])

@@ -173,6 +173,20 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("event_types_per_user_array")  # rows-only: array-typed output
+def q_array_agg_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-TYPED variant of event_types_per_user: the gated twin
+    serializes with array_join because the driver hashes str(value)
+    (a pandas numpy array never string-equals Spark's list repr); this
+    registration keeps the genuine array<string> capability on the
+    driver surface under the weaker rows-only check."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
 _CASCADE_SQL = """
 SELECT (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
        event_type,
