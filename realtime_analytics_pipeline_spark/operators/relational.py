@@ -83,7 +83,9 @@ def shipping_priority(
     )
     return (
         li_f.join(
-            ord_f.join(F.broadcast(cust), ord_f.o_custkey == cust.c_custkey),
+            # filtered customer scales with SF: AQE broadcasts while it
+            # fits, shuffles when it doesn't (no hard hint)
+            ord_f.join(cust, ord_f.o_custkey == cust.c_custkey),
             li_f.l_orderkey == ord_f.o_orderkey,
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -142,9 +144,12 @@ def regional_revenue(
     joined = (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(o, F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        # customer/supplier scale linearly with SF — leave the
+        # broadcast-vs-shuffle choice to AQE (nation/region above stay
+        # hinted: constant-size)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )

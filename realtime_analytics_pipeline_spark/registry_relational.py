@@ -180,7 +180,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — AQE decides broadcast vs shuffle
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
@@ -347,9 +348,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
     ).alias("volume")
+    # part/supplier scale linearly with SF — no hard broadcast hint
+    # (AQE broadcasts them while they fit, shuffles when they don't);
+    # nation/region are constant-size and always hinted
     joined = (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
@@ -413,9 +417,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice").cast("decimal(18,2)")
         * F.col("l_quantity").cast("decimal(18,2)")
     ).alias("amount")
+    # part/supplier: no hard hint (linear in SF) — AQE decides
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
