@@ -63,6 +63,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_source_rollup",
     "multimodal_metadata",
+    "sample_docs_stratified",
+    "pipeline_quality_dedup_sample",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Unlike ``DataFrame.sample`` (seeded per-partition RNG — resampling
+changes when partitioning changes), these operators key every decision
+on a content hash of a stable id column:
+
+- reproducible across runs, partitionings, engines, and SFs (a doc
+  keeps its fate when the corpus grows around it);
+- map-only: a pure Column-expression filter, NO shuffle, NO state —
+  at 100 TB a sample is exactly one pushdown-friendly scan;
+- salt-parameterized so independent samples (e.g. train vs holdout
+  re-draws) decorrelate.
+
+Bucket = first 16 bits of md5(salt ++ id) → [0, 65536); a rate r
+keeps buckets < r·65536. The same arithmetic is expressible in ANSI
+SQL, so every operator here carries a DuckDB oracle in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 16
+
+
+def hash_bucket(key: Column | str, salt: str = "s0") -> Column:
+    """Deterministic bucket in [0, 65536): first 4 hex chars of
+    md5(salt ++ key) parsed base-16 — engine-portable (md5 is md5
+    everywhere; no reliance on Spark's hash())."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def threshold(rate: float) -> int:
+    """Bucket threshold for a sampling rate (exact integer compare —
+    no float comparison in the hot filter)."""
+    return int(rate * BUCKETS)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Keep ~rate of rows, decided per-row by content hash."""
+    return df.where(hash_bucket(key, salt) < F.lit(threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample web crawl, keep all books):
+    the threshold is a CASE over the stratum column — still map-only,
+    no join, no shuffle."""
+    thr: Column = F.lit(threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(strata) == value, threshold(rate)).otherwise(thr)
+    return df.where(hash_bucket(key, salt) < thr)
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_frac: float, salt: str = "split"
+) -> DataFrame:
+    """Label every row 'eval' (~eval_frac) or 'train' — a total,
+    deterministic, leakage-free split (a row's side depends only on
+    its own id, never on the rest of the corpus)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(key, salt) < F.lit(threshold(eval_frac)), "eval"
+        ).otherwise("train"),
+    )
+
+
+def md5_bucket_sql(key_sql: str, salt: str = "s0") -> str:
+    """The DuckDB twin of ``hash_bucket`` — nibble-parse of the first
+    4 hex chars (DuckDB has no hex→int cast)."""
+    h = f"md5('{salt}' || {key_sql})"
+    digits = "0123456789abcdef"
+    nibbles = [
+        f"(strpos('{digits}', substr({h}, {i + 1}, 1)) - 1)" for i in range(4)
+    ]
+    expr = nibbles[0]
+    for n in nibbles[1:]:
+        expr = f"(({expr}) * 16 + {n})"
+    return expr

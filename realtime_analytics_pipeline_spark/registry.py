@@ -391,17 +391,17 @@ _VERIFY_WINDOW = [
     "sim_kmeans_lite",
     "sim_label_centroids",
     "multimodal_features",
+    "sample_docs_hash",
+    "sample_docs_stratified",
+    "train_eval_split",
+    "pipeline_quality_dedup_sample",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
     "performance_metrics_5m",
     "session_metrics",
     "serving_event_pivot",
-    "serving_perf_pivot",
-    "serving_retention",
-    "events_projection_filter",
     "streaming_event_metrics",
-    "device_categorization",
     "wire_json_roundtrip",
     "multimodal_metadata",
     "dedup_exact",
@@ -418,6 +418,9 @@ _VERIFY_WINDOW = [
     "events_sliding_window_5m1m",
     "asof_purchase_attribution",
     "text_stats",
+    # demoted to make room for the round-3 sampling queries (green in
+    # r01 AND r02, lowest evidential loss): serving_perf_pivot,
+    # serving_retention, events_projection_filter, device_categorization
 ]
 
 

@@ -10,6 +10,7 @@ check. Every exactly-computable op ships a DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.operators import dedup as D
 from realtime_analytics_pipeline_spark.operators import similarity as S
@@ -372,6 +373,145 @@ def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.operators.clustering import ivf_topk
 
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (training-data pipeline)
+# --------------------------------------------------------------------------
+
+def _bucket_sql(key_sql: str, salt: str) -> str:
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        md5_bucket_sql,
+    )
+
+    return md5_bucket_sql(key_sql, salt)
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "s0")} < 6553
+"""
+
+
+@register("sample_docs_hash", _SAMPLE_SQL)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: fate of each doc depends only
+    on md5 of its id — reproducible across runs/partitionings/SFs and
+    map-only (no shuffle; the filter sits on the scan)."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "source", "lang"
+    )
+
+
+_STRAT_RATES = {"src0": 0.5, "src1": 0.05}
+_STRAT_DEFAULT = 0.2
+
+_STRATIFIED_SQL = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "s0")} <
+      CASE WHEN source = 'src1' THEN {int(0.05 * 65536)}
+           WHEN source = 'src0' THEN {int(0.5 * 65536)}
+           ELSE {int(0.2 * 65536)} END
+"""
+
+
+@register("sample_docs_stratified", _STRATIFIED_SQL)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates (keep half of src0, 5% of src1, 20%
+    elsewhere) — the standard corpus-mixing step before training; a
+    CASE-threshold map-only filter, no join, no shuffle."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "source", _STRAT_RATES, default_rate=_STRAT_DEFAULT
+    ).select("doc_id", "source")
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")}
+                 < {int(0.1 * 65536)}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@register("train_eval_split", _SPLIT_SQL)
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free deterministic 90/10 train/eval split: a row's side
+    is a function of its own id only, stable as the corpus grows."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        train_eval_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_eval_split(docs, "doc_id", eval_frac=0.1).select(
+        "doc_id", "split"
+    )
+
+
+_PIPELINE_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source, text,
+           round(0.4 * least(1.0, len({_SPLIT}) * 1.0 / 100.0)
+                 + 0.3 * (1 - len({_SW}) * 1.0 / len({_SPLIT}))
+                 + 0.3 * (len(list_distinct({_SPLIT})) * 1.0 / len({_SPLIT})),
+                 6) AS quality_score
+    FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(array_to_string(list_sort(list_distinct({_SPLIT})), ' '))
+            ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+)
+SELECT doc_id, source, quality_score
+FROM deduped
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "pipe")} < {int(0.5 * 65536)}
+"""
+
+
+@register("pipeline_quality_dedup_sample", _PIPELINE_SQL)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data pipeline as ONE composed query:
+    quality-filter (score ≥ 0.5) → near-dup collapse (keep the min
+    doc_id per normalized bag-of-words fingerprint) → deterministic
+    50% sample. Each stage is an already-oracled operator; this gates
+    their composition end-to-end."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(T.quality_scores(docs), "doc_id")
+    kept = scored.where(F.col("quality_score") >= 0.5)
+    fp = T.fingerprints(kept.select("doc_id", "text")).select(
+        "doc_id", "fp_normalized"
+    )
+    w = Window.partitionBy("fp_normalized").orderBy("doc_id")
+    survivors = (
+        kept.join(fp, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return deterministic_sample(survivors, "doc_id", 0.5, salt="pipe").select(
+        "doc_id", "source", "quality_score"
+    )
 
 
 # --------------------------------------------------------------------------
