@@ -395,6 +395,7 @@ _VERIFY_WINDOW = [
     "sample_docs_stratified",
     "train_eval_split",
     "pipeline_quality_dedup_sample",
+    "streaming_interval_join",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
@@ -417,10 +418,10 @@ _VERIFY_WINDOW = [
     "top_customers_per_nation",
     "events_sliding_window_5m1m",
     "asof_purchase_attribution",
-    "text_stats",
-    # demoted to make room for the round-3 sampling queries (green in
-    # r01 AND r02, lowest evidential loss): serving_perf_pivot,
-    # serving_retention, events_projection_filter, device_categorization
+    # demoted to make room for the round-3 sampling/streaming queries
+    # (green in r01 AND r02, lowest evidential loss): serving_perf_pivot,
+    # serving_retention, events_projection_filter, device_categorization,
+    # text_stats
 ]
 
 

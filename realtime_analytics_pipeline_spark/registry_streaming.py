@@ -54,6 +54,53 @@ WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 70000
 """
 
 
+_STREAMING_JOIN_SQL = """
+SELECT CAST(p.event_id AS VARCHAR) AS purchase_id,
+       CAST(p.user_id AS VARCHAR) AS p_user,
+       epoch_us(p.ts) AS p_us,
+       CAST(v.event_id AS VARCHAR) AS view_id,
+       epoch_us(v.ts) AS v_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_interval_join", _STREAMING_JOIN_SQL)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ⋈ views of the same user
+    within a 1 h lookback) run as a REAL streaming query. Inner-join
+    matches emit in the micro-batch where both sides are present — the
+    watermark + range condition only bound state — so over the
+    single-file replay the emitted set equals the batch interval join
+    exactly (multi-batch watermark-eviction behavior is pinned in
+    tests/test_stream_joins.py)."""
+    from realtime_analytics_pipeline_spark.streaming.joins import (
+        stream_attribution_join,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        joined = stream_attribution_join(stream).select(
+            "purchase_id",
+            "p_user",
+            F.unix_micros("p_time").alias("p_us"),
+            "view_id",
+            F.unix_micros("v_time").alias("v_us"),
+        )
+        table = f"stream_interval_join_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(joined, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _STREAMING_SESSION_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
