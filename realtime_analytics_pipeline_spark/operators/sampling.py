@@ -77,6 +77,39 @@ def train_eval_split(
     )
 
 
+def pack_token_budget(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Sequence packing for training batches: documents are laid out
+    in deterministic (partition, order) sequence and chunked into
+    fixed token-budget bins — ``bin_id`` = which context-window a doc
+    STARTS in, ``start_offset`` = its token position within the
+    partition's stream. One window cumsum per partition: a single
+    shuffle on the partition key, no iteration, no driver loop (the
+    greedy first-fit loop a naive packer runs is not expressible at
+    100 TB; contiguous chunking is the distributed-friendly semantics
+    and is what block-packing data loaders do).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias(
+        "start_offset"
+    )
+    return df.withColumn("start_offset", start).withColumn(
+        "bin_id",
+        F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+    )
+
+
 def md5_bucket_sql(key_sql: str, salt: str = "s0") -> str:
     """The DuckDB twin of ``hash_bucket`` — nibble-parse of the first
     4 hex chars (DuckDB has no hex→int cast)."""

@@ -396,6 +396,7 @@ _VERIFY_WINDOW = [
     "train_eval_split",
     "pipeline_quality_dedup_sample",
     "streaming_interval_join",
+    "pack_token_budget",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
@@ -416,12 +417,11 @@ _VERIFY_WINDOW = [
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
     "top_customers_per_nation",
-    "events_sliding_window_5m1m",
     "asof_purchase_attribution",
-    # demoted to make room for the round-3 sampling/streaming queries
-    # (green in r01 AND r02, lowest evidential loss): serving_perf_pivot,
-    # serving_retention, events_projection_filter, device_categorization,
-    # text_stats
+    # demoted to make room for the round-3 sampling/streaming/packing
+    # queries (green in r01 AND r02, lowest evidential loss):
+    # serving_perf_pivot, serving_retention, events_projection_filter,
+    # device_categorization, text_stats, events_sliding_window_5m1m
 ]
 
 

@@ -514,6 +514,37 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SQL = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+       CAST((sum(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS bin_id
+FROM (
+    SELECT doc_id, source, len({_SPLIT}) AS n_tokens FROM documents
+)
+WINDOW w AS (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("pack_token_budget", _PACK_SQL)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token context windows per source —
+    the batch-construction step of a training pipeline (see
+    operators/sampling.py::pack_token_budget for the 100 TB shape)."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_token_budget(
+        docs, "n_tokens", 512, partition_col="source", order_col="doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------

@@ -101,6 +101,32 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@register("streaming_stateful_running_totals")  # rows-only: bloom column
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState) on the
+    driver surface: per-type cumulative counts + bloom-sketched
+    distinct users carried in keyed state across micro-batches. The
+    bloom estimate has no SQL twin (1024-bit sketch arithmetic) —
+    rows-only here; cumulative-count exactness across real multi-batch
+    replays is pinned in tests/test_stateful.py."""
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        running_totals_per_type,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        out = running_totals_per_type(stream)
+        table = f"stream_stateful_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="update")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _STREAMING_SESSION_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
