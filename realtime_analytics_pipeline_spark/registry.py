@@ -397,12 +397,14 @@ _VERIFY_WINDOW = [
     "pipeline_quality_dedup_sample",
     "streaming_interval_join",
     "pack_token_budget",
+    "tpch_q4_order_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
     "performance_metrics_5m",
     "session_metrics",
-    "serving_event_pivot",
     "streaming_event_metrics",
     "wire_json_roundtrip",
     "multimodal_metadata",
@@ -413,15 +415,15 @@ _VERIFY_WINDOW = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
-    "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume",
     "tpch_q10_returned_items",
-    "top_customers_per_nation",
     "asof_purchase_attribution",
-    # demoted to make room for the round-3 sampling/streaming/packing
-    # queries (green in r01 AND r02, lowest evidential loss):
-    # serving_perf_pivot, serving_retention, events_projection_filter,
-    # device_categorization, text_stats, events_sliding_window_5m1m
+    # demoted to make room for round-3 queries — all green in r01 AND
+    # r02, operator families still evidenced by in-window twins:
+    # serving_perf_pivot, serving_retention, serving_event_pivot,
+    # events_projection_filter, device_categorization, text_stats,
+    # events_sliding_window_5m1m, tpch_q6_forecast_revenue,
+    # top_customers_per_nation
 ]
 
 
