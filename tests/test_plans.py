@@ -89,6 +89,65 @@ def test_q17_correlated_subquery_decorrelates(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q19_disjunct_pushdown_both_scans(spark):
+    """The OR-of-ANDs predicate mixing part and lineitem columns must
+    be split into per-table disjuncts and pushed into BOTH scans —
+    the difference between scanning 100 TB and scanning two filtered
+    slices."""
+    from realtime_analytics_pipeline_spark.registry_relational import q_tpch_q19
+
+    plan = plan_of(q_tpch_q19(spark, SF_SMOKE))
+    assert "Or(And(GreaterThanOrEqual(l_quantity" in plan  # lineitem scan
+    assert "Or(And(EqualTo(p_brand" in plan  # part scan
+
+
+def test_q4_semi_join_and_date_pushdown(spark):
+    """Correlated EXISTS compiles to a LEFT SEMI join (no row
+    multiplication) with the quarter filter pushed into the orders
+    scan."""
+    from realtime_analytics_pipeline_spark.registry_relational import q_tpch_q4
+
+    plan = plan_of(q_tpch_q4(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+
+
+def test_sampling_is_map_only(spark):
+    """Deterministic sampling must compile to scan + filter only — no
+    Exchange anywhere (the 100 TB sample is one pass)."""
+    import re
+
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(deterministic_sample(docs, "doc_id", 0.1))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, flags=re.M), plan
+
+
+def test_pack_token_budget_single_shuffle(spark):
+    """Sequence packing is one window shuffle on the partition key."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    plan = plan_of(
+        pack_token_budget(docs, "n_tokens", 512, "source", "doc_id")
+    )
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
 def test_session_window_single_shuffle(spark):
     from realtime_analytics_pipeline_spark.operators.session_metrics import (
         session_metrics,
