@@ -101,6 +101,13 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # reference envelope is RPS-denominated (1000 events/s design,
+    # BASELINE.md): express the full streaming replay as events/s too
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    stream_sec = timings.get("streaming_event_metrics")
+    events_per_sec = (
+        round(n_events / stream_sec) if stream_sec else None
+    )
     print(
         json.dumps(
             {
@@ -110,6 +117,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "reps": reps,
+                "streaming_events_per_sec": events_per_sec,
                 "sf": sf,
             }
         )
