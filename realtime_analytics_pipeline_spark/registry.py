@@ -400,6 +400,8 @@ _VERIFY_WINDOW = [
     "tpch_q4_order_priority",
     "tpch_q14_promo_effect",
     "tpch_q19_discounted_revenue",
+    "events_daily_gapfill_ma7",
+    "events_cube_day_type",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
@@ -407,11 +409,9 @@ _VERIFY_WINDOW = [
     "session_metrics",
     "streaming_event_metrics",
     "wire_json_roundtrip",
-    "multimodal_metadata",
     "dedup_exact",
     "dedup_connected_components",
     "dedup_embedding_cosine",
-    "sim_cosine_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
@@ -423,7 +423,10 @@ _VERIFY_WINDOW = [
     # serving_perf_pivot, serving_retention, serving_event_pivot,
     # events_projection_filter, device_categorization, text_stats,
     # events_sliding_window_5m1m, tpch_q6_forecast_revenue,
-    # top_customers_per_nation
+    # top_customers_per_nation, multimodal_metadata (strict subset of
+    # in-window multimodal_features), sim_cosine_topk (same oracle as
+    # in-window sim_cosine_topk_blas; exact-vs-blas parity is
+    # pytest-pinned)
 ]
 
 

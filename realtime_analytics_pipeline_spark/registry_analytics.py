@@ -348,6 +348,103 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT (min(epoch_ms(ts)) // 86400000) AS d0, (max(epoch_ms(ts)) // 86400000) AS d1 FROM events
+),
+spine AS (
+    SELECT t.event_type, (d0 + u.i) * 86400000 AS day_ms
+    FROM bounds, (SELECT DISTINCT event_type FROM events) t,
+         (SELECT unnest(range(0, 100000)) AS i) u
+    WHERE d0 + u.i <= d1
+)
+SELECT s.event_type, s.day_ms,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       CAST(round(avg(coalesce(d.n, 0)) OVER (
+           PARTITION BY s.event_type ORDER BY s.day_ms
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS ma7
+FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day_ms = d.day_ms
+"""
+
+
+@register("events_daily_gapfill_ma7", _GAPFILL_SQL)
+def q_gapfill_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + trailing moving average: a generated
+    date spine (sequence/explode — the distributed generate_series)
+    LEFT-joined to daily counts, zero-filled, then a 7-day ROWS-frame
+    mean per type. The gap fill is what makes a ROWS frame equal a
+    RANGE-interval frame — missing days would silently shrink the
+    window otherwise. Spine is #days × #types rows (tiny vs facts);
+    one window shuffle on event_type."""
+    ev = load_events(spark, sf_dir)
+    day = (F.unix_millis("event_time") / F.lit(86400000)).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        (F.col("day") * 86400000).alias("day_ms"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ms")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return joined.withColumn(
+        "ma7", F.round(F.avg("n").over(w), 6).cast("double")
+    )
+
+
+_CUBE_SQL = """
+WITH base AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, event_type FROM events
+)
+SELECT day_ms, event_type,
+       CAST(grouping(day_ms) * 2 + grouping(event_type) AS BIGINT) AS gid,
+       count(*) AS n
+FROM base
+GROUP BY CUBE(day_ms, event_type)
+HAVING count(*) >= 5
+"""
+
+
+@register("events_cube_day_type", _CUBE_SQL)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all four grouping sets of day × type) with
+    grouping_id disambiguating the NULL-as-total rows — completes the
+    ROLLUP/GROUPING SETS family."""
+    ev = load_events(spark, sf_dir)
+    day_ms = (
+        (F.unix_millis("event_time") / F.lit(86400000)).cast("long")
+        * F.lit(86400000)
+    ).alias("day_ms")
+    return (
+        ev.select(day_ms, "event_type")
+        .cube("day_ms", "event_type")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 5)
+        .select("day_ms", "event_type", "gid", "n")
+    )
+
+
 _ZSCORE_SQL = """
 WITH stats AS (
     SELECT doc_id, source,
