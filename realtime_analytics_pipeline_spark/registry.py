@@ -402,6 +402,8 @@ _VERIFY_WINDOW = [
     "tpch_q19_discounted_revenue",
     "events_daily_gapfill_ma7",
     "events_cube_day_type",
+    "value_window_ranks",
+    "serving_unpivot",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
     "event_metrics_1m",
@@ -411,12 +413,10 @@ _VERIFY_WINDOW = [
     "wire_json_roundtrip",
     "dedup_exact",
     "dedup_connected_components",
-    "dedup_embedding_cosine",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
     "tpch_q7_nation_volume",
-    "tpch_q10_returned_items",
     "asof_purchase_attribution",
     # demoted to make room for round-3 queries — all green in r01 AND
     # r02, operator families still evidenced by in-window twins:
@@ -424,9 +424,10 @@ _VERIFY_WINDOW = [
     # events_projection_filter, device_categorization, text_stats,
     # events_sliding_window_5m1m, tpch_q6_forecast_revenue,
     # top_customers_per_nation, multimodal_metadata (strict subset of
-    # in-window multimodal_features), sim_cosine_topk (same oracle as
-    # in-window sim_cosine_topk_blas; exact-vs-blas parity is
-    # pytest-pinned)
+    # in-window multimodal_features), sim_cosine_topk and
+    # dedup_embedding_cosine (same oracles as their in-window blas
+    # twins; exact-vs-blas parity is pytest-pinned),
+    # tpch_q10_returned_items (join family covered by q3/5/7/8/9/12)
 ]
 
 

@@ -348,6 +348,91 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANKS_SQL = """
+SELECT event_type,
+       CAST(event_id AS VARCHAR) AS event_id,
+       round(value, 6) AS value,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@register("value_window_ranks", _RANKS_SQL)
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family per type: ntile deciles, percent_rank,
+    cume_dist — deterministic via an event_id tiebreak in the window
+    order (ntile assignment is order-dependent under value ties)."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        "value", F.col("event_id").cast("long")
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+from realtime_analytics_pipeline_spark.registry import _PERF_PIVOT_SQL
+
+_UNPIVOT_SQL = (
+    "WITH pp AS (" + _PERF_PIVOT_SQL + ")\n"
+    "SELECT window_start_ms, metric, round(value, 6) AS value FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT window_start_ms, '{c}_{m}' AS metric, {c}_{m} AS value FROM pp"
+        for c in ["view", "click", "purchase", "signup", "error"]
+        for m in ("avg_load_time", "p95_load_time")
+    )
+    + "\n) WHERE value IS NOT NULL"
+)
+
+
+@register("serving_unpivot", _UNPIVOT_SQL)
+def q_serving_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide serving pivot back to long
+    (window, metric, value) rows via DataFrame.unpivot — the inverse
+    of T2 and the missing half of the pivot family."""
+    from realtime_analytics_pipeline_spark.operators import serving
+    from realtime_analytics_pipeline_spark.operators.performance_metrics import (
+        performance_metrics,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    pm = performance_metrics(load_events(spark, sf_dir)).select(
+        "window_start",
+        "window_end",
+        "device_category",
+        F.round("avg_load_time", 6).alias("avg_load_time"),
+        F.round("p95_load_time", 6).alias("p95_load_time"),
+    )
+    cats = ["view", "click", "purchase", "signup", "error"]
+    wide = serving.pivot_performance_metrics(pm, cats).select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        *[
+            F.col(f"{c}_{m}")
+            for c in cats
+            for m in ("avg_load_time", "p95_load_time")
+        ],
+    )
+    value_cols = [
+        f"{c}_{m}" for c in cats for m in ("avg_load_time", "p95_load_time")
+    ]
+    return (
+        wide.unpivot(
+            ["window_start_ms"], value_cols, "metric", "value"
+        )
+        .where(F.col("value").isNotNull())
+        .select("window_start_ms", "metric", F.round("value", 6).alias("value"))
+    )
+
+
 _GAPFILL_SQL = """
 WITH daily AS (
     SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, count(*) AS n
