@@ -77,6 +77,21 @@ def train_eval_split(
     )
 
 
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column | str, salt: str = "w0"
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to
+    its weight column (clamped to [0, 1]) — e.g. quality-proportional
+    corpus retention. Same md5-bucket mechanics, so the draw stays
+    deterministic and map-only; the threshold is per-row instead of a
+    constant."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    thr = F.floor(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), w)) * F.lit(BUCKETS)
+    ).cast("int")
+    return df.where(hash_bucket(key, salt) < thr)
+
+
 def pack_token_budget(
     df: DataFrame,
     tokens_col: str,

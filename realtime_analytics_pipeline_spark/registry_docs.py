@@ -514,6 +514,38 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           round(0.4 * least(1.0, len({_SPLIT}) * 1.0 / 100.0)
+                 + 0.3 * (1 - len({_SW}) * 1.0 / len({_SPLIT}))
+                 + 0.3 * (len(list_distinct({_SPLIT})) * 1.0 / len({_SPLIT})),
+                 6) AS quality_score
+    FROM documents
+)
+SELECT doc_id, source, quality_score
+FROM scored
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "w0")} <
+      CAST(floor(greatest(0.0, least(1.0, quality_score)) * 65536) AS INT)
+"""
+
+
+@register("sample_docs_weighted", _WEIGHTED_SQL)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep probability = quality score — the
+    quality-proportional corpus retention step (high-quality docs kept
+    near-always, low-quality downweighted, never a hard cutoff)."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(T.quality_scores(docs), "doc_id").select(
+        "doc_id", "source", "quality_score"
+    )
+    return weighted_sample(scored, "doc_id", "quality_score")
+
+
 _PACK_SQL = f"""
 SELECT doc_id, source, n_tokens,
        CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
