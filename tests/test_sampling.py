@@ -74,6 +74,40 @@ def test_split_total_disjoint_and_sized(spark):
     assert abs(counts["eval"] / n - 0.1) < 0.03
 
 
+def test_null_keys_are_dropped_consistently(spark):
+    """A NULL id yields a NULL bucket (concat with NULL) and fails the
+    threshold comparison — dropped, never kept. Same in DuckDB ('||'
+    with NULL is NULL), so both engines agree by construction; this
+    pins the Spark side."""
+    rows = [(1, "a"), (None, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = deterministic_sample(df, "doc_id", 1.0)  # rate 1.0: keep all non-null
+    assert {r.source for r in kept.collect()} == {"a", "c"}
+
+
+def test_pack_handles_empty_and_single_partitions(spark):
+    """Packing degenerates correctly: a partition with one doc gets
+    bin 0 offset 0; bins advance only when the budget is crossed."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        pack_token_budget,
+    )
+
+    rows = [
+        (1, "s1", 300),
+        (2, "s1", 300),  # starts at 300 -> bin 0
+        (3, "s1", 300),  # starts at 600 -> bin 1
+        (10, "s2", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {
+        r.doc_id: (r.start_offset, r.bin_id)
+        for r in pack_token_budget(
+            df, "n_tokens", 512, "source", "doc_id"
+        ).collect()
+    }
+    assert got == {1: (0, 0), 2: (300, 0), 3: (600, 1), 10: (0, 0)}
+
+
 def test_salts_decorrelate(spark):
     """Two samples under different salts behave like independent
     draws: overlap ≈ rate² of the corpus, far below the rate itself
