@@ -24,6 +24,7 @@ from realtime_analytics_pipeline_spark.operators.performance_metrics import (
     performance_metrics,
 )
 from realtime_analytics_pipeline_spark.registry import register
+from realtime_analytics_pipeline_spark.schema import raw_ts_ms
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
 from realtime_analytics_pipeline_spark.streaming.jobs import parse_wire_json
 
@@ -104,7 +105,7 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("user_id").cast("string").alias("id")).alias(
                     "user"
                 ),
-                F.expr("ts DIV 1000000").alias("timestamp"),  # ns → ms
+                raw_ts_ms(raw).alias("timestamp"),  # raw ts → epoch ms
             )
         ).alias("value")
     )

@@ -131,9 +131,12 @@ def normalize_testdata_events(df: DataFrame) -> DataFrame:
     - ``load_time`` := value in ms resolution (performance metrics use
       the double ``value`` directly).
 
-    ``ts`` arrives as TIMESTAMP(NANOS) parquet, surfaced as a nanos
-    bigint under ``spark.sql.legacy.parquet.nanosAsLong``; truncating
-    div 1000 matches DuckDB's ns→µs handling.
+    ``ts`` has arrived as TIMESTAMP(NANOS) parquet (surfaced as a
+    nanos bigint under ``spark.sql.legacy.parquet.nanosAsLong``) in
+    some driver testdata generations and TIMESTAMP(MICROS) (a real
+    timestamp column) in others — branch on the runtime type;
+    truncating div 1000 on the nanos form matches DuckDB's ns→µs
+    handling.
     """
     from pyspark.sql.types import LongType
 
@@ -152,6 +155,18 @@ def normalize_testdata_events(df: DataFrame) -> DataFrame:
         F.col("value"),
         F.col("props"),
     )
+
+
+def raw_ts_ms(df: DataFrame) -> Column:
+    """Epoch-ms bigint from the RAW testdata ``ts`` column, whichever
+    physical flavor this testdata generation uses (nanos bigint via
+    nanosAsLong, or a timestamp column). Integer DIV on the nanos
+    form — float division would lose precision at ns scale."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return F.expr("ts DIV 1000000")
+    return F.unix_millis("ts")
 
 
 def ms(col: Column | str) -> Column:

@@ -27,8 +27,11 @@ def get_spark(app_name: str = "realtime-analytics-pipeline-spark") -> SparkSessi
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for any pandas-interop path (mapInPandas/applyInPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # testdata events.parquet stores ts as TIMESTAMP(NANOS); read as
-        # long and convert (DuckDB truncates ns->us identically)
+        # some driver testdata generations store events.ts as
+        # TIMESTAMP(NANOS): surface those as a nanos bigint and convert
+        # (DuckDB truncates ns->us identically). Harmless no-op when the
+        # data is TIMESTAMP(MICROS) — readers branch on the runtime type
+        # (schema.normalize_testdata_events / schema.raw_ts_ms).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP (UTC
         # session) not TIMESTAMP_NTZ: keeps epoch functions applicable and

@@ -43,8 +43,13 @@ from realtime_analytics_pipeline_spark.schema import (
 )
 from realtime_analytics_pipeline_spark.session import tune_session
 
-# testdata events.parquet layout with ts surfaced as nanos bigint
-# (spark.sql.legacy.parquet.nanosAsLong, see schema.py)
+# testdata events.parquet layout. The driver has regenerated testdata
+# with different `ts` physical encodings across rounds — TIMESTAMP(NANOS)
+# (surfaced as a nanos bigint under spark.sql.legacy.parquet.nanosAsLong)
+# and TIMESTAMP(MICROS) (surfaced as a timestamp) have both been
+# observed — so the stream source must NOT hardcode the ts type: it is
+# inferred from the actual files (see read_events_stream_from_dir) and
+# normalize_testdata_events branches on the runtime type.
 TESTDATA_EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -95,8 +100,15 @@ def read_events_stream_from_dir(
         wrap = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(directory, os.path.join(wrap, os.path.basename(directory)))
         directory = wrap
+    # infer the schema from the files themselves (footer-only batch
+    # read): `ts` may be a nanos bigint, an INT64 timestamp, or an
+    # INT96 timestamp (Spark-rewritten fixtures) depending on which
+    # writer produced the directory — a hardcoded LongType would
+    # either fail the vectorized read (INT96 vs bigint) or silently
+    # misinterpret micros as nanos downstream.
+    file_schema = spark.read.parquet(directory).schema
     raw = (
-        spark.readStream.schema(TESTDATA_EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(directory)
     )

@@ -25,6 +25,7 @@ from realtime_analytics_pipeline_spark.operators.event_metrics import event_metr
 from realtime_analytics_pipeline_spark.operators.session_metrics import (
     session_metrics,
 )
+from realtime_analytics_pipeline_spark.schema import raw_ts_ms
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
 from realtime_analytics_pipeline_spark.streaming.jobs import parse_wire_json
 from realtime_analytics_pipeline_spark.streaming.sinks import (
@@ -52,7 +53,7 @@ def _wire_values(events_raw):
                 F.struct(F.col("user_id").cast("string").alias("id")).alias(
                     "user"
                 ),
-                F.expr("ts DIV 1000000").alias("timestamp"),
+                raw_ts_ms(events_raw).alias("timestamp"),
             )
         ).alias("value")
     )

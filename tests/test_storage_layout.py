@@ -10,6 +10,7 @@ from realtime_analytics_pipeline_spark.operators.storage import (
     bucketed_join,
     write_bucketed,
 )
+from realtime_analytics_pipeline_spark.schema import raw_ts_ms
 from realtime_analytics_pipeline_spark.sources.batch import load_table
 
 from tests.conftest import SF_SMOKE
@@ -22,10 +23,9 @@ def test_partition_pruning_on_day_partitioned_layout(spark, tmp_path):
     visible as a PartitionFilters entry in the plan."""
     out = str(tmp_path / "events_by_day")
     ev = load_table(spark, SF_SMOKE, "events")
+    day = F.from_unixtime((raw_ts_ms(ev) / 1000).cast("long"), "yyyy-MM-dd")
     (
-        ev.withColumn(
-            "day", F.from_unixtime(F.expr("ts DIV 1000000000"), "yyyy-MM-dd")
-        )
+        ev.withColumn("day", day)
         .write.partitionBy("day")
         .parquet(out)
     )
@@ -34,10 +34,7 @@ def test_partition_pruning_on_day_partitioned_layout(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "isnotnull(day" in plan or "(day" in plan.split("PartitionFilters")[1].splitlines()[0]
     # and the filter is correct
-    want = ev.where(
-        F.from_unixtime(F.expr("ts DIV 1000000000"), "yyyy-MM-dd")
-        == "2024-01-05"
-    ).count()
+    want = ev.where(day == "2024-01-05").count()
     assert back.count() == want
 
 
