@@ -86,3 +86,23 @@ def assert_matches_oracle(spark_df, con, sql, check_schema_names=True):
     )
     for i, (a, b) in enumerate(zip(s, d)):
         assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+
+
+def write_time_ordered_stream_fixture(df, path: str, n_files: int, ts_col: str = "ts"):
+    """Write a multi-file stream-source fixture whose micro-batch
+    ORDER is deterministic and time-ordered.
+
+    The file stream source orders batches by file modification time —
+    for a parallel write that is a task-completion race, so a later
+    time range can replay BEFORE an earlier one and then the earlier
+    file arrives entirely behind the advanced watermark (dropped late,
+    by design). Range-partition by time, then stagger mtimes in range
+    order so replay order == event-time order."""
+    import glob
+    import os
+    import time
+
+    df.repartitionByRange(n_files, ts_col).write.parquet(path)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(path + "/part-*"))):
+        os.utime(f, (now + 2 * i, now + 2 * i))

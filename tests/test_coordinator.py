@@ -13,12 +13,12 @@ from realtime_analytics_pipeline_spark.streaming.jobs import (
 )
 from realtime_analytics_pipeline_spark.sources.batch import load_table
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
 
 
 def test_run_all_jobs_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
-    load_table(spark, SF_SMOKE, "events").repartitionByRange(3, "ts").write.parquet(src)
+    write_time_ordered_stream_fixture(load_table(spark, SF_SMOKE, "events"), src, 3)
 
     out_root = str(tmp_path / "out")
     stream = read_events_stream_from_dir(spark, src)

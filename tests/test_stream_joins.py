@@ -14,7 +14,7 @@ from realtime_analytics_pipeline_spark.streaming.joins import (
     stream_attribution_join,
 )
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
 
 
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
@@ -22,9 +22,9 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     produce a subset of the batch interval join (watermark may hold
     tail rows), with every emitted row exactly matching batch."""
     src = str(tmp_path / "ssj_src")
-    load_table(spark, SF_SMOKE, "events").repartitionByRange(
-        3, "ts"
-    ).write.parquet(src)
+    write_time_ordered_stream_fixture(
+        load_table(spark, SF_SMOKE, "events"), src, 3
+    )
 
     stream = read_events_stream_from_dir(spark, src)
     run_to_memory_table(

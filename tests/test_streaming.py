@@ -19,7 +19,7 @@ from realtime_analytics_pipeline_spark.streaming.jobs import (
     run_to_memory_table,
 )
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
 
 
 def _rows_set(df):
@@ -33,7 +33,7 @@ def test_streaming_complete_mode_equals_batch(spark, tmp_path):
     two-phase form, covered in the append test)."""
     src = str(tmp_path / "stream_src")
     raw = load_table(spark, SF_SMOKE, "events")
-    raw.repartitionByRange(4, "ts").write.parquet(src)
+    write_time_ordered_stream_fixture(raw, src, 4)
 
     def counts(df):
         return (
@@ -55,7 +55,7 @@ def test_streaming_append_exact_distinct_subset(spark, tmp_path):
     of the batch result, with values identical where emitted."""
     src = str(tmp_path / "stream_src_append")
     raw = load_table(spark, SF_SMOKE, "events").orderBy("ts")
-    raw.repartitionByRange(4, "ts").write.parquet(src)
+    write_time_ordered_stream_fixture(raw, src, 4)
 
     stream = read_events_stream_from_dir(spark, src)
     run_to_memory_table(
