@@ -624,3 +624,206 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 @register("asof_purchase_attribution", _ASOF_SQL)
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.asof_attribution(load_events(spark, sf_dir))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_order_distribution", _Q13_SQL)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape (customer order-count distribution): the filter lives
+    in the OUTER-join condition, not WHERE — customers whose every
+    order is filtered out must still appear with c_count = 0 — then a
+    second aggregation over the first's output (the schema has no
+    o_comment; the not-urgent predicate stands in for the
+    not-special-requests filter). count(o_orderkey) counts matched
+    rows only (NULL-skipping), exactly the outer-join sentinel Q13
+    relies on. At scale: both aggregations are partial→final; the
+    second one's input is one row per customer, tiny vs lineitem."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").like("1-%"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate_ms, o_totalprice
+"""
+
+
+@register("tpch_q18_large_volume", _Q18_SQL)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customers): IN over a GROUP BY ...
+    HAVING subquery on the fact table → LEFT SEMI join against a
+    pre-aggregated key set, then the customer/orders/lineitem 3-way
+    join re-aggregates quantities per qualifying order. At scale the
+    HAVING aggregate is partial→final on l_orderkey (same key as the
+    fact join, so AQE can reuse the exchange), and the semi join
+    prunes orders before the wide join."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    orders_big = orders.join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    return (
+        customer.join(orders_big, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == lineitem["l_orderkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+_Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+    SELECT c_custkey % 10 AS cntrycode, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+GROUP BY cntrycode
+"""
+
+
+@register("tpch_q22_idle_customers", _Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (global-sales-opportunity): uncorrelated scalar
+    subquery (global average of positive balances) gating the scan +
+    NOT EXISTS → LEFT ANTI join against orders, grouped by a derived
+    code (custkey mod 10 stands in for the phone country code the
+    schema lacks). The scalar average is a 1-row aggregate
+    cross-joined in — Spark broadcasts it; no driver-side collect."""
+    from pyspark.sql import functions as F
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.select(
+            (F.col("c_custkey") % 10).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev = (SELECT max(rev) FROM revenue)
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_SQL)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape (top supplier): the revenue view aggregated once and
+    REUSED twice — as the join input and inside the max() scalar
+    subquery. Equality is tested on the exact DECIMAL sum (double
+    max-equality would be a last-ULP lottery); the 1-row max is
+    broadcast. At 100 TB the view aggregates lineitem once (partial →
+    final on l_suppkey) and everything downstream is supplier-sized."""
+    from pyspark.sql import functions as F
+
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = lineitem.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+        ).alias("rev")
+    )
+    max_rev = revenue.agg(F.max("rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("rev") == F.col("max_rev"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
