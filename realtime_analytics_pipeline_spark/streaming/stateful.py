@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -100,4 +101,125 @@ def running_totals_per_type(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom sessionization: the escape-hatch twin of F.session_window.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("session_id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("page_count", LongType()),
+    ]
+)
+
+# open session carried across micro-batches: bounded, O(1) per key
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("page_count", LongType()),
+    ]
+)
+
+
+def _sessionize_update_fn(gap_us: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        session_id, user_id = key
+        done: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            # watermark passed end + gap: the open session is final
+            if state.exists:
+                done.append(tuple(state.get))
+                state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            times: list[int] = []
+            for pdf in pdfs:
+                # datetime64[*] -> epoch micros, unit-proof
+                vals = (
+                    pdf["event_time"].astype("datetime64[us]").astype("int64")
+                )
+                times.extend(int(v) for v in vals)
+            # order within the batch; cross-batch order is the
+            # watermark's job (late events beyond it were dropped
+            # upstream by withWatermark)
+            times.sort()
+            for t in times:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] >= gap_us:
+                    done.append(cur)  # gap split: previous session final
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            if cur is not None:
+                expiry_ms = cur[1] // 1000 + gap_us // 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                if expiry_ms <= wm_ms:
+                    # already evictable (a later micro-batch advanced
+                    # the watermark past end + gap before this key saw
+                    # new data) — setting a timeout in the past is
+                    # illegal, and by watermark contract no earlier
+                    # event can still arrive: finalize now
+                    done.append(cur)
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update(cur)
+                    # fire when the watermark passes end + gap
+                    state.setTimeoutTimestamp(expiry_ms)
+
+        if done:
+            yield pd.DataFrame(
+                {
+                    "session_id": [session_id] * len(done),
+                    "user_id": [user_id] * len(done),
+                    "start_us": [d[0] for d in done],
+                    "end_us": [d[1] for d in done],
+                    "page_count": [d[2] for d in done],
+                }
+            )
+
+    return update
+
+
+def sessionize_stateful(events: DataFrame, gap_us: int = 1800 * 1_000_000) -> DataFrame:
+    """Canonical events (stream, watermarked) -> FINALIZED sessions.
+
+    The applyInPandasWithState twin of ``session_metrics``'s native
+    ``F.session_window`` (reference session_tracker.py:29-36): keyed
+    state = the one open session per (session_id, user_id); a session
+    is emitted exactly once, either when a later event splits the key
+    (gap exceeded, emitted in that micro-batch) or when the event-time
+    timeout fires (watermark passed end + gap) — append semantics, the
+    same eviction rule the native session window applies in append
+    mode.
+
+    Why the escape hatch matters: session_window's aggregate surface is
+    fixed (aggregations over window members); a process function can
+    carry arbitrary per-session state (e.g. a bloom of seen pages,
+    first/last event payloads) and apply custom split rules. At 100 TB
+    the scaling shape is identical to any keyed aggregation: state is
+    partitioned by key across executors, O(1) payload per key, and
+    RocksDB (config.state_store_provider) keeps it off-heap.
+    """
+    # keep the watermarked TIMESTAMP column itself in the operator
+    # input (event-time timeout requires a watermark-tagged column in
+    # the child plan); micros conversion happens pandas-side
+    prepared = events.select("session_id", "user_id", "event_time")
+    return prepared.groupBy("session_id", "user_id").applyInPandasWithState(
+        _sessionize_update_fn(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -13,7 +13,7 @@ from realtime_analytics_pipeline_spark.streaming.stateful import (
     running_totals_per_type,
 )
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
 
 
 def test_running_totals_accumulate_across_batches(spark, tmp_path):
@@ -57,3 +57,64 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
         # bloom estimate within 15% of the true distinct count
         est = seq[-1][1]
         assert abs(est - users_truth[t]) / users_truth[t] <= 0.15
+
+
+def test_stateful_sessionization_multibatch_matches_finalized_set(spark, tmp_path):
+    """3-file replay: open sessions carry across micro-batches, gap
+    splits emit mid-replay, event-time timeouts evict the rest — the
+    union must equal the batch sessionization restricted to the
+    watermark-finalized set (end + gap <= final watermark), each
+    session exactly once."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        session_metrics_by_lag,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "src")
+    write_time_ordered_stream_fixture(
+        load_table(spark, SF_SMOKE, "events"), src, 3
+    )
+
+    stream = read_events_stream_from_dir(spark, src)
+    out = sessionize_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stateful_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sess_stateful_mb")
+
+    batch = session_metrics_by_lag(load_events(spark, SF_SMOKE)).select(
+        "session_id",
+        "user_id",
+        F.unix_micros("start_time").alias("start_us"),
+        F.unix_micros("end_time").alias("end_us"),
+        "page_count",
+    )
+    gap_us = 1800 * 1_000_000
+    mx = (
+        load_events(spark, SF_SMOKE)
+        .agg(F.max(F.unix_micros("event_time")))
+        .first()[0]
+    )
+    finalized = batch.where((F.col("end_us") + gap_us) <= (mx - 10_000_000))
+
+    assert got.count() == finalized.count()
+    assert got.exceptAll(finalized).count() == 0
+    assert finalized.exceptAll(got).count() == 0
+    # exactly-once: no duplicate emissions for any session key
+    dupes = (
+        got.groupBy("session_id", "user_id", "start_us")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dupes == 0
