@@ -101,3 +101,55 @@ def source_token_rollup(documents: DataFrame) -> DataFrame:
 
 
 _ = STOPWORDS  # re-export for oracle construction
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition/shape heuristics (Rae et al. 2021,
+    public): mean word length, most-frequent-token mass, duplicate
+    word-bigram mass, and the composite keep flag. All pure Column
+    expressions over the token array — no explode, no shuffle: the
+    scan is the whole plan, so it runs map-only at any corpus size.
+
+    - mean_word_len: chars-excluding-separators / token count
+    - top_token_ratio: occurrences of the modal token / token count
+      (array-HOF max over distinct tokens; per-row cost O(n·d) on
+      ~100-token docs is cheaper than an explode shuffle at scale)
+    - dup_bigram_ratio: 1 − distinct bigrams / total bigrams
+    - keep: 3 ≤ mean_word_len ≤ 10 AND top_token_ratio ≤ 0.20
+      AND dup_bigram_ratio ≤ 0.50
+    """
+    toks = tokens("text")
+    n = F.size(toks).cast("double")
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n
+    top_cnt = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0),
+        lambda acc, d: F.greatest(
+            acc, F.size(F.filter(toks, lambda t: t == d))
+        ),
+    ).cast("double")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    nb = F.size(bigrams).cast("double")
+    dup_ratio = F.when(
+        nb > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / nb
+    ).otherwise(F.lit(0.0))
+    mean_r = F.round(mean_wl, 6)
+    top_r = F.round(top_cnt / n, 6)
+    dup_r = F.round(dup_ratio, 6)
+    keep = (
+        (mean_r >= 3.0)
+        & (mean_r <= 10.0)
+        & (top_r <= 0.20)
+        & (dup_r <= 0.50)
+    )
+    return documents.select(
+        "doc_id",
+        mean_r.alias("mean_word_len"),
+        top_r.alias("top_token_ratio"),
+        dup_r.alias("dup_bigram_ratio"),
+        keep.alias("keep"),
+    )

@@ -662,3 +662,45 @@ def q_emb_dup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs_blas(
         load_table(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+_GOPHER_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS t,
+           length(replace(text, ' ', '')) AS chars
+    FROM documents
+),
+freq AS (
+    SELECT doc_id, max(c) AS top_cnt
+    FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS tok FROM base)
+        GROUP BY doc_id, tok
+    )
+    GROUP BY doc_id
+),
+met AS (
+    SELECT b.doc_id,
+           round(b.chars * 1.0 / len(b.t), 6) AS mean_word_len,
+           round(f.top_cnt * 1.0 / len(b.t), 6) AS top_token_ratio,
+           CASE WHEN len(b.t) > 1
+                THEN round(1.0
+                     - len(list_distinct(list_transform(
+                           range(1, len(b.t)),
+                           i -> b.t[i] || ' ' || b.t[i + 1]))) * 1.0
+                       / (len(b.t) - 1), 6)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM base b JOIN freq f ON b.doc_id = f.doc_id
+)
+SELECT doc_id, mean_word_len, top_token_ratio, dup_bigram_ratio,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND top_token_ratio <= 0.20
+        AND dup_bigram_ratio <= 0.50) AS keep
+FROM met
+"""
+
+
+@register("text_gopher_flags", _GOPHER_SQL)
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
