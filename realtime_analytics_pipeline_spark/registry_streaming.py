@@ -292,3 +292,56 @@ def q_streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       epoch_ms(ts) AS event_ms,
+       event_type,
+       CAST(user_id AS VARCHAR) AS user_id,
+       value
+FROM events
+"""
+
+
+@register("streaming_exact_dedup", _STREAMING_DEDUP_SQL)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (dropDuplicatesWithinWatermark)
+    under simulated at-least-once delivery: the same events file is
+    delivered as TWO micro-batches. Batch 1 emits every event once;
+    batch 2's copies are eliminated — rows older than the advanced
+    watermark are dropped late, rows inside the horizon hit the dedup
+    state — so the emitted set is exactly DISTINCT over the source.
+    State is bounded by the watermark horizon (keys older than the
+    delay are evicted), which is what makes exact streaming dedup
+    viable at 100 TB/day: memory is O(events per delay window), not
+    O(events ever seen)."""
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_src_")
+    src = os.path.join(sf_dir, "events.parquet")
+    now = time.time()
+    for i in (0, 1):
+        dst = os.path.join(tmp, f"delivery{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (now + 2 * i, now + 2 * i))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(spark, tmp)
+        deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+        out = deduped.select(
+            "event_id",
+            F.unix_millis("event_time").alias("event_ms"),
+            "event_type",
+            "user_id",
+            "value",
+        )
+        table = f"stream_dedup_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
