@@ -164,3 +164,32 @@ def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization + reconstruction
+    error — the storage-compression step an embedding corpus goes
+    through before ANN serving (4x smaller than float32; public
+    technique, e.g. faiss SQ8).
+
+    scale = max|v| / 127; q_i = round(v_i / scale); the emitted stats
+    (scale, max reconstruction error, MSE) characterize the loss. Pure
+    array-HOF Column expressions — map-only at any corpus size; all
+    arithmetic in DOUBLE (float32 widens exactly, so the DuckDB oracle
+    computes bit-identical values)."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = F.size("embedding")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    errs = F.transform(
+        v, lambda x: F.abs(x - F.round(x / scale) * scale)
+    )
+    mse = F.aggregate(
+        errs, F.lit(0.0), lambda acc, e: acc + e * e
+    ) / d.cast("double")
+    return embeddings.select(
+        "vec_id",
+        d.cast("long").alias("n_dims"),
+        F.round(scale, 9).alias("scale"),
+        F.round(F.array_max(errs), 9).alias("max_abs_err"),
+        F.round(mse, 12).alias("mse"),
+    )

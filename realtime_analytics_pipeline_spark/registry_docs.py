@@ -704,3 +704,35 @@ FROM met
 @register("text_gopher_flags", _GOPHER_SQL)
 def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+_QUANT_SQL = """
+WITH s AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           len(embedding) AS d
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, d,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+           v
+    FROM s
+),
+e AS (
+    SELECT vec_id, d, scale,
+           list_transform(v, x -> abs(x - round(x / scale) * scale)) AS errs
+    FROM q
+)
+SELECT vec_id,
+       d AS n_dims,
+       round(scale, 9) AS scale,
+       round(list_max(errs), 9) AS max_abs_err,
+       round(list_sum(list_transform(errs, x -> x * x)) / d, 12) AS mse
+FROM e
+"""
+
+
+@register("emb_quantize_int8", _QUANT_SQL)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
