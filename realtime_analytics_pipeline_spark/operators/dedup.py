@@ -304,3 +304,74 @@ def embedding_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 3,
+    eval_rate: float = 0.1,
+    threshold: float = 0.5,
+    salt: str = "decon",
+) -> DataFrame:
+    """Benchmark decontamination: per EVAL document, the max n-gram
+    containment |eval ∩ train| / |eval| against any TRAIN document,
+    and a contaminated flag (public technique — the n-gram-overlap
+    decontamination used for LLM training corpora, e.g. GPT-3
+    appendix C / The Pile).
+
+    The eval split is the deterministic md5-bucket sample (same
+    hash-fate machinery as the sampling operators), so the partition
+    is reproducible across runs and engines. Overlap is mined with
+    the same inverted-index join as jaccard_pairs: candidate pairs
+    materialize ONLY for docs sharing a shingle, so cost scales with
+    shared-shingle density, not |eval| × |train|. Eval docs with zero
+    overlap are kept via left join (containment 0.0). Ties on max
+    containment break to the smallest train doc id (deterministic)."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold as bucket_threshold,
+    )
+
+    is_eval = hash_bucket("doc_id", salt) < F.lit(bucket_threshold(eval_rate))
+    sh = _doc_shingles(documents, n)
+    flagged = sh.withColumn("is_eval", is_eval)
+    ev = flagged.where("is_eval").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = flagged.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ev_sizes = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.col("containment").desc(), F.col("train_doc").asc()
+    )
+    # ev_sizes/best scale with the eval split (no hard broadcast —
+    # at 100 TB the eval set is not a dim table; AQE decides)
+    best = (
+        inter.join(ev_sizes, "eval_doc")
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("eval_doc", "train_doc", "containment")
+    )
+    all_eval = documents.where(is_eval).select(
+        F.col("doc_id").alias("eval_doc")
+    )
+    return (
+        all_eval.join(best, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            "train_doc",
+            F.coalesce("containment", F.lit(0.0)).alias("max_containment"),
+            (F.coalesce("containment", F.lit(0.0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )

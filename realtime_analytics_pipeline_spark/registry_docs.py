@@ -736,3 +736,53 @@ FROM e
 @register("emb_quantize_int8", _QUANT_SQL)
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+_DECON_BUCKET = _bucket_sql("CAST(doc_id AS VARCHAR)", "decon")
+
+_DECON_SQL = f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           ({_DECON_BUCKET} < 6553) AS is_eval
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, is_eval,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+    FROM base
+),
+ev AS (SELECT doc_id AS eval_doc, shingle FROM sh WHERE is_eval),
+tr AS (SELECT doc_id AS train_doc, shingle FROM sh WHERE NOT is_eval),
+sz AS (SELECT eval_doc, count(*) AS sz FROM ev GROUP BY 1),
+inter AS (
+    SELECT eval_doc, train_doc, count(*) AS c
+    FROM ev JOIN tr USING (shingle) GROUP BY 1, 2
+),
+best AS (
+    SELECT eval_doc, train_doc, containment FROM (
+        SELECT i.eval_doc, i.train_doc,
+               round(i.c * 1.0 / s.sz, 6) AS containment,
+               row_number() OVER (
+                   PARTITION BY i.eval_doc
+                   ORDER BY round(i.c * 1.0 / s.sz, 6) DESC, i.train_doc
+               ) AS rn
+        FROM inter i JOIN sz s USING (eval_doc)
+    ) WHERE rn = 1
+)
+SELECT b.doc_id AS eval_doc,
+       best.train_doc,
+       coalesce(best.containment, 0.0) AS max_containment,
+       coalesce(best.containment, 0.0) >= 0.5 AS contaminated
+FROM (SELECT doc_id FROM base WHERE is_eval) b
+LEFT JOIN best ON b.doc_id = best.eval_doc
+"""
+
+
+@register("decontaminate_eval_overlap", _DECON_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.decontaminate(
+        load_table(spark, sf_dir, "documents"), n=3, eval_rate=0.1,
+        threshold=0.5, salt="decon",
+    )
