@@ -137,3 +137,47 @@ def md5_bucket_sql(key_sql: str, salt: str = "s0") -> str:
     for n in nibbles[1:]:
         expr = f"(({expr}) * 16 + {n})"
     return expr
+
+
+def source_mixing_weights(
+    df: DataFrame,
+    strata: str = "source",
+    weight_col: str = "n_chars",
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-source sampling multipliers to hit a target mixture.
+
+    A training-data pipeline rarely wants the corpus's natural domain
+    mix — it wants declared proportions (public practice: the Pile /
+    LLaMA training mixtures). For each stratum this emits its actual
+    share of the token-proxy mass (sum of ``weight_col``), the target
+    share, and ``mix_weight = target / actual`` — the per-document
+    sampling multiplier (>1 upsample, <1 downsample) that a sampler
+    (e.g. weighted_sample) applies downstream.
+
+    With no explicit ``targets`` the goal is the UNIFORM mixture
+    (1/n_strata each) — computed from the data itself via a window
+    over the 1-row total, so the whole plan is one partial→final
+    aggregation over the strata; nothing driver-side, no collect."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(strata).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("mass"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    total_w = Window.partitionBy()
+    actual = F.col("mass") / F.sum("mass").over(total_w)
+    if targets is None:
+        target = F.lit(1.0) / F.count(F.lit(1)).over(total_w)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in targets.items() for x in kv]
+        )
+        target = F.coalesce(mapping[F.col(strata)], F.lit(0.0))
+    return agg.select(
+        F.col(strata),
+        "docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("mix_weight"),
+    ).orderBy(strata)

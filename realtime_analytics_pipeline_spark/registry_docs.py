@@ -786,3 +786,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, eval_rate=0.1,
         threshold=0.5, salt="decon",
     )
+
+
+_MIX_SQL = """
+WITH agg AS (
+    SELECT source, sum(CAST(n_chars AS DOUBLE)) AS mass,
+           count(*) AS docs
+    FROM documents GROUP BY source
+)
+SELECT source, docs,
+       round(mass / sum(mass) OVER (), 6) AS actual_share,
+       round(1.0 / count(*) OVER (), 6) AS target_share,
+       round((1.0 / count(*) OVER ()) / (mass / sum(mass) OVER ()), 6)
+           AS mix_weight
+FROM agg
+ORDER BY source
+"""
+
+
+@register("source_mixing_weights", _MIX_SQL)
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        source_mixing_weights,
+    )
+
+    return source_mixing_weights(load_table(spark, sf_dir, "documents"))
