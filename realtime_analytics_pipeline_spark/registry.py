@@ -410,13 +410,13 @@ _VERIFY_WINDOW = [
     "tpch_q22_idle_customers",
     "streaming_stateful_sessions",
     "sample_docs_weighted",
+    "streaming_exact_dedup",
+    "decontaminate_eval_overlap",
+    "text_gopher_flags",
+    "emb_quantize_int8",
     # -- core reference surface + extension anchors (driver-green in r02;
     #    kept in-window so the latest CORRECTNESS file still covers them) --
-    "event_metrics_1m",
-    "performance_metrics_5m",
     "streaming_event_metrics",
-    "wire_json_roundtrip",
-    "dedup_exact",
     "dedup_connected_components",
     "asof_purchase_attribution",
     # demoted to make room for round-3 queries — all green in r01 AND
@@ -434,7 +434,14 @@ _VERIFY_WINDOW = [
     # covered in-window by q4/q8/q9/q12/q13/q14/q17/q18/q19/q22) and
     # session_metrics (same operator driver-verified in-window through
     # streaming_session_metrics + session_metrics_devices; equality to
-    # the lag twin is pytest-pinned)
+    # the lag twin is pytest-pinned); for the streaming-dedup/
+    # decontamination/gopher/quantization promotions: event_metrics_1m
+    # (entry() smoke-checks the same operator every round;
+    # cascade_rollup_1m_to_1h is its in-window rollup twin),
+    # performance_metrics_5m (performance_by_device in-window),
+    # dedup_exact (the in-window pipeline_quality_dedup_sample runs
+    # the exact-dedup stage), wire_json_roundtrip (parse chain pinned
+    # by tests/test_kafka_contract.py)
 ]
 
 
