@@ -159,3 +159,73 @@ def test_session_window_single_shuffle(spark):
     # one exchange for the session key — no extra repartitioning
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 1, plan
+
+
+def test_gopher_flags_map_only(spark):
+    """Quality flags are pure Column expressions over the token array:
+    the plan must contain NO Exchange — scan → project only."""
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    plan = plan_of(gopher_quality_flags(load_table(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in plan
+    # scan pruned to the referenced columns
+    assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_quantize_int8_map_only(spark):
+    """SQ8 quantization shuffles nothing."""
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    plan = plan_of(quantize_int8(load_table(spark, SF_SMOKE, "embeddings")))
+    assert "Exchange" not in plan
+    assert "label" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q13_outer_join_condition_not_filter(spark):
+    """Q13's not-urgent predicate must live in the JOIN condition, not
+    a post-join filter: customers whose every order is filtered out
+    must still appear with c_count = 0 (the whole point of the shape).
+    The testdata at sf0.001 has no such customer, so pin the semantics
+    on a micro-fixture, plus the preservation invariant on real data:
+    the distribution must account for EVERY customer."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.registry_relational import q_tpch_q13
+
+    df = q_tpch_q13(spark, SF_SMOKE)
+    total = df.agg(F.sum("custdist")).first()[0]
+    assert total == load_table(spark, SF_SMOKE, "customer").count()
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(1, 10, "1-URGENT"), (1, 11, "3-LOW"), (2, 12, "1-URGENT")],
+        "o_custkey long, o_orderkey long, o_orderpriority string",
+    )
+    per = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & ~F.col("o_orderpriority").like("1-%"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    got = {r.c_custkey: r.c_count for r in per.collect()}
+    # customer 2's only order is urgent; customer 3 has none — both
+    # survive with 0, customer 1 keeps exactly the non-urgent order
+    assert got == {1: 1, 2: 0, 3: 0}
+
+
+def test_q18_semi_join_prunes_before_wide_join(spark):
+    """The HAVING key set joins semi against orders BEFORE the 3-way
+    join — the plan must contain a LeftSemi and the scan of lineitem
+    must be pruned to the 2 referenced columns."""
+    from realtime_analytics_pipeline_spark.registry_relational import q_tpch_q18
+
+    plan = plan_of(q_tpch_q18(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
