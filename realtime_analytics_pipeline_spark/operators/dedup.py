@@ -375,3 +375,65 @@ def decontaminate(
             ),
         )
     )
+
+
+def decontaminated_corpus_stats(
+    documents: DataFrame,
+    n: int = 3,
+    eval_rate: float = 0.1,
+    min_shared: int = 3,
+    salt: str = "decon",
+) -> DataFrame:
+    """The decontamination REMOVAL pipeline, end to end: split the
+    corpus (md5-bucket eval holdout), flag every TRAIN document that
+    shares ≥ ``min_shared`` distinct n-gram shingles with ANY eval
+    document, anti-join the dirty set away, and roll up what remains
+    per source (kept/dropped doc counts + kept char mass).
+
+    Same inverted-index core as ``decontaminate`` (pairs materialize
+    only for shared shingles); the dirty-doc set is produced by an
+    aggregation and removed with a LEFT ANTI join — no driver-side
+    set, no broadcast of anything corpus-sized."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        threshold as bucket_threshold,
+    )
+
+    is_eval = hash_bucket("doc_id", salt) < F.lit(bucket_threshold(eval_rate))
+    sh = _doc_shingles(documents, n)
+    flagged = sh.withColumn("is_eval", is_eval)
+    ev = flagged.where("is_eval").select("shingle").distinct()
+    tr = flagged.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    dirty = (
+        tr.join(ev, "shingle")
+        .groupBy("train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .select("train_doc")
+    )
+    train = documents.where(~is_eval)
+    kept = train.join(
+        dirty, train["doc_id"] == dirty["train_doc"], "left_anti"
+    )
+    dropped = train.join(
+        dirty, train["doc_id"] == dirty["train_doc"], "left_semi"
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("kept_chars"),
+    )
+    d = dropped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("dropped_docs")
+    )
+    return (
+        k.join(d, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+            F.coalesce("dropped_docs", F.lit(0)).alias("dropped_docs"),
+        )
+        .orderBy("source")
+    )

@@ -811,3 +811,58 @@ def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return source_mixing_weights(load_table(spark, sf_dir, "documents"))
+
+
+_DECON_PIPELINE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, source, n_chars, string_split(text, ' ') AS t,
+           ({_DECON_BUCKET} < 6553) AS is_eval
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, is_eval,
+           unnest(list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+    FROM base
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+dirty AS (
+    SELECT doc_id FROM (
+        SELECT s.doc_id, count(*) AS c
+        FROM sh s JOIN ev USING (shingle)
+        WHERE NOT s.is_eval
+        GROUP BY s.doc_id
+    ) WHERE c >= 3
+),
+train AS (SELECT * FROM base WHERE NOT is_eval),
+kept AS (
+    SELECT source, count(*) AS kept_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars
+    FROM train WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    GROUP BY source
+),
+drp AS (
+    SELECT source, count(*) AS dropped_docs
+    FROM train WHERE doc_id IN (SELECT doc_id FROM dirty)
+    GROUP BY source
+)
+SELECT coalesce(k.source, d.source) AS source,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+       CAST(coalesce(d.dropped_docs, 0) AS BIGINT) AS dropped_docs
+FROM kept k FULL OUTER JOIN drp d ON k.source = d.source
+ORDER BY 1
+"""
+
+
+@register("pipeline_decontaminated_corpus", _DECON_PIPELINE_SQL)
+def q_decon_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REMOVAL end to end: md5-bucket eval split →
+    flag train docs sharing ≥3 distinct 3-gram shingles with the eval
+    set → LEFT ANTI join the dirty docs away → per-source rollup of
+    the surviving corpus."""
+    return D.decontaminated_corpus_stats(
+        load_table(spark, sf_dir, "documents"), n=3, eval_rate=0.1,
+        min_shared=3, salt="decon",
+    )
