@@ -15,12 +15,20 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return load_table(spark, SF_SMOKE, "documents").cache()
+    # unpersist on teardown: Spark caches by logical plan, so a leaked
+    # cache turns every later `load_table(..., "documents")` in the
+    # session into an InMemoryTableScan — full-schema, no pruning —
+    # and breaks the plan-shape tests
+    df = load_table(spark, SF_SMOKE, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def embs(spark):
-    return load_table(spark, SF_SMOKE, "embeddings").cache()
+    df = load_table(spark, SF_SMOKE, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_recall_against_exact_jaccard(spark, docs):
