@@ -65,6 +65,14 @@ HEADLINE = [
     "multimodal_metadata",
     "sample_docs_stratified",
     "pipeline_quality_dedup_sample",
+    # round-3 late additions
+    "streaming_stateful_sessions",  # custom stateful op vs native above
+    "streaming_exact_dedup",  # at-least-once dedup, 2x delivery
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume",
+    "text_gopher_flags",
+    "emb_quantize_int8",
+    "decontaminate_eval_overlap",
 ]
 
 
