@@ -1,0 +1,55 @@
+"""Mergeable-sketch aggregation (Apache DataSketches HLL via Spark's
+built-in hll_* functions, public API since Spark 3.5).
+
+The pattern that makes serving tables work at 100 TB: store a SKETCH
+per fine-grained cell (1-minute window × event type), because sketches
+UNION losslessly — any coarser rollup (hour, day, all-types) is a
+cheap `hll_union_agg` over the stored binaries, never a re-scan of the
+raw events. Exact distinct counts cannot do this (distinct is not
+decomposable); this is the standard trade: ±~2% error (lgConfigK=12)
+for mergeability + O(KB) per cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_minute_sketches(events: DataFrame, lgk: int = 12) -> DataFrame:
+    """Per (1-minute window, event_type): event count + HLL sketch of
+    user ids (binary, mergeable). This is the STORED serving table."""
+    return (
+        events.groupBy(
+            F.window("event_time", "60 seconds").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.hll_sketch_agg("user_id", F.lit(lgk)).alias("user_sketch"),
+        )
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "event_count",
+            "user_sketch",
+        )
+    )
+
+
+def hll_rollup_hour(minute_sketches: DataFrame) -> DataFrame:
+    """1-minute sketch cells -> hourly distinct-user estimates per
+    type, via lossless sketch union — no raw-event re-scan."""
+    hour_ms = (
+        (F.col("window_start_ms") / F.lit(3600000)).cast("long")
+        * F.lit(3600000)
+    ).alias("hour_ms")
+    return (
+        minute_sketches.select(hour_ms, "event_type", "event_count", "user_sketch")
+        .groupBy("hour_ms", "event_type")
+        .agg(
+            F.sum("event_count").alias("event_count"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("user_sketch")
+            ).alias("approx_users"),
+        )
+    )

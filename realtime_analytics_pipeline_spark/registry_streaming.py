@@ -345,3 +345,21 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register("event_users_hll_rollup_1h")  # rows-only: sketch binaries are
+# engine-native (DataSketches HLL); estimate-vs-exact and
+# union-losslessness are pinned in tests/test_sketches.py
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch serving pattern: per-minute HLL cells
+    unioned to hourly distinct-user estimates without re-scanning
+    events. At 100 TB the hourly rollup reads KB-sized sketch cells,
+    not the raw fact table."""
+    from realtime_analytics_pipeline_spark.operators.sketches import (
+        hll_minute_sketches,
+        hll_rollup_hour,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    minute = hll_minute_sketches(load_events(spark, sf_dir))
+    return hll_rollup_hour(minute)
