@@ -363,3 +363,70 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     minute = hll_minute_sketches(load_events(spark, sf_dir))
     return hll_rollup_hour(minute)
+
+
+_STREAM_ENRICH_SQL = """
+WITH em AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           count(*) AS event_count
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT * FROM em
+WHERE window_start_ms + 60000 <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_static_enrichment", _STREAM_ENRICH_SQL)
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per
+    micro-batch against a STATIC dimension (user → tier; the dim is a
+    batch DataFrame, broadcast into every micro-batch — Spark
+    re-plans the join per batch, the standard serving enrichment
+    shape), then a windowed aggregation. Single stateful aggregation
+    ⇒ finalized set = windows whose end the final watermark passed
+    (empirically validated like streaming_session_metrics)."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # static dim: distinct users with a derived tier (the synthetic
+        # schema has no user dim table; the mapping is deterministic)
+        tier = (
+            F.when(F.col("uid") % 3 == 0, "gold")
+            .when(F.col("uid") % 3 == 1, "silver")
+            .otherwise("bronze")
+        )
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .select(F.col("user_id").alias("uid"))
+            .distinct()
+            .select(
+                F.col("uid").cast("string").alias("d_user_id"), tier.alias("tier")
+            )
+        )
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        enriched = stream.join(
+            F.broadcast(dim), stream["user_id"] == F.col("d_user_id")
+        )
+        agg = (
+            enriched.groupBy(
+                F.window("event_time", "60 seconds").alias("w"), "tier"
+            )
+            .agg(F.count(F.lit(1)).alias("event_count"))
+        )
+        out = agg.select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "tier",
+            "event_count",
+        )
+        table = f"stream_enrich_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
