@@ -39,3 +39,41 @@ def bucketed_join(
     """Join two identically bucketed tables — Catalyst sees the
     matching output partitioning and elides both exchanges."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def compact_files(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small
+    parquet files into ~ceil(rows / target) size-balanced files,
+    optionally range-sorted so min/max footer stats support pruning.
+
+    The 100 TB operational reality behind it: streaming sinks and
+    over-parallel writers produce thousands of KB-sized files per
+    partition; every downstream scan then pays file-open + footer
+    overhead per file and the driver pays listing. Periodic compaction
+    is the standard fix (public practice across warehouse/lakehouse
+    systems). Row-count-based sizing keeps this deterministic for
+    tests; production would size by bytes.
+
+    Returns the number of output files written.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(in_dir)
+    n = df.count()
+    files = max(1, math.ceil(n / target_rows_per_file))
+    writer = (
+        df.repartitionByRange(files, sort_col)
+        if sort_col
+        else df.repartition(files)
+    )
+    writer.write.mode("overwrite").parquet(out_dir)
+    return len(
+        [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    )

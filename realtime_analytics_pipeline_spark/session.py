@@ -33,6 +33,10 @@ def get_spark(app_name: str = "realtime-analytics-pipeline-spark") -> SparkSessi
         # data is TIMESTAMP(MICROS) — readers branch on the runtime type
         # (schema.normalize_testdata_events / schema.raw_ts_ms).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as INT64 MICROS, not legacy INT96: footer
+        # min/max stats exist (pruning/compaction sorting works) and
+        # re-reads don't hit the INT96-vs-declared-schema trap
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP (UTC
         # session) not TIMESTAMP_NTZ: keeps epoch functions applicable and
         # keeps timestamp predicates pushable (no implicit casts in plan)
@@ -58,6 +62,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     # a foreign session (e.g. the correctness driver's) may carry the
     # 200-partition default — size to local core count, AQE coalesces
     spark.conf.set(

@@ -73,3 +73,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
+    """64 tiny files -> ceil(n/target) compacted files, same rows; the
+    range-sorted variant leaves non-overlapping ts min/max per file
+    (footer stats usable for pruning)."""
+    from realtime_analytics_pipeline_spark.operators.storage import (
+        compact_files,
+    )
+
+    src = str(tmp_path / "small_files")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(64).write.parquet(src)
+    import os
+
+    assert len([f for f in os.listdir(src) if f.startswith("part-")]) == 64
+
+    out = str(tmp_path / "compacted")
+    n = ev.count()
+    files = compact_files(spark, src, out, target_rows_per_file=300,
+                          sort_col="ts")
+    assert files == -(-n // 300)  # ceil
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # range-partitioned by ts: per-file min/max must not overlap
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(os.listdir(out)):
+        if not f.startswith("part-"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col = md.row_group(0).column(idx["ts"])
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["ts"]).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "range-sorted files must not overlap"
