@@ -574,3 +574,65 @@ def q_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     return docs.groupBy("source").applyInPandas(normalize, _ZSCORE_SCHEMA)
+
+
+_DRIFT_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           avg(value) AS day_avg,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+overall AS (
+    SELECT event_type, avg(value) AS g_avg, stddev_samp(value) AS g_std
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+)
+SELECT d.event_type, d.day_ms,
+       round(d.day_avg, 6) AS day_avg,
+       d.n,
+       round((d.day_avg - o.g_avg) / (o.g_std / sqrt(d.n)), 6) AS z,
+       abs(round((d.day_avg - o.g_avg) / (o.g_std / sqrt(d.n)), 6)) > 3.0
+           AS drifted
+FROM daily d JOIN overall o ON d.event_type = o.event_type
+"""
+
+
+@register("value_drift_daily", _DRIFT_SQL)
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality drift monitoring: each (event_type, day)'s
+    mean value as a z-score against the type's overall distribution
+    (standard error of the daily mean), with a |z| > 3 drift flag —
+    the cheap monitor a data pipeline runs per ingestion window. Two
+    partial→final aggregations + a per-type (broadcastable: one row
+    per type) join; no window functions needed."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    day_ms = (
+        F.expr("unix_millis(event_time) DIV 86400000") * F.lit(86400000)
+    ).alias("day_ms")
+    daily = ev.select("event_type", day_ms, "value").groupBy(
+        "event_type", "day_ms"
+    ).agg(
+        F.avg("value").alias("day_avg"), F.count(F.lit(1)).alias("n")
+    )
+    overall = ev.groupBy("event_type").agg(
+        F.avg("value").alias("g_avg"),
+        F.stddev_samp("value").alias("g_std"),
+    )
+    z = F.round(
+        (F.col("day_avg") - F.col("g_avg"))
+        / (F.col("g_std") / F.sqrt(F.col("n"))),
+        6,
+    )
+    return daily.join(F.broadcast(overall), "event_type").select(
+        "event_type",
+        "day_ms",
+        F.round("day_avg", 6).alias("day_avg"),
+        "n",
+        z.alias("z"),
+        (F.abs(z) > 3.0).alias("drifted"),
+    )
