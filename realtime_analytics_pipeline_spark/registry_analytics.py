@@ -636,3 +636,39 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 3.0).alias("drifted"),
     )
+
+
+_TREND_SQL = """
+SELECT event_type,
+       round(regr_slope(value, (epoch_ms(ts) - 1704067200000) / 86400000.0), 6)
+           AS slope_per_day,
+       round(regr_intercept(value, (epoch_ms(ts) - 1704067200000) / 86400000.0), 6)
+           AS intercept,
+       round(regr_r2(value, (epoch_ms(ts) - 1704067200000) / 86400000.0), 6)
+           AS r2,
+       count(value) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("value_trend_by_type", _TREND_SQL)
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of value over time via the built-in
+    regression aggregates (regr_slope/intercept/r2) — one
+    partial→final aggregation, JVM-side; x is days since the corpus
+    epoch so slopes sit in a round-6-stable range."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    x = (
+        (F.unix_millis("event_time") - F.lit(1704067200000))
+        / F.lit(86400000.0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+        F.count("value").alias("n"),
+    )
