@@ -53,3 +53,58 @@ def hll_rollup_hour(minute_sketches: DataFrame) -> DataFrame:
             ).alias("approx_users"),
         )
     )
+
+
+def cm_build(items: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-min sketch as a TABLE: (row, bucket) -> count, built with
+    one explode + one aggregation (JVM-side xxhash64 per row seed).
+
+    Like the HLL cells, the sketch is MERGEABLE — two sketches of the
+    same geometry union by summing bucket counts — so per-partition /
+    per-day sketches roll up without re-scanning raw data. Size is
+    bounded at depth × width rows regardless of input cardinality."""
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1)).cast("array<int>")
+    ).alias("r")
+    return (
+        items.select(F.col(key_col).alias("k"))
+        .select("k", seeds)
+        .select(
+            "r",
+            F.pmod(F.xxhash64("r", "k"), F.lit(width)).cast("int").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point estimates for a set of keys: min over rows of the bucket
+    count — the classic overestimate-only guarantee
+    (est ≥ true; est ≤ true + εN w.h.p.). The sketch side is tiny
+    (≤ depth × width rows) and broadcasts."""
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1)).cast("array<int>")
+    ).alias("r")
+    probes = (
+        keys.select(F.col(key_col).alias("k"))
+        .distinct()
+        .select("k", seeds)
+        .select(
+            "k",
+            "r",
+            F.pmod(F.xxhash64("r", "k"), F.lit(width)).cast("int").alias(
+                "bucket"
+            ),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+        .select(F.col("k").alias(key_col), "est_count")
+    )

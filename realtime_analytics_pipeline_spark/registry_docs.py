@@ -866,3 +866,34 @@ def q_decon_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, eval_rate=0.1,
         min_shared=3, salt="decon",
     )
+
+
+@register("heavy_hitters_cms")  # rows-only: xxhash64 buckets are
+# engine-native; never-underestimate + merge invariants pinned in
+# tests/test_sketches.py
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document bigrams: build the
+    bounded-size sketch table, probe the distinct bigrams, emit the
+    top 20 by estimated count (ties broken by key for determinism).
+    At 100 TB the sketch is depth×width rows regardless of corpus
+    size and merges by summation across partitions/days."""
+    from realtime_analytics_pipeline_spark.functions.text import tokens
+    from realtime_analytics_pipeline_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    sketch = cm_build(bigrams, "bigram", depth=4, width=256)
+    est = cm_estimate(sketch, bigrams, "bigram", depth=4, width=256)
+    return est.orderBy(F.col("est_count").desc(), F.col("bigram")).limit(20)

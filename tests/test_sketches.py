@@ -66,3 +66,67 @@ def test_union_is_lossless_vs_direct_sketch(spark):
     )
     assert unioned.exceptAll(direct).count() == 0
     assert direct.exceptAll(unioned).count() == 0
+
+
+def test_count_min_overestimates_and_bounds(spark):
+    """CM sketch invariants over the bigram stream: every estimate
+    >= the true count (never under), and the overestimate is bounded
+    by the structural guarantee est <= true + N/width (expectation;
+    depth=4 makes the per-key bound overwhelmingly safe at this N)."""
+    from realtime_analytics_pipeline_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+    from realtime_analytics_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tokens("text"), 1, F.size(tokens("text")) - 1),
+                F.slice(tokens("text"), 2, F.size(tokens("text")) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+    )
+    W = 256
+    sketch = cm_build(bigrams, "bg", depth=4, width=W)
+    est = {
+        r.bg: r.est_count
+        for r in cm_estimate(sketch, bigrams, "bg", depth=4, width=W).collect()
+    }
+    true = {
+        r.bg: r.c
+        for r in bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(true.values())
+    assert set(est) == set(true)
+    over = 0
+    for k, t in true.items():
+        assert est[k] >= t, f"CM must never underestimate ({k})"
+        assert est[k] <= t + 8 * n_total // W, "overestimate out of bound"
+        over += est[k] - t
+    # sketch must be non-trivial: some collisions expected at this width
+    assert len(true) > W, "test corpus must stress the sketch"
+
+
+def test_count_min_sketches_merge_by_summing(spark):
+    """Mergeability: sketch(A) + sketch(B) bucket-wise equals
+    sketch(A ∪ B) exactly — the property that makes per-day sketch
+    cells roll up without raw re-scans."""
+    from realtime_analytics_pipeline_spark.operators.sketches import cm_build
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = docs.where("doc_id % 2 = 0").select(F.col("source").alias("s"))
+    b = docs.where("doc_id % 2 = 1").select(F.col("source").alias("s"))
+    u = docs.select(F.col("source").alias("s"))
+    merged = (
+        cm_build(a, "s").union(cm_build(b, "s"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cm_build(u, "s")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
