@@ -672,3 +672,124 @@ def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("value", x), 6).alias("r2"),
         F.count("value").alias("n"),
     )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, min(ts) AS v_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS viewed,
+       (SELECT count(*) FROM c) AS clicked_after_view,
+       (SELECT count(*) FROM p) AS purchased_after_click,
+       round((SELECT count(*) FROM p) * 1.0
+             / (SELECT count(*) FROM v), 6) AS view_to_purchase_rate
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each stage's first
+    event must occur AT OR AFTER the previous stage's first event —
+    the order constraint is what distinguishes a funnel from three
+    independent counts. Three conditional-min aggregations chained by
+    joins on user_id (same key ⇒ the exchanges reuse); final counts
+    are three 1-row aggregates cross-joined."""
+    from pyspark.sql import functions as F
+
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("v_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("event_time") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("event_time") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("event_time").alias("p_ts"))
+    )
+    viewed = v.agg(F.count(F.lit(1)).alias("viewed"))
+    clicked = c.agg(F.count(F.lit(1)).alias("clicked_after_view"))
+    purchased = p.agg(F.count(F.lit(1)).alias("purchased_after_click"))
+    return (
+        viewed.crossJoin(clicked)
+        .crossJoin(purchased)
+        .select(
+            "viewed",
+            "clicked_after_view",
+            "purchased_after_click",
+            F.round(
+                F.col("purchased_after_click") / F.col("viewed"), 6
+            ).alias("view_to_purchase_rate"),
+        )
+    )
+
+
+_SCD2_SQL = """
+WITH daily AS (
+    SELECT o_custkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT o_custkey AS custkey,
+       epoch_ms(o_orderdate) AS valid_from_ms,
+       epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+       CAST(sum(day_spend) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM daily
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+"""
+
+
+@register("customer_spend_scd2", _SCD2_SQL)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 (slowly-changing-dimension type 2) shape: each customer's
+    cumulative spend as versioned rows with [valid_from, valid_to)
+    intervals — valid_to = next change's date (lead), NULL ⇒ current
+    row. Exact DECIMAL running sum (emitted as double); one window
+    shuffle on the dimension key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey"), F.col("o_orderdate")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    cum = Window.partitionBy("o_custkey").orderBy("o_orderdate").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return daily.select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_millis("o_orderdate").alias("valid_from_ms"),
+        F.unix_millis(nxt).alias("valid_to_ms"),
+        F.sum("day_spend").over(cum).cast("double").alias("cum_spend"),
+        nxt.isNull().alias("is_current"),
+    )
