@@ -73,6 +73,10 @@ HEADLINE = [
     "text_gopher_flags",
     "emb_quantize_int8",
     "decontaminate_eval_overlap",
+    "heavy_hitters_cms",
+    "funnel_view_click_purchase",
+    "customer_spend_scd2",
+    "value_drift_daily",
 ]
 
 
