@@ -793,3 +793,92 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day_spend").over(cum).cast("double").alias("cum_spend"),
         nxt.isNull().alias("is_current"),
     )
+
+
+_DQ_SQL = """
+SELECT 'orders_custkey_fk' AS rule, (
+    SELECT count(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+) AS violations
+UNION ALL
+SELECT 'lineitem_orderkey_fk', (
+    SELECT count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+UNION ALL
+SELECT 'lineitem_quantity_range', (
+    SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50
+)
+UNION ALL
+SELECT 'lineitem_discount_range', (
+    SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+)
+UNION ALL
+SELECT 'events_event_id_unique', (
+    SELECT count(*) - count(DISTINCT event_id) FROM events
+)
+UNION ALL
+SELECT 'events_type_nonnull', (
+    SELECT count(*) FROM events WHERE event_type IS NULL
+)
+"""
+
+
+@register("dq_constraint_report", _DQ_SQL)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report: each rule (FK integrity via
+    anti join, range checks, uniqueness, non-null) contributes one
+    (rule, violations) row. Every rule is a filter/anti-join count —
+    all pushdown-friendly; the FK anti joins build their key sets from
+    the dimension side, which AQE broadcasts when small."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(rule: str, cnt_df):
+        return cnt_df.select(
+            F.lit(rule).alias("rule"), F.col("violations")
+        )
+
+    fk_orders = one(
+        "orders_custkey_fk",
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    fk_lines = one(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    qty = one(
+        "lineitem_quantity_range",
+        lineitem.where(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    disc = one(
+        "lineitem_discount_range",
+        lineitem.where(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).agg(F.count(F.lit(1)).alias("violations")),
+    )
+    uniq = one(
+        "events_event_id_unique",
+        ev.agg(
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+                "violations"
+            )
+        ),
+    )
+    nonnull = one(
+        "events_type_nonnull",
+        ev.where(F.col("event_type").isNull()).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+    )
+    return fk_orders.union(fk_lines).union(qty).union(disc).union(uniq).union(nonnull)
