@@ -342,6 +342,7 @@ from realtime_analytics_pipeline_spark import registry_streaming  # noqa: E402,F
 from realtime_analytics_pipeline_spark import registry_multimodal  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_parity  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_curation  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------
@@ -385,25 +386,17 @@ _VERIFY_WINDOW = [
     "streaming_session_metrics",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q12_shipmode_priority",
     "sim_cosine_topk_blas",
     "dedup_embedding_cosine_blas",
     "sim_kmeans_lite",
-    "sim_label_centroids",
     "multimodal_features",
     "sample_docs_hash",
-    "sample_docs_stratified",
-    "train_eval_split",
-    "pipeline_quality_dedup_sample",
     "streaming_interval_join",
     "pack_token_budget",
     "tpch_q4_order_priority",
-    "tpch_q14_promo_effect",
     "tpch_q19_discounted_revenue",
     "events_daily_gapfill_ma7",
-    "events_cube_day_type",
     "value_window_ranks",
-    "serving_unpivot",
     # -- new late in round 3 (never driver-verified) --
     "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
@@ -414,11 +407,18 @@ _VERIFY_WINDOW = [
     "decontaminate_eval_overlap",
     "text_gopher_flags",
     "emb_quantize_int8",
-    # -- core reference surface + extension anchors (driver-green in r02;
-    #    kept in-window so the latest CORRECTNESS file still covers them) --
-    "streaming_event_metrics",
-    "dedup_connected_components",
-    "asof_purchase_attribution",
+    # -- new in the round-3 continuation (never driver-verified) --
+    "text_pii_redaction",
+    "text_tfidf_top_terms",
+    "dedup_canonical_docs",
+    "events_cohort_retention",
+    "events_value_mad_outliers",
+    "streaming_topk_per_window",
+    "funnel_view_click_purchase",
+    "customer_spend_scd2",
+    "dq_constraint_report",
+    "value_drift_daily",
+    "streaming_static_enrichment",
     # demoted to make room for round-3 queries — all green in r01 AND
     # r02, operator families still evidenced by in-window twins:
     # serving_perf_pivot, serving_retention, serving_event_pivot,

@@ -1,0 +1,256 @@
+"""Gated queries: corpus-curation + monitoring extensions
+(PII redaction, TF-IDF profiling, canonical-doc selection, cohort
+retention, robust MAD outlier fences).
+
+Regex patterns are restricted to the Java-regex ∩ RE2 common subset so
+Spark and the DuckDB oracle match byte-for-byte; every float is
+rounded to 6 on both sides; counts that DuckDB would widen to HUGEINT
+are cast back to BIGINT (the CORRECTNESS_r01 text_source_rollup
+lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators import curation as C
+from realtime_analytics_pipeline_spark.operators import dedup as D
+from realtime_analytics_pipeline_spark.operators.clustering import (
+    connected_components,
+)
+from realtime_analytics_pipeline_spark.registry import register
+from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
+
+# --------------------------------------------------------------------------
+# PII redaction (map-only scrub pass)
+#
+# The synthetic corpus carries no PII, so the gated query INJECTS
+# deterministic doc_id-derived spans (an email, an IPv4, a phone) into
+# every document on BOTH engines, then redacts — exercising match
+# counting and replacement against known-true positives while the
+# surrounding real text provides the negatives.
+# --------------------------------------------------------------------------
+
+_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || "
+    "'-1234'"
+)
+
+_REDACT_SQL = f"""
+WITH injected AS (
+    SELECT doc_id, {_INJECT_SQL} AS t FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{C.PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           regexp_replace(t, '{C.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+    FROM injected
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{C.PII_IPV4}')) AS BIGINT)
+               AS n_ips,
+           regexp_replace(t1, '{C.PII_IPV4}', '<IP>', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT doc_id, n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{C.PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(t2, '{C.PII_PHONE}', '<PHONE>', 'g') AS t3
+    FROM s2
+)
+SELECT doc_id, n_emails, n_ips, n_phones, t3 AS clean_text FROM s3
+"""
+
+
+@register("text_pii_redaction", _REDACT_SQL)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234"),
+        ).alias("text"),
+    )
+    return C.redact_pii(injected, "text").select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           round(tf.tf * ln(n_docs * 1.0 / dfq.df), 6) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = C.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Canonical-document selection over near-dup clusters
+#
+# Same bounded subgraph as dedup_connected_components (doc_id < 300 —
+# the transitive-closure oracle is quadratic in component size on this
+# degenerate corpus); the operator itself is unrestricted.
+# --------------------------------------------------------------------------
+
+_CANONICAL_SQL = """
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+    FROM documents WHERE doc_id < 300
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS vertex, min(comp) AS component FROM reach GROUP BY u),
+base AS (
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           d.n_chars AS quality
+    FROM (SELECT * FROM documents WHERE doc_id < 300) d
+    LEFT JOIN cc c ON d.doc_id = c.vertex
+)
+SELECT doc_id, cluster_id,
+       (row_number() OVER (
+            PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1)
+           AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM base
+"""
+
+
+@register("dedup_canonical_docs", _CANONICAL_SQL)
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    cc = connected_components(pairs)
+    return C.canonical_docs(docs, cc, quality_col="n_chars")
+
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix (event-time days)
+# --------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+    FROM events
+),
+coh AS (SELECT user_id, min(day_ms) AS cohort_ms FROM ud GROUP BY 1),
+cells AS (
+    SELECT cohort_ms,
+           (day_ms - cohort_ms) // 86400000 AS offset_days,
+           count(DISTINCT ud.user_id) AS active_users
+    FROM ud JOIN coh USING (user_id)
+    GROUP BY 1, 2
+),
+d0 AS (
+    SELECT cohort_ms AS c0_ms, active_users AS cohort_size
+    FROM cells WHERE offset_days = 0
+)
+SELECT cohort_ms, offset_days, active_users, cohort_size,
+       round(active_users * 1.0 / cohort_size, 6) AS retention_rate
+FROM cells JOIN d0 ON cells.cohort_ms = d0.c0_ms
+"""
+
+
+@register("events_cohort_retention", _COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.cohort_retention(load_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Robust MAD outlier fences per event_type
+# --------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH vals AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT event_type, median(value) AS med FROM vals GROUP BY 1),
+fen AS (
+    SELECT v.event_type, max(m.med) AS med,
+           median(abs(v.value - m.med)) AS mad
+    FROM vals v JOIN med m USING (event_type)
+    GROUP BY 1
+),
+fl AS (
+    SELECT v.event_type, f.med, f.mad,
+           (v.value > f.med + 3 * 1.4826 * f.mad
+            OR v.value < f.med - 3 * 1.4826 * f.mad) AS is_outlier
+    FROM vals v JOIN fen f USING (event_type)
+)
+SELECT event_type,
+       round(max(med), 6) AS med,
+       round(max(mad), 6) AS mad,
+       count(*) AS n,
+       CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       round(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS outlier_rate
+FROM fl
+GROUP BY event_type
+"""
+
+
+@register("events_value_mad_outliers", _MAD_SQL)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.value_mad_outliers(load_events(spark, sf_dir), k=3.0)

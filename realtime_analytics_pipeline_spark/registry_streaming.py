@@ -365,6 +365,78 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup_hour(minute)
 
 
+_STREAM_TOPK_SQL = f"""
+WITH em AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           event_type,
+           count(*) AS event_count,
+           count(DISTINCT user_id) AS user_count
+    FROM events
+    WHERE event_type IN ({_ALLOWED_SQL})
+    GROUP BY 1, 2, 3
+),
+fin AS (
+    SELECT * FROM em
+    WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 70000
+)
+SELECT window_start_ms, window_end_ms, event_type, event_count,
+       user_count, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_start_ms
+        ORDER BY event_count DESC, event_type) AS rank
+    FROM fin
+) WHERE rank <= 3
+"""
+
+
+@register("streaming_topk_per_window", _STREAM_TOPK_SQL)
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: per-window event-type leaderboard.
+
+    Rank-within-window is not expressible inside an append-mode
+    streaming aggregation (no window functions over a streaming agg),
+    so this uses the standard two-tier shape the reference's serving
+    layer also embodies (api/main.py reads ClickHouse tables the job
+    wrote): the STREAMING tier materializes finalized per-window
+    counts (same chained exact-distinct aggregation as
+    streaming_event_metrics), and the SERVING tier ranks the
+    materialized windows — at 100 TB the rank runs over the compact
+    metrics table (windows × types), never the raw stream. Oracle:
+    batch metrics restricted to the finalized set, ranked identically;
+    ties broken (event_count DESC, event_type ASC) deterministically.
+    """
+    from pyspark.sql import Window
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        agg = event_metrics_exact_streaming(stream)
+        out = agg.select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            F.unix_millis("window_end").alias("window_end_ms"),
+            "event_type",
+            "event_count",
+            "user_count",
+        )
+        table = f"stream_topk_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        w = Window.partitionBy("window_start_ms").orderBy(
+            F.desc("event_count"), F.asc("event_type")
+        )
+        return (
+            spark.table(table)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 _STREAM_ENRICH_SQL = """
 WITH em AS (
     SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
