@@ -204,3 +204,52 @@ def kmeans_lite(
             )
         )
     return assigned.select("vec_id", "cluster", "sim")
+
+
+def clustered_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Cluster-scoped embedding near-dup — the SCALE PATH for semantic
+    deduplication (cf. the exact all-pairs baseline in
+    dedup.embedding_dup_pairs, which is O(N²) by construction).
+
+    1. Partition the corpus with the deterministic k-means quantizer.
+    2. Generate candidate pairs ONLY within a cluster: both sides
+       shuffle once on the cluster id, so pair enumeration is
+       O(Σ n_c²) instead of O(N²) and each task touches one cluster.
+    3. Score candidates with the exact cosine formula.
+
+    The recall trade-off is the standard semantic-dedup one (SemDeDup
+    et al.): near-duplicates overwhelmingly co-locate in the same
+    quantizer cell; cross-cluster duplicates are missed — raise k for
+    smaller cells, or run LSH (similarity.py) when probabilistic
+    guarantees are needed. Returns (cluster, id_a, id_b, cos).
+    """
+    assigned = kmeans_lite(embeddings, k, iterations).select(
+        "vec_id", "cluster"
+    )
+    ev = (
+        embeddings.select("vec_id", unit(as_double("embedding")).alias("v"))
+        .join(assigned, "vec_id")
+    )
+    a = ev.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = ev.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cl_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("cluster", "id_a", "id_b", "cos")
+    )

@@ -388,10 +388,10 @@ _VERIFY_WINDOW = [
     "tpch_q9_product_profit",
     "sim_cosine_topk_blas",
     "dedup_embedding_cosine_blas",
-    "sim_kmeans_lite",
+    "dedup_semantic_clustered",
     "multimodal_features",
     "sample_docs_hash",
-    "streaming_interval_join",
+    "streaming_interval_join_outer",
     "pack_token_budget",
     "tpch_q4_order_priority",
     "tpch_q19_discounted_revenue",
@@ -399,7 +399,7 @@ _VERIFY_WINDOW = [
     "value_window_ranks",
     # -- new late in round 3 (never driver-verified) --
     "tpch_q13_order_distribution",
-    "tpch_q18_large_volume",
+    "text_token_counts",
     "tpch_q22_idle_customers",
     "streaming_stateful_sessions",
     "sample_docs_weighted",

@@ -254,3 +254,71 @@ GROUP BY event_type
 @register("events_value_mad_outliers", _MAD_SQL)
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.value_mad_outliers(load_events(spark, sf_dir), k=3.0)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex pieces + chars/4 estimate
+# (SURVEY's token-counting slot; text_stats covers whitespace only)
+# --------------------------------------------------------------------------
+
+# letter runs | digit runs | any single non-space symbol — the
+# pre-tokenizer shape BPE vocabularies start from, in the Java∩RE2
+# regex subset
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_TOKENS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+           AS n_bpe_pieces,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_char4
+FROM documents
+"""
+
+
+@register("text_token_counts", _TOKENS_SQL)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-count triple: whitespace tokens, BPE-style
+    pre-tokenizer pieces (letter runs / digit runs / single symbols),
+    and the chars/4 rule-of-thumb estimate. Map-only — at 100 TB this
+    is a scan-stage pass used for packing budgets and corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+        ).cast("long").alias("n_bpe_pieces"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("est_tokens_char4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup, cluster-scoped (the scale path): k-means quantizer
+# cells bound the candidate set; exact cosine only within a cell.
+# Oracle reuses the loop-unrolled deterministic k-means CTE chain.
+# --------------------------------------------------------------------------
+
+def _semantic_sql() -> str:
+    from realtime_analytics_pipeline_spark.registry_docs import (
+        _kmeans_oracle_sql,
+    )
+
+    return _kmeans_oracle_sql(
+        final="""
+SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_dot_product(x.v, y.v), 6) AS cos
+FROM a3 x JOIN a3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v), 6) >= 0.3"""
+    )
+
+
+@register("dedup_semantic_clustered", _semantic_sql())
+def q_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        clustered_dup_pairs,
+    )
+
+    return clustered_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )

@@ -315,11 +315,20 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_representatives(pairs)
 
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+def _kmeans_oracle_sql(
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+    final: str | None = None,
+) -> str:
     """Loop-unrolled DuckDB twin of clustering.kmeans_lite: fixed init
     (unit vectors of the k smallest vec_ids), ``iterations`` rounds of
     argmax-cosine assignment + unit-normalized per-dim mean update.
-    Deterministic on both engines; sims rounded to 6 only on output."""
+    Deterministic on both engines; sims rounded to 6 only on output.
+
+    ``final`` overrides the terminal SELECT (against CTE ``a{N}``,
+    columns vec_id/cluster/v/sim) so composites — e.g. cluster-scoped
+    dedup — can reuse the assignment CTE chain verbatim."""
     unit_v = (
         "list_transform(embedding::DOUBLE[], x -> x / "
         "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
@@ -354,11 +363,11 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
                 f"c{i} AS (SELECT cluster, list_transform(ml, x -> x / "
                 f"sqrt(list_dot_product(ml, ml))) AS cv FROM m{i})"
             )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cluster, round(sim, 6) AS sim FROM a{iterations}"
-    )
+    if final is None:
+        final = (
+            f"SELECT vec_id, cluster, round(sim, 6) AS sim FROM a{iterations}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
 @register("sim_kmeans_lite", _kmeans_oracle_sql())

@@ -502,3 +502,71 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAMING_OUTER_JOIN_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+m AS (
+    SELECT p.event_id AS pid, p.user_id AS pu, p.ts AS pts,
+           v.event_id AS vid, v.ts AS vts
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+),
+mx AS (SELECT max(epoch_us(ts)) AS mu FROM events)
+SELECT CAST(pid AS VARCHAR) AS purchase_id,
+       CAST(pu AS VARCHAR) AS p_user,
+       epoch_us(pts) AS p_us,
+       CAST(vid AS VARCHAR) AS view_id,
+       epoch_us(vts) AS v_us
+FROM m
+UNION ALL
+SELECT CAST(p.event_id AS VARCHAR),
+       CAST(p.user_id AS VARCHAR),
+       epoch_us(p.ts),
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM p, mx
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.pid = p.event_id)
+  AND epoch_us(p.ts) <= mu - 10000000
+"""
+
+
+@register("streaming_interval_join_outer", _STREAMING_OUTER_JOIN_SQL)
+def q_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join as a real streaming
+    query. Matched pairs emit in the batch where both sides meet (as
+    in the inner twin); an UNMATCHED purchase emits null-padded once
+    the watermark passes its p_time — no view with v_time ≤ p_time
+    can still arrive, so its join state expires. Oracle: batch left
+    join = all matched rows ∪ unmatched purchases finalized by the
+    terminal watermark (p_us ≤ max_us − 10 s delay; boundary verified
+    row-exact at sf0.001 — 198/199 emitted, the held-back one being
+    the stream tail — and sf0.01). Multi-batch null-padding/eviction
+    is pinned in tests/test_stream_joins.py."""
+    from realtime_analytics_pipeline_spark.streaming.joins import (
+        stream_attribution_join_outer,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        joined = stream_attribution_join_outer(stream).select(
+            "purchase_id",
+            "p_user",
+            F.unix_micros("p_time").alias("p_us"),
+            "view_id",
+            F.unix_micros("v_time").alias("v_us"),
+        )
+        table = f"stream_outer_join_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(joined, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

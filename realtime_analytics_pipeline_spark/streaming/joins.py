@@ -58,3 +58,40 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     arriving within the watermark horizon are dropped; state for a key
     is evicted once the watermark passes its event time."""
     return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def stream_attribution_join_outer(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    hit_type: str = "purchase",
+    source_type: str = "view",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched rows as they meet their views, UNMATCHED purchases
+    null-padded once the watermark passes the end of their match
+    window (no view can arrive with v_time ≤ p_time anymore), i.e.
+    when the purchase's join state expires. This is the streaming
+    analog of batch left-join attribution: conversion rows plus the
+    organic purchases, with state still bounded by the watermark.
+    """
+    views = events.where(F.col("event_type") == source_type).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_time").alias("v_time"),
+        F.col("event_id").alias("view_id"),
+    )
+    hits = events.where(F.col("event_type") == hit_type).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("p_time"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return hits.join(
+        views,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            v_time <= p_time AND
+            v_time >= p_time - INTERVAL {lookback}
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "p_time", "view_id", "v_time")
