@@ -77,6 +77,13 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "customer_spend_scd2",
     "value_drift_daily",
+    # round-3 continuation
+    "text_pii_redaction",  # map-only regex scrub
+    "text_tfidf_top_terms",
+    "dedup_semantic_clustered",  # k-means-cell-bounded candidates
+    "events_cohort_retention",
+    "events_value_mad_outliers",
+    "sample_docs_quota",
 ]
 
 

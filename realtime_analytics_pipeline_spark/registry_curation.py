@@ -322,3 +322,183 @@ def q_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window drift monitor: each (type, day) vs its OWN trailing
+# 7-observed-day baseline (value_drift_daily compares against the
+# whole-history mean — this is the production shape: the baseline
+# moves with the data, so a slow ramp alarms once, not forever).
+# ROWS frame, not RANGE: "previous 7 observed days" is gap-immune and
+# identical in both engines.
+# --------------------------------------------------------------------------
+
+_DRIFT7_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           avg(value) AS day_avg
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+trailed AS (
+    SELECT event_type, day_ms, day_avg,
+           avg(day_avg) OVER w AS base_avg,
+           stddev_samp(day_avg) OVER w AS base_std
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_ms
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day_ms,
+       round(day_avg, 6) AS day_avg,
+       round(base_avg, 6) AS base_avg,
+       round(base_std, 6) AS base_std,
+       round((day_avg - base_avg) / base_std, 6) AS z,
+       (abs((day_avg - base_avg) / base_std) > 3.0) AS is_drift
+FROM trailed
+WHERE base_std > 0.000000000001
+"""
+
+
+@register("value_drift_trailing7", _DRIFT7_SQL)
+def q_value_drift_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle for the daily agg, one window pass per type —
+    the frame is 8 rows regardless of history length, so state per
+    key is O(1) and the plan scales linearly in days."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_millis(event_time) DIV 86400000) * 86400000"
+            ).alias("day_ms"),
+            "value",
+        )
+        .groupBy("event_type", "day_ms")
+        .agg(F.avg("value").alias("day_avg"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_ms")
+        .rowsBetween(-7, -1)
+    )
+    trailed = daily.withColumns(
+        {
+            "base_avg": F.avg("day_avg").over(w),
+            "base_std": F.stddev_samp("day_avg").over(w),
+        }
+    )
+    z = (F.col("day_avg") - F.col("base_avg")) / F.col("base_std")
+    return trailed.where(F.col("base_std") > F.lit(1e-12)).select(
+        "event_type",
+        "day_ms",
+        F.round("day_avg", 6).alias("day_avg"),
+        F.round("base_avg", 6).alias("base_avg"),
+        F.round("base_std", 6).alias("base_std"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 3.0).alias("is_drift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source quota sampling: a deterministic N-doc cap per source —
+# the balanced-corpus complement to rate-based stratified sampling
+# (rates keep proportions; quotas equalize them).
+# --------------------------------------------------------------------------
+
+_QUOTA_N = 20
+
+_QUOTA_SQL = f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('q0' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+) WHERE rk <= {_QUOTA_N}
+"""
+
+
+@register("sample_docs_quota", _QUOTA_SQL)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep exactly min(N, |source|) docs per source, chosen by md5
+    order — reproducible across runs/partitionings, unbiased within a
+    source, and growth-stable (adding docs only displaces at the hash
+    boundary). One shuffle on source; a pathologically hot source
+    serializes its own partition — for that shape, pre-filter with the
+    rate-based sampler (operators/sampling.py) to cut the hot key
+    before the exact quota pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("q0"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _QUOTA_N)
+        .select("doc_id", "source", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized (clipped) robust stats — the feature-engineering
+# complement to the MAD fences: instead of FLAGGING outliers, clamp
+# them to the p05/p95 band and report how much the mean moves.
+# --------------------------------------------------------------------------
+
+_WINSOR_SQL = """
+WITH vals AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+bands AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM vals GROUP BY 1
+)
+SELECT v.event_type,
+       round(max(b.p05), 6) AS p05,
+       round(max(b.p95), 6) AS p95,
+       round(avg(v.value), 6) AS avg_raw,
+       round(avg(greatest(b.p05, least(b.p95, v.value))), 6)
+           AS avg_winsorized,
+       CAST(sum(CASE WHEN v.value < b.p05 OR v.value > b.p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM vals v JOIN bands b USING (event_type)
+GROUP BY v.event_type
+"""
+
+
+@register("events_value_winsorized", _WINSOR_SQL)
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two order-statistic passes like the MAD fences: bands are one
+    row per type (broadcast back), the clamp is a Column expression
+    inside the final aggregation — no extra shuffle beyond the two
+    per-type aggregations."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    vals = ev.select("event_type", "value")
+    bands = vals.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    clamped = F.greatest(
+        F.col("p05"), F.least(F.col("p95"), F.col("value"))
+    )
+    clipped = (
+        (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    ).cast("long")
+    return (
+        vals.join(bands, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("p05"), 6).alias("p05"),
+            F.round(F.max("p95"), 6).alias("p95"),
+            F.round(F.avg("value"), 6).alias("avg_raw"),
+            F.round(F.avg(clamped), 6).alias("avg_winsorized"),
+            F.sum(clipped).alias("n_clipped"),
+        )
+    )

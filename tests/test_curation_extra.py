@@ -145,3 +145,144 @@ def test_outer_join_null_pads_after_watermark(spark, tmp_path):
     assert got.get("2") == "1"  # matched in-batch
     assert "3" in got and got["3"] is None  # null-padded on expiry
     assert "5" not in got  # tail held by the watermark
+
+
+# --------------------------------------------------------------------------
+# trailing-drift monitor + quota sampling
+# --------------------------------------------------------------------------
+
+
+def test_trailing_drift_flags_spike_not_baseline(spark):
+    day = 86400000
+    rows = []
+    # type 'a': days 0..8 hover (10 + i%3), day 9 spikes to 100
+    for d in range(9):
+        rows.append(("a", d * day, 10.0 + d % 3))
+    rows.append(("a", 9 * day, 100.0))
+    # type 'b': constant value -> base_std 0 -> every row filtered
+    for d in range(10):
+        rows.append(("b", d * day, 5.0))
+    events = spark.createDataFrame(
+        rows, "event_type string, ms long, value double"
+    ).select(
+        "event_type",
+        F.timestamp_millis(F.col("ms")).alias("event_time"),
+        "value",
+    )
+    # drive the operator body directly on the crafted frame
+    from pyspark.sql import Window
+
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(unix_millis(event_time) DIV 86400000) * 86400000").alias(
+                "day_ms"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_ms")
+        .agg(F.avg("value").alias("day_avg"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_ms").rowsBetween(-7, -1)
+    trailed = daily.withColumns(
+        {
+            "base_avg": F.avg("day_avg").over(w),
+            "base_std": F.stddev_samp("day_avg").over(w),
+        }
+    )
+    z = (F.col("day_avg") - F.col("base_avg")) / F.col("base_std")
+    out = (
+        trailed.where(F.col("base_std") > F.lit(1e-12))
+        .select("event_type", "day_ms", F.round(z, 6).alias("z"),
+                (F.abs(z) > 3.0).alias("is_drift"))
+        .collect()
+    )
+    by_key = {(r["event_type"], r["day_ms"]): r for r in out}
+    assert ("b", 0) not in by_key  # constant type entirely filtered
+    assert all(k[0] == "a" for k in by_key)
+    spike = by_key[("a", 9 * 86400000)]
+    assert spike["is_drift"] and spike["z"] > 3
+    # normal days within the hover band never alarm
+    for (t, d), r in by_key.items():
+        if d < 9 * 86400000:
+            assert not r["is_drift"], (d, r["z"])
+
+
+def test_quota_sample_properties(spark):
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(100)] + [(1000, "tiny")],
+        "doc_id long, source string",
+    ).withColumn("text", F.lit("x")).withColumn("lang", F.lit("en")) \
+     .withColumn("n_chars", F.lit(1))
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("q0"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    out = (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "source", "rk")
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 20, "src1": 20, "src2": 20, "tiny": 1}
+    # deterministic across evaluations
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
+
+
+# --------------------------------------------------------------------------
+# dead-letter parse path + winsorization
+# --------------------------------------------------------------------------
+
+
+def test_parse_wire_json_dlq_routes_rejects(spark):
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        parse_wire_json_with_dlq,
+    )
+
+    payloads = [
+        ('{"event": {"id": "1", "type": "view"}, "user": {"id": "u1"},'
+         ' "timestamp": 1704067200000}'),
+        "not json at all {{{",
+        # valid JSON but the envelope is missing event.id
+        '{"user": {"id": "u2"}, "timestamp": 1704067200001}',
+    ]
+    raw = spark.createDataFrame(
+        [(p.encode("utf-8"),) for p in payloads], "value binary"
+    )
+    good, dead = parse_wire_json_with_dlq(raw, "10 seconds")
+    good_ids = [r["event_id"] for r in good.collect()]
+    assert good_ids == ["1"]
+    rejects = {r["reject_reason"] for r in dead.collect()}
+    assert dead.count() == 2
+    assert rejects == {"malformed_json", "missing_event_id"}
+    # the raw payload is preserved for replay
+    assert {r["payload"] for r in dead.collect()} == set(payloads[1:])
+
+
+def test_winsorized_clamps_only_tails(spark):
+    # 19 values 1..19 + spike 1000: p95 clamps the spike, p05 the min
+    vals = [float(v) for v in range(1, 20)] + [1000.0]
+    events = spark.createDataFrame(
+        [("t", v) for v in vals], "event_type string, value double"
+    )
+    bands = events.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    row = bands.collect()[0]
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    out = (
+        events.join(bands, "event_type")
+        .agg(
+            F.avg("value").alias("avg_raw"),
+            F.avg(clamped).alias("avg_w"),
+            F.sum(((F.col("value") < F.col("p05"))
+                   | (F.col("value") > F.col("p95"))).cast("long")).alias("nc"),
+        )
+        .collect()[0]
+    )
+    assert out["nc"] == 2  # the 1.0 low tail and the 1000.0 spike
+    assert out["avg_w"] < out["avg_raw"]  # spike's pull removed
+    assert row["p05"] > 1.0 and row["p95"] < 1000.0
