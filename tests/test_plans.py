@@ -15,7 +15,7 @@ from realtime_analytics_pipeline_spark.operators import relational as R
 from realtime_analytics_pipeline_spark.operators.event_metrics import event_metrics
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
 
 
 def plan_of(df) -> str:
@@ -81,7 +81,7 @@ def test_q17_correlated_subquery_decorrelates(spark):
     aggregate + join — no per-row subquery re-execution."""
     from realtime_analytics_pipeline_spark.registry_analytics import q_tpch_q17
 
-    from tests.conftest import SF_SMOKE as _SF
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE as _SF
 
     plan = plan_of(q_tpch_q17(spark, _SF))
     # decorrelated: a standalone aggregate over l2 joined back in
@@ -229,3 +229,44 @@ def test_q18_semi_join_prunes_before_wide_join(spark):
 
     plan = plan_of(q_tpch_q18(spark, SF_SMOKE))
     assert "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Scale lever: Spark's runtime bloom filter pushes a row-level
+    membership test from a selective join side into the big side's
+    scan — at 100 TB this prunes fact rows before the shuffle. Local
+    thresholds are lowered to trigger it; production keeps the
+    defaults (creation side ≤ 100 MB, application side ≥ 10 GB)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_CORRECTNESS}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_CORRECTNESS}/orders.parquet").where(
+            "o_totalprice > 400000"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in optimized  # BloomFilterMightContain injected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
