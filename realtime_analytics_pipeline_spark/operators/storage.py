@@ -77,3 +77,76 @@ def compact_files(
     return len(
         [f for f in os.listdir(out_dir) if f.startswith("part-")]
     )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Append a Z-order (Morton) key over ``cols``: each column is
+    min-max scaled to a ``bits``-wide integer and the bit planes are
+    interleaved, so rows close in the key are close in EVERY listed
+    dimension at once.
+
+    The lakehouse multi-dimensional clustering primitive: a linear
+    sort gives perfect file skipping on the leading column and none on
+    the others; Z-ordering gives partial skipping on all of them —
+    each file's min/max footer range covers ~2^(-bits_per_dim·level)
+    of every dimension instead of 100% of the non-leading ones.
+
+    Pure Column arithmetic (shifts/masks, no UDF); the bounds are a
+    one-row aggregate broadcast back to the scan.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(F.col(c)).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c)).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    scaled = df.crossJoin(F.broadcast(bounds))
+    max_code = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        span = F.col(f"__mx_{c}") - F.col(f"__mn_{c}")
+        frac = F.when(span > 0, (F.col(c) - F.col(f"__mn_{c}")) / span).otherwise(
+            F.lit(0.0)
+        )
+        codes.append(
+            F.least(
+                F.lit(max_code),
+                F.floor(frac * F.lit(max_code + 1)).cast("long"),
+            )
+        )
+    n = len(cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(codes[i], b).bitwiseAND(F.lit(1)), b * n + i
+        )
+        for i in range(n)
+        for b in range(bits)
+    ]
+    zkey = reduce(lambda a, t: a + t, terms[1:], terms[0])
+    return scaled.withColumn("__zkey", zkey).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key over ``cols`` — every file's footer then
+    carries a narrow min/max band on EACH clustered column, so scans
+    filtered on any of them prune files (a linear sort only prunes on
+    its leading column)."""
+    zorder_key(df, cols, bits).repartitionByRange(
+        n_files, "__zkey"
+    ).sortWithinPartitions("__zkey").drop("__zkey").write.mode(
+        "overwrite"
+    ).parquet(out_dir)

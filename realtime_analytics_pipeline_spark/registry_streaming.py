@@ -570,3 +570,43 @@ def q_streaming_interval_join_outer(
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAM_SLIDING_SQL = """
+WITH sl AS (
+    SELECT ((epoch_ms(ts) // 60000) - j) * 60000 AS window_start_ms,
+           ((epoch_ms(ts) // 60000) - j) * 60000 + 300000 AS window_end_ms,
+           event_type,
+           count(*) AS event_count
+    FROM events, (SELECT unnest(range(5)) AS j)
+    GROUP BY 1, 2, 3
+)
+SELECT * FROM sl
+WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_sliding_window_5m1m", _STREAM_SLIDING_SQL)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (5 m window / 1 m slide) as a REAL streaming
+    aggregation — each event feeds 5 overlapping windows; a SINGLE
+    stateful count aggregation, so the append-mode finalized set is
+    exactly the windows whose end the terminal watermark passed
+    (max event time − 10 s), same single-operator eviction rule as
+    streaming_session_metrics — no chained-agg window-generation lag."""
+    from realtime_analytics_pipeline_spark.operators.relational import (
+        sliding_event_counts,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        out = sliding_event_counts(stream)
+        table = f"stream_sliding_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

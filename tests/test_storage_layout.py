@@ -116,3 +116,57 @@ def test_compaction_reduces_file_count_preserves_rows(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "range-sorted files must not overlap"
+
+
+def test_zorder_narrows_footer_ranges_on_both_dims(spark, tmp_path):
+    """Z-ordered files must carry narrow min/max footer bands on BOTH
+    clustered columns; a linear sort narrows only its leading column
+    (the trailing one spans ~the full range in every file), which is
+    exactly the file-skipping gap Z-ordering closes."""
+    import pyarrow.parquet as pq
+    import os
+
+    from realtime_analytics_pipeline_spark.operators.storage import (
+        write_zordered,
+    )
+
+    # two independent uniform dims -> worst case for linear sort
+    df = spark.range(0, 20000).select(
+        (F.col("id") * 2654435761 % 1000).alias("x"),
+        (F.col("id") * 40503 % 1000).alias("y"),
+    )
+    lin_dir = str(tmp_path / "linear")
+    z_dir = str(tmp_path / "zorder")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(lin_dir)
+    write_zordered(spark, df, z_dir, ["x", "y"], n_files=16)
+
+    def avg_span(d, col):
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                spans.append((mx - mn) / 999.0)
+        assert spans
+        return sum(spans) / len(spans)
+
+    # linear: leading column tightly banded, trailing spans ~everything
+    assert avg_span(lin_dir, "x") < 0.2
+    assert avg_span(lin_dir, "y") > 0.8
+    # z-order: BOTH columns banded well below the full range
+    zx, zy = avg_span(z_dir, "x"), avg_span(z_dir, "y")
+    assert zx < 0.6 and zy < 0.6, (zx, zy)
+    # and the trailing dimension improves by a wide margin
+    assert zy < 0.7 * avg_span(lin_dir, "y")
