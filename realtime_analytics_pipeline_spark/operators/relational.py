@@ -300,3 +300,57 @@ def asof_attribution(
             F.unix_millis("src_t").alias("last_view_ms"),
         )
     )
+
+
+def sliding_event_counts_paned(
+    events: DataFrame,
+    pane: str = "60 seconds",
+    panes_per_window: int = 5,
+) -> DataFrame:
+    """Pane-optimized hopping windows — identical results to
+    ``sliding_event_counts`` with the event-replication term removed.
+
+    The naive hopping aggregation lands EVERY EVENT in window/slide
+    buckets (5× shuffle rows at 5m/1m). This computes non-overlapping
+    pane aggregates first (one map-side-combined shuffle at 1× rows),
+    then replicates the PANES — already windows × types cardinality,
+    orders of magnitude smaller than events — into the hopping
+    windows they belong to. The standard panes/stream-slicing
+    optimization (Li et al., "No Pane, No Gain"); at 100 TB the 5×
+    event replication is the dominant shuffle term, the pane rollup
+    is noise.
+    """
+    pane_ms = 60000
+    window_ms = pane_ms * panes_per_window
+    panes = (
+        events.groupBy(
+            F.window("event_time", pane).alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("pane_count"))
+        .select(
+            F.unix_millis("w.start").alias("pane_ms"),
+            "event_type",
+            "pane_count",
+        )
+    )
+    k = F.explode(
+        F.sequence(F.lit(0), F.lit(panes_per_window - 1))
+    ).alias("k")
+    return (
+        panes.select("pane_ms", "event_type", "pane_count", k)
+        .select(
+            (F.col("pane_ms") - F.col("k") * pane_ms).alias(
+                "window_start_ms"
+            ),
+            "event_type",
+            "pane_count",
+        )
+        .groupBy("window_start_ms", "event_type")
+        .agg(F.sum("pane_count").alias("event_count"))
+        .select(
+            "window_start_ms",
+            (F.col("window_start_ms") + window_ms).alias("window_end_ms"),
+            "event_type",
+            "event_count",
+        )
+    )

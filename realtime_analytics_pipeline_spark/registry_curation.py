@@ -502,3 +502,87 @@ def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped).alias("n_clipped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pane-optimized hopping windows: SAME oracle as the naive
+# events_sliding_window_5m1m — the optimization must be invisible in
+# the results (5x event replication traded for pane replication).
+# --------------------------------------------------------------------------
+
+_SLIDING_PANED_SQL = """
+SELECT ((epoch_ms(ts) // 60000) - j) * 60000 AS window_start_ms,
+       ((epoch_ms(ts) // 60000) - j) * 60000 + 300000 AS window_end_ms,
+       event_type,
+       count(*) AS event_count
+FROM events, (SELECT unnest(range(5)) AS j)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_window_paned", _SLIDING_PANED_SQL)
+def q_sliding_paned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.relational import (
+        sliding_event_counts_paned,
+    )
+
+    out = sliding_event_counts_paned(load_events(spark, sf_dir))
+    return out.select(
+        "window_start_ms", "window_end_ms", "event_type", "event_count"
+    )
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten: propagate a deletion-request set through the
+# fact table with a distributed anti join + an audit rollup (no
+# driver-side membership set). The request set here is deterministic
+# (user_id % 97 == 0) so both engines derive it identically.
+# --------------------------------------------------------------------------
+
+_FORGET_SQL = """
+WITH requests AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+kept AS (
+    SELECT e.* FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM requests r WHERE r.user_id = e.user_id)
+)
+SELECT event_type,
+       count(*) AS kept_events,
+       (SELECT count(*) FROM events) - (SELECT count(*) FROM kept)
+           AS purged_events,
+       (SELECT count(*) FROM requests) AS forgotten_users
+FROM kept
+GROUP BY event_type
+"""
+
+
+@register("events_forget_users", _FORGET_SQL)
+def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagation: LEFT ANTI join removes every event of the
+    requested users (requests stay distributed — broadcast if small,
+    shuffle join if millions), then an audit rollup records kept vs
+    purged so the erasure is provable. The rewrite path would be
+    compact_files over the anti-joined frame."""
+    ev = load_events(spark, sf_dir)
+    requests = ev.where(F.col("user_id").cast("long") % 97 == 0).select(
+        "user_id"
+    ).distinct()
+    kept = ev.join(requests, "user_id", "left_anti")
+    # audit scalars as one-row broadcast aggregates — no driver counts
+    totals = ev.agg(F.count(F.lit(1)).alias("__total"))
+    kept_totals = kept.agg(F.count(F.lit(1)).alias("__kept"))
+    reqs = requests.agg(F.count(F.lit(1)).alias("__reqs"))
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("kept_events"))
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(kept_totals))
+        .crossJoin(F.broadcast(reqs))
+        .select(
+            "event_type",
+            "kept_events",
+            (F.col("__total") - F.col("__kept")).alias("purged_events"),
+            F.col("__reqs").alias("forgotten_users"),
+        )
+    )

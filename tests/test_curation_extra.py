@@ -286,3 +286,47 @@ def test_winsorized_clamps_only_tails(spark):
     assert out["nc"] == 2  # the 1.0 low tail and the 1000.0 spike
     assert out["avg_w"] < out["avg_raw"]  # spike's pull removed
     assert row["p05"] > 1.0 and row["p95"] < 1000.0
+
+
+# --------------------------------------------------------------------------
+# pane-optimized sliding windows + forget-users
+# --------------------------------------------------------------------------
+
+
+def test_paned_sliding_equals_naive(spark):
+    """The pane optimization must be result-invisible: identical rows
+    to the naive event-replication hopping aggregation."""
+    from realtime_analytics_pipeline_spark.operators.relational import (
+        sliding_event_counts,
+        sliding_event_counts_paned,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    naive = {tuple(r) for r in sliding_event_counts(ev).collect()}
+    paned = {
+        tuple(r)
+        for r in sliding_event_counts_paned(ev)
+        .select(
+            "window_start_ms", "window_end_ms", "event_type", "event_count"
+        )
+        .collect()
+    }
+    assert naive == paned and naive
+
+
+def test_forget_users_purges_completely(spark):
+    """After the anti join, NO event of a requested user survives, and
+    kept + purged == total."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    requests = (
+        ev.where(F.col("user_id").cast("long") % 97 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    kept = ev.join(requests, "user_id", "left_anti")
+    leaked = kept.join(requests, "user_id").count()
+    assert leaked == 0
+    assert kept.count() + ev.join(requests, "user_id").count() == ev.count()
