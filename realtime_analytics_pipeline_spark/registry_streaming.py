@@ -610,3 +610,42 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STATEFUL_TOTALS_SQL = """
+SELECT event_type, count(*) AS total_events
+FROM events
+GROUP BY 1
+"""
+
+
+@register("streaming_stateful_totals_final", _STATEFUL_TOTALS_SQL)
+def q_streaming_stateful_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT oracle row for the custom stateful operator: the
+    update-mode memory table carries one row per (type, micro-batch)
+    with monotone cumulative counts, so the final cumulative count per
+    type — max over the update stream — must equal the batch COUNT(*).
+    This upgrades the operator's evidence from rows-only (the bloom
+    column has no SQL twin) to a hard cross-engine check on its
+    deterministic half; the twin query streaming_stateful_running_totals
+    still exposes the full output incl. the bloom estimate."""
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        running_totals_per_type,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        out = running_totals_per_type(stream)
+        table = f"stream_stateful_final_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="update")
+        return (
+            spark.table(table)
+            .groupBy("event_type")
+            .agg(F.max("cumulative_events").alias("total_events"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
