@@ -193,3 +193,45 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         F.round(F.array_max(errs), 9).alias("max_abs_err"),
         F.round(mse, 12).alias("mse"),
     )
+
+
+def projection_coeffs(
+    in_dim: int, out_dim: int
+) -> list[list[float]]:
+    """Deterministic sparse-JL-style projection matrix: integer-derived
+    rational coefficients ((j*31 + k*17) % 7 - 3) / 3 ∈ [-1, 1] — no
+    RNG, reproducible everywhere, and exactly representable enough
+    that Spark and the DuckDB oracle agree bit-for-bit after round(6).
+    """
+    return [
+        [((j * 31 + k * 17) % 7 - 3) / 3.0 for j in range(in_dim)]
+        for k in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame, in_dim: int = 64, out_dim: int = 8
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction: project
+    each embedding onto ``out_dim`` fixed pseudo-random directions.
+
+    Map-only Column arithmetic (one zip_with+aggregate dot per output
+    dimension — no UDF, no shuffle): at 100 TB this is a scan-stage
+    pass that cuts downstream ANN/dedup cost by in_dim/out_dim.
+    Output columns p0..p{k-1} (rounded 6) rather than an array: scalar
+    columns keep the driver's value-hash stable and stay prunable.
+    """
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+    )
+
+    coeffs = projection_coeffs(in_dim, out_dim)
+    v = as_double("embedding")
+    cols = [
+        F.round(
+            dot(v, F.array(*[F.lit(c) for c in row])), 6
+        ).alias(f"p{k}")
+        for k, row in enumerate(coeffs)
+    ]
+    return embeddings.select("vec_id", *cols)

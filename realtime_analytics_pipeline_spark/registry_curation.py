@@ -586,3 +586,30 @@ def q_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__reqs").alias("forgotten_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JL random projection (dimensionality reduction, map-only)
+# --------------------------------------------------------------------------
+
+def _projection_sql(in_dim: int = 64, out_dim: int = 8) -> str:
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        projection_coeffs,
+    )
+
+    cols = ",\n       ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(c) for c in row)
+        + f"]), 6) AS p{k}"
+        for k, row in enumerate(projection_coeffs(in_dim, out_dim))
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+@register("emb_random_projection", _projection_sql())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))

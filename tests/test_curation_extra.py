@@ -330,3 +330,41 @@ def test_forget_users_purges_completely(spark):
     leaked = kept.join(requests, "user_id").count()
     assert leaked == 0
     assert kept.count() + ev.join(requests, "user_id").count() == ev.count()
+
+
+# --------------------------------------------------------------------------
+# JL random projection
+# --------------------------------------------------------------------------
+
+
+def test_random_projection_properties(spark):
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        projection_coeffs,
+        random_projection,
+    )
+
+    # hand case: 4-dim input, 2 output dims, known coefficients
+    coeffs = projection_coeffs(4, 2)
+    vec = [1.0, 2.0, 0.0, -1.0]
+    expect = [
+        round(sum(v * c for v, c in zip(vec, row)), 6) for row in coeffs
+    ]
+    df = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["p0"], r["p1"])
+        for r in random_projection(df, in_dim=4, out_dim=2).collect()
+    }
+    assert out[1] == tuple(expect)
+    assert out[1] == out[2]  # identical vectors project identically
+    assert out[3] == (0.0, 0.0)
+    # map-only: no Exchange in the plan
+    plan = (
+        random_projection(df, 4, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
