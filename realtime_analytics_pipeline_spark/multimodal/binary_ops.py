@@ -195,3 +195,59 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("start_byte", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("chunk", BinaryType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def chunk_media(
+    media: DataFrame,
+    chunk_size: int = 100,
+    stride: int = 80,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Fixed-window (optionally overlapping) chunking of opaque binary
+    payloads — the audio/video preprocessing shape: one input row
+    fans out to ceil((n−size)/stride)+1 chunk rows with byte offsets
+    and per-chunk digests. mapInPandas so the fan-out happens inside
+    the Arrow batch (no explode of a materialized array column, no
+    driver involvement); chunk boundaries are pure arithmetic, so a
+    SQL oracle can verify offsets/digests without any codec."""
+    import pandas as pd
+
+    def chunker(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "chunk_idx": [], "start_byte": [],
+                "n_bytes": [], "chunk": [], "chunk_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n <= chunk_size:
+                    count = 1
+                else:
+                    count = -(-(n - chunk_size) // stride) + 1
+                for i in range(count):
+                    start = i * stride
+                    piece = data[start : start + chunk_size]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["start_byte"].append(start)
+                    out["n_bytes"].append(len(piece))
+                    out["chunk"].append(piece)
+                    out["chunk_md5"].append(hashlib.md5(piece).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        chunker, CHUNK_SCHEMA
+    )

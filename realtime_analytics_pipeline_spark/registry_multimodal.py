@@ -60,3 +60,42 @@ FROM documents
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+_CHUNKS_SQL = """
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+idx AS (
+    SELECT doc_id, text, n,
+           unnest(range(CAST(
+               CASE WHEN n <= 100 THEN 1
+                    ELSE ceil((n - 100) * 1.0 / 80) + 1 END AS BIGINT)))
+               AS chunk_idx
+    FROM m
+)
+SELECT doc_id,
+       chunk_idx,
+       chunk_idx * 80 AS start_byte,
+       CAST(length(substr(text, CAST(chunk_idx * 80 + 1 AS INTEGER), 100))
+            AS BIGINT) AS n_bytes,
+       md5(substr(text, CAST(chunk_idx * 80 + 1 AS INTEGER), 100))
+           AS chunk_md5
+FROM idx
+"""
+
+
+@register("multimodal_chunks", _CHUNKS_SQL)
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking plumbing through the REAL Arrow/mapInPandas path: the
+    deterministic payload is the utf-8 text, so the oracle rebuilds
+    every chunk's offsets and md5 with plain substring arithmetic —
+    verifying the fan-out, boundary, and digest logic end-to-end
+    (binary chunk column dropped for the hash; its digest stands in)."""
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        attach_payload,
+        chunk_media,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return chunk_media(media).select(
+        "doc_id", "chunk_idx", "start_byte", "n_bytes", "chunk_md5"
+    )

@@ -45,3 +45,35 @@ def test_sample_frames_every_k(spark):
     n_frames = max(len(bytes(one.payload)) // 64, 1)
     want = len(range(0, n_frames, 4))
     assert len(by_doc[1]) == want
+
+
+def test_chunk_media_fanout_and_digests(spark):
+    """Chunk boundaries, overlap, and digests on crafted payloads:
+    a 250-byte payload at size=100/stride=80 yields starts 0/80/160
+    (last chunk truncated to 90 bytes); a payload under one chunk
+    yields exactly itself."""
+    import hashlib
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        chunk_media,
+    )
+
+    big = bytes(range(250)) 
+    small = b"tiny"
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(small))],
+        "doc_id long, payload binary",
+    )
+    rows = chunk_media(df, chunk_size=100, stride=80).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_byte"] for r in c1] == [0, 80, 160]
+    assert [r["n_bytes"] for r in c1] == [100, 100, 90]
+    for r in c1:
+        piece = big[r["start_byte"]: r["start_byte"] + 100]
+        assert bytes(r["chunk"]) == piece
+        assert r["chunk_md5"] == hashlib.md5(piece).hexdigest()
+    c2 = by_doc[2]
+    assert len(c2) == 1 and bytes(c2[0]["chunk"]) == small
