@@ -613,3 +613,13 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("events_sliding_users_hll")  # rows-only: HLL estimates are
+# engine-native; accuracy vs exact sliding distinct pinned in pytest
+def q_sliding_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.sketches import (
+        sliding_users_paned_hll,
+    )
+
+    return sliding_users_paned_hll(load_events(spark, sf_dir))
