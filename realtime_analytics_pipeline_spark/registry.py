@@ -407,6 +407,16 @@ _VERIFY_WINDOW = [
     "decontaminate_eval_overlap",
     "text_gopher_flags",
     "emb_quantize_int8",
+    # NOTE for round 4: further continuation queries left OUT of this
+    # window (replica-green, never driver-verified) are listed by
+    # `python -c "...queries()[50:]"` — promote them next round by
+    # demoting whatever goes green in CORRECTNESS_r03: notably
+    # streaming_sliding_window_5m1m, events_sliding_window_paned,
+    # events_forget_users, streaming_stateful_totals_final,
+    # emb_random_projection, multimodal_chunks, events_value_winsorized,
+    # value_drift_trailing7, sample_docs_quota, value_trend_by_type,
+    # source_mixing_weights, pipeline_decontaminated_corpus,
+    # tpch_q15_top_supplier.
     # -- new in the round-3 continuation (never driver-verified) --
     "text_pii_redaction",
     "text_tfidf_top_terms",
