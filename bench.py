@@ -40,6 +40,7 @@ HEADLINE = [
     "session_metrics",
     "serving_event_pivot",
     "events_sliding_window_5m1m",
+    "events_sliding_window_paned",  # same results, pane-sized shuffle
     "asof_purchase_attribution",
     "event_type_daily_rollup",
     "tpch_q1_pricing_summary",

@@ -354,3 +354,53 @@ def sliding_event_counts_paned(
             "event_count",
         )
     )
+
+
+def asof_forward(
+    events: DataFrame,
+    hit_type: str = "purchase",
+    source_type: str = "error",
+) -> DataFrame:
+    """FORWARD as-of join: for each ``hit_type`` event, the EARLIEST
+    ``source_type`` event of the same user at-or-after the hit time
+    (the mirror of ``asof_attribution`` — "did an error follow this
+    purchase, and when?").
+
+    Same scalable union formulation, reflected: tag both sides, union,
+    and pull the next source time backward with ``first(ignorenulls)``
+    over (user ORDER BY time ROWS CURRENT..UNBOUNDED FOLLOWING) — one
+    shuffle on user_id, no range-join explosion. Tiebreak: at an
+    identical timestamp the hit sorts BEFORE the source (side 0 < 1),
+    so a same-instant source is visible — `<=` semantics, mirroring
+    the backward operator's `>=`.
+    """
+    hits = events.where(F.col("event_type") == hit_type).select(
+        "user_id",
+        F.col("event_time").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("hit_id"),
+        F.lit(None).cast("timestamp").alias("src_t"),
+    )
+    src = events.where(F.col("event_type") == source_type).select(
+        "user_id",
+        F.col("event_time").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("hit_id"),
+        F.col("event_time").alias("src_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        hits.unionByName(src)
+        .withColumn("next_src_t", F.first("src_t", ignorenulls=True).over(w))
+        .where(F.col("side") == 0)
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            "hit_id",
+            F.unix_millis("t").alias("hit_ms"),
+            F.unix_millis("next_src_t").alias("next_error_ms"),
+        )
+    )

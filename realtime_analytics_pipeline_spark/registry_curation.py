@@ -623,3 +623,29 @@ def q_sliding_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sliding_users_paned_hll(load_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Forward as-of join (mirror of asof_purchase_attribution)
+# --------------------------------------------------------------------------
+
+_ASOF_FWD_SQL = """
+SELECT CAST(p.user_id AS VARCHAR) AS user_id,
+       CAST(p.event_id AS VARCHAR) AS hit_id,
+       epoch_ms(p.ts) AS hit_ms,
+       (SELECT epoch_ms(min(e.ts)) FROM events e
+        WHERE e.event_type = 'error'
+          AND e.user_id = p.user_id
+          AND e.ts >= p.ts) AS next_error_ms
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register("asof_forward_next_error", _ASOF_FWD_SQL)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from realtime_analytics_pipeline_spark.operators.relational import (
+        asof_forward,
+    )
+
+    return asof_forward(load_events(spark, sf_dir))

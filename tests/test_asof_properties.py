@@ -74,3 +74,46 @@ def test_asof_matches_model(spark, events):
         for r in asof_attribution(normalize_testdata_events(df)).collect()
     }
     assert got == model_asof(rows)
+
+
+def test_asof_forward_semantics(spark):
+    """Forward as-of: same-instant source visible (<=), earliest
+    following source wins, no following source -> null."""
+    from pyspark.sql import Row
+
+    from realtime_analytics_pipeline_spark.operators.relational import (
+        asof_forward,
+    )
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+
+    def ev(i, u, t, typ):
+        return Row(
+            event_id=str(i),
+            user_id=str(u),
+            event_type=typ,
+            event_time=t,
+        )
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        ev(1, 1, base, "purchase"),        # error at same instant -> tie
+        ev(2, 1, base, "error"),
+        ev(3, 2, base + us, "purchase"),   # two following errors -> min
+        ev(4, 2, base + 5 * us, "error"),
+        ev(5, 2, base + 3 * us, "error"),
+        ev(6, 3, base + us, "purchase"),   # only a PRIOR error -> null
+        ev(7, 3, base, "error"),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.col("event_time")).alias("event_time"),
+    )
+    out = {r["hit_id"]: r["next_error_ms"] for r in asof_forward(df).collect()}
+    assert out["1"] == base // 1000              # tie matched
+    assert out["3"] == (base + 3 * us) // 1000   # earliest following
+    assert out["6"] is None                      # nothing after
