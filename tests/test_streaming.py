@@ -231,3 +231,45 @@ def test_foreach_batch_retention_view(spark, tmp_path):
         for r in em.orderBy(F.col("window_start").desc()).limit(7).collect()
     }
     assert {r.window_start for r in got.collect()} == newest_batch
+
+
+def test_progress_metrics_trace(spark, tmp_path):
+    """The metrics helper flattens a real streaming run's progress:
+    input rows accounted, stateful-operator state visible, watermark
+    populated after the terminal no-data batch."""
+    import os
+
+    from realtime_analytics_pipeline_spark.operators.event_metrics import (
+        event_metrics_exact_streaming,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        read_events_stream_from_dir,
+    )
+    from realtime_analytics_pipeline_spark.streaming.metrics import (
+        run_summary,
+    )
+    from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
+
+    src = str(tmp_path / "metrics_src")
+    write_time_ordered_stream_fixture(
+        load_table(spark, SF_SMOKE, "events"), src, 2
+    )
+    stream = read_events_stream_from_dir(spark, src)
+    agg = event_metrics_exact_streaming(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_progress_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    trace = run_summary(q)
+    assert trace, "progress events must be retained"
+    total_rows = sum(t["num_input_rows"] for t in trace)
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert total_rows == expected  # every event accounted exactly once
+    assert any(t["state_rows"] > 0 for t in trace)  # stateful agg visible
+    assert any(t["state_bytes"] > 0 for t in trace)
+    assert trace[-1]["watermark"] is not None  # advanced by the replay
