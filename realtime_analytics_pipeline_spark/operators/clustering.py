@@ -253,3 +253,60 @@ def clustered_dup_pairs(
         .where(F.col("cos") >= threshold)
         .select("cluster", "id_a", "id_b", "cos")
     )
+
+
+def pagerank_lite(
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 3,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Deterministic fixed-iteration PageRank over an undirected pair
+    graph (near-dup pairs → "centrality" of a document inside its
+    duplicate neighborhood — the canonical-selection signal when
+    quality scores tie).
+
+    Classic iterative-DataFrame shape: per round one join (edges ⋈
+    ranks, co-partitioned on the vertex) + one aggregation; lineage
+    truncated per round with localCheckpoint. Undirected edges mean no
+    dangling mass. Uniform init 1/N; pr' = (1−d)/N + d·Σ pr(u)/deg(u).
+    Returns (vertex, pagerank rounded 6).
+    """
+    fwd = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    edges = fwd.union(
+        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).localCheckpoint()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select("u").distinct()
+    ncnt = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    pr = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "u", (F.lit(1.0) / F.col("cnt")).alias("pr")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(pr, "u")
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.col("pr") / F.col("d")).alias("c"),
+            )
+        )
+        pr = (
+            contribs.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "u",
+                (
+                    F.lit(1.0 - damping) / F.col("cnt")
+                    + F.lit(damping) * F.col("s")
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.col("u").alias("vertex"), F.round("pr", 6).alias("pagerank")
+    )

@@ -649,3 +649,193 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return asof_forward(load_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (temporal) join against the SCD-2 dimension: each
+# lineitem enriched with the customer's cumulative spend AS OF its
+# ship date — the version whose validity interval contains the fact
+# time. Versions are non-overlapping, so the interval condition on
+# top of the custkey equi-join matches exactly one version per fact.
+# --------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH daily AS (
+    SELECT o_custkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_spend
+    FROM orders
+    GROUP BY 1, 2
+),
+scd AS (
+    SELECT o_custkey AS custkey,
+           epoch_ms(o_orderdate) AS valid_from_ms,
+           epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+           CAST(sum(day_spend) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+    FROM daily
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+),
+facts AS (
+    SELECT l_orderkey, l_linenumber, o_custkey,
+           epoch_ms(l_shipdate) AS ship_ms
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber, f.o_custkey AS custkey, f.ship_ms,
+       round(s.cum_spend, 2) AS spend_at_ship
+FROM facts f
+JOIN scd s
+  ON f.o_custkey = s.custkey
+ AND s.valid_from_ms <= f.ship_ms
+ AND (s.valid_to_ms IS NULL OR f.ship_ms < s.valid_to_ms)
+"""
+
+
+@register("lineitem_spend_point_in_time", _PIT_SQL)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on custkey carries the shuffle; the validity-interval
+    predicate rides as a join condition (never a post-filter over an
+    exploded range join). SCD versions per customer are few, so the
+    per-key interval scan is tiny at any scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    daily = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scd = daily.select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_millis("o_orderdate").alias("valid_from_ms"),
+        F.unix_millis(F.lead("o_orderdate").over(w)).alias("valid_to_ms"),
+        F.sum("day_spend").over(wc).cast("double").alias("cum_spend"),
+    )
+    facts = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.unix_millis("l_shipdate").alias("ship_ms"),
+        )
+    )
+    return (
+        facts.join(
+            scd,
+            (facts["o_custkey"] == scd["custkey"])
+            & (scd["valid_from_ms"] <= facts["ship_ms"])
+            & (
+                scd["valid_to_ms"].isNull()
+                | (facts["ship_ms"] < scd["valid_to_ms"])
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "custkey",
+            "ship_ms",
+            F.round("cum_spend", 2).alias("spend_at_ship"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram binning (width_bucket) per event type
+# --------------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 100.0 THEN 21
+                 ELSE floor(value / 5.0) + 1 END AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+# (DuckDB has no width_bucket; with bounds 0..100 and 20 buckets the
+# bin width is exactly 5.0, so floor(value/5)+1 [0 below, 21 above]
+# reproduces Spark's width_bucket bit-for-bit)
+
+
+@register("events_value_histogram", _HISTOGRAM_SQL)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram via width_bucket — one map-side-combined
+    aggregation (types × 22 buckets output), the monitoring-dashboard
+    shape for value distributions at any scale."""
+    ev = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+    return (
+        ev.select(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank-lite over the near-dup graph, loop-unrolled oracle
+# --------------------------------------------------------------------------
+
+def _pagerank_sql(damping: float = 0.85, iterations: int = 3) -> str:
+    ctes = [
+        """sh AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+    FROM documents WHERE doc_id < 300
+)""",
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)",
+        """inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)""",
+        """prs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+)""",
+        """edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM prs
+    UNION ALL SELECT doc_b, doc_a FROM prs
+)""",
+        "nodes AS (SELECT DISTINCT u FROM edges)",
+        "deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1)",
+        "n AS (SELECT count(*) AS cnt FROM nodes)",
+        "p0 AS (SELECT u, 1.0 / cnt AS pr FROM nodes, n)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""p{i} AS (
+    SELECT e.v AS u,
+           {1.0 - damping} / max(n.cnt) + {damping} * sum(p.pr / d.d) AS pr
+    FROM edges e
+    JOIN p{i - 1} p ON e.u = p.u
+    JOIN deg d ON d.u = e.u, n
+    GROUP BY e.v
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u AS vertex, round(pr, 6) AS pagerank FROM p{iterations}"
+    )
+
+
+@register("dedup_graph_pagerank", _pagerank_sql())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality inside duplicate neighborhoods (bounded subgraph,
+    same doc_id < 300 gate as the other transitive-closure oracles);
+    the operator itself is unrestricted."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        pagerank_lite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    return pagerank_lite(pairs)

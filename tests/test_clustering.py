@@ -69,3 +69,28 @@ def test_kmeans_deterministic_and_total(spark):
     # every sim is a valid cosine
     for r in kmeans_lite(embs, k=5).collect():
         assert -1.000001 <= r.sim <= 1.000001
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    """No dangling mass on an undirected graph: total rank stays 1.0
+    each iteration; vertices of a symmetric graph rank equally; a hub
+    outranks its spokes on a star."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        pagerank_lite,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {r["vertex"]: r["pagerank"] for r in pagerank_lite(tri).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-5
+    assert len(set(out.values())) == 1  # perfect symmetry
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    ranks = {
+        r["vertex"]: r["pagerank"] for r in pagerank_lite(star).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+    assert all(ranks[0] > ranks[i] for i in range(1, 6))  # hub dominates
