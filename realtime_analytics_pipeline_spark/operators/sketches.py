@@ -160,3 +160,95 @@ def sliding_users_paned_hll(
             "approx_users",
         )
     )
+
+
+def _hash_frac(col):
+    """md5 → uniform fraction in [0,1): first 48 bits / 2^48 (exact in
+    a double; deterministic across engines and runs)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 48))
+    )
+
+
+def kmv_sketches(
+    events: DataFrame, key_col: str = "user_id",
+    segment_col: str = "event_type", k: int = 256,
+) -> DataFrame:
+    """K-minimum-values sketch per segment: the k smallest hash
+    fractions of the segment's distinct keys. O(k) storage per
+    segment, mergeable by union+re-truncate — the sketch family that,
+    unlike HLL, also supports INTERSECTION estimation (segment
+    overlap) without re-scanning raw data. Returns (segment, h, rk).
+    """
+    from pyspark.sql import Window
+
+    hashes = (
+        events.select(
+            F.col(segment_col).alias("segment"), F.col(key_col).alias("key")
+        )
+        .distinct()
+        .select("segment", _hash_frac(F.col("key")).alias("h"))
+    )
+    w = Window.partitionBy("segment").orderBy("h")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("segment", "h", "rk")
+    )
+
+
+def kmv_distinct_estimates(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per segment: exact when the segment has
+    fewer than k keys (the sketch holds them all), else (k−1)/τ with
+    τ = the k-th smallest hash."""
+    agg = sketches.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("tau")
+    )
+    return agg.select(
+        "segment",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("tau"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_intersection_estimate(
+    sketches: DataFrame, seg_a: str, seg_b: str, k: int = 256
+) -> DataFrame:
+    """|A ∩ B| estimate from two KMV sketches (no raw-data access):
+    merge both hash sets, keep the k smallest (τ = k-th), and scale
+    the fraction ρ of merged-top-k hashes present in BOTH sketches:
+    |A∩B| ≈ ρ·(k−1)/τ — exact when the union fits inside k."""
+    from pyspark.sql import Window
+
+    a = sketches.where(F.col("segment") == seg_a).select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    b = sketches.where(F.col("segment") == seg_b).select(
+        "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.orderBy("h")
+    topk = merged.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("h").alias("tau"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("both"),
+    )
+    return agg.select(
+        F.lit(seg_a).alias("segment_a"),
+        F.lit(seg_b).alias("segment_b"),
+        F.when(
+            F.col("m") < k, F.col("both").cast("double")
+        ).otherwise(
+            (F.col("both") / F.col("m")) * (F.lit(float(k - 1)) / F.col("tau"))
+        ).alias("est_overlap"),
+    )

@@ -839,3 +839,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
     pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
     return pagerank_lite(pairs)
+
+
+@register("segment_overlap_kmv")  # rows-only: estimator; accuracy vs
+# exact intersections pinned in tests/test_sketches.py
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches alone: distinct
+    users per event_type AND pairwise view∩purchase / view∩click
+    overlaps, all from O(k)-sized sketches — at 100 TB the overlap
+    query reads KB of sketch rows, not the fact table. The global
+    top-k window in the merge runs over ≤2k pre-shrunk rows."""
+    from realtime_analytics_pipeline_spark.operators.sketches import (
+        kmv_intersection_estimate,
+        kmv_sketches,
+    )
+
+    sk = kmv_sketches(load_events(spark, sf_dir)).localCheckpoint()
+    vp = kmv_intersection_estimate(sk, "view", "purchase")
+    vc = kmv_intersection_estimate(sk, "view", "click")
+    return vp.unionByName(vc).select(
+        "segment_a", "segment_b", F.round("est_overlap", 6).alias("est_overlap")
+    )
