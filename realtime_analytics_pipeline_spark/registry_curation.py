@@ -860,3 +860,91 @@ def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vp.unionByName(vc).select(
         "segment_a", "segment_b", F.round("est_overlap", 6).alias("est_overlap")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup impact report: the full near-dedup pipeline (pairs → clusters
+# → canonical selection) rolled up per source — what a curation run
+# reports: how many docs and bytes each source loses to deduplication.
+# --------------------------------------------------------------------------
+
+_DEDUP_IMPACT_SQL = """
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+    FROM documents WHERE doc_id < 300
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS vertex, min(comp) AS component FROM reach GROUP BY u),
+base AS (
+    SELECT d.doc_id, d.source, d.n_chars,
+           coalesce(c.component, d.doc_id) AS cluster_id
+    FROM (SELECT * FROM documents WHERE doc_id < 300) d
+    LEFT JOIN cc c ON d.doc_id = c.vertex
+),
+flagged AS (
+    SELECT *,
+           (row_number() OVER (
+                PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1)
+               AS keep
+    FROM base
+)
+SELECT source,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS removed_docs,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT)
+           AS removed_chars,
+       round(sum(CASE WHEN keep THEN 0 ELSE 1 END) * 1.0 / count(*), 6)
+           AS removal_rate
+FROM flagged
+GROUP BY source
+"""
+
+
+@register("dedup_impact_report", _DEDUP_IMPACT_SQL)
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup pipeline composition: Jaccard pair mining
+    → connected components → best-quality canonical per cluster →
+    per-source removal accounting (same bounded subgraph as the other
+    transitive-closure oracles; the operators are unrestricted)."""
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    cc = connected_components(pairs)
+    flags = C.canonical_docs(docs, cc, quality_col="n_chars")
+    joined = docs.select("doc_id", "source", "n_chars").join(
+        flags.select("doc_id", "is_canonical"), "doc_id"
+    )
+    keep = F.col("is_canonical").cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(keep).alias("kept_docs"),
+        F.sum(F.lit(1) - keep).alias("removed_docs"),
+        F.sum(F.when(F.col("is_canonical"), 0).otherwise(F.col("n_chars")))
+        .cast("long")
+        .alias("removed_chars"),
+        F.round(F.sum(F.lit(1) - keep) / F.count(F.lit(1)), 6).alias(
+            "removal_rate"
+        ),
+    )

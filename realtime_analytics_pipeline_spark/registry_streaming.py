@@ -649,3 +649,86 @@ def q_streaming_stateful_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAM_OUTLIER_SQL = """
+WITH vals AS (
+    SELECT event_type, value, ts FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT event_type, median(value) AS med FROM vals GROUP BY 1),
+fen AS (
+    SELECT v.event_type, max(m.med) AS med,
+           median(abs(v.value - m.med)) AS mad
+    FROM vals v JOIN med m USING (event_type)
+    GROUP BY 1
+),
+win AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           event_type,
+           avg(value) AS win_avg
+    FROM vals
+    GROUP BY 1, 2
+)
+SELECT w.window_start_ms, w.event_type,
+       round(w.win_avg, 6) AS win_avg,
+       (w.win_avg > f.med + 3 * 1.4826 * f.mad
+        OR w.win_avg < f.med - 3 * 1.4826 * f.mad) AS is_breach
+FROM win w JOIN fen f USING (event_type)
+WHERE w.window_start_ms + 60000 <=
+      (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_value_outliers", _STREAM_OUTLIER_SQL)
+def q_streaming_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live monitoring shape: per-minute value averages from the
+    STREAM, checked against STATIC robust fences (median/MAD computed
+    batch-side — the reference-data pattern: fences re-train offline,
+    the stream only reads them). Fences broadcast into every
+    micro-batch before the windowed aggregation; single stateful agg
+    ⇒ finalized set = windows whose end the terminal watermark passed."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        batch = load_events(spark, sf_dir).where(F.col("value").isNotNull())
+        vals = batch.select("event_type", "value")
+        med = vals.groupBy("event_type").agg(F.median("value").alias("med"))
+        fences = (
+            vals.join(med, "event_type")
+            .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+            .groupBy("event_type")
+            .agg(F.max("med").alias("med"), F.median("adev").alias("mad"))
+            .select(
+                F.col("event_type").alias("f_type"), "med", "mad"
+            )
+        )
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).where(F.col("value").isNotNull())
+        enriched = stream.join(
+            F.broadcast(fences), stream["event_type"] == F.col("f_type")
+        )
+        agg = enriched.groupBy(
+            F.window("event_time", "60 seconds").alias("w"), "event_type"
+        ).agg(
+            F.avg("value").alias("win_avg"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+        )
+        hi = F.col("med") + F.lit(3 * 1.4826) * F.col("mad")
+        lo = F.col("med") - F.lit(3 * 1.4826) * F.col("mad")
+        out = agg.select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            F.round("win_avg", 6).alias("win_avg"),
+            ((F.col("win_avg") > hi) | (F.col("win_avg") < lo)).alias(
+                "is_breach"
+            ),
+        )
+        table = f"stream_outliers_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
