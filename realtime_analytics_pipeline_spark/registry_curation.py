@@ -948,3 +948,90 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removal_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining: parts that co-occur in the same order.
+# The self-join is keyed on the order — pair enumeration is bounded by
+# order size (≤7 lineitems in this schema), never corpus-quadratic.
+# --------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS support
+FROM items a JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register("orders_market_basket", _BASKET_SQL)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# User path transitions: event_type -> next event_type bigrams with
+# per-source transition probabilities (sequence mining over sessions).
+# --------------------------------------------------------------------------
+
+_PATHS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type, next_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, sum(n) AS total FROM pairs GROUP BY 1
+)
+SELECT p.event_type, p.next_type, p.n,
+       round(p.n * 1.0 / t.total, 6) AS transition_prob
+FROM pairs p JOIN totals t USING (event_type)
+"""
+
+
+@register("events_user_paths", _PATHS_SQL)
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: one
+    window pass per user (deterministic (ts, event_id) order), then a
+    types×types aggregation — the totals join is a 25-row dimension."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_time", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return pairs.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("transition_prob"),
+    )
