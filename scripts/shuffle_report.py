@@ -52,6 +52,12 @@ QUERIES = [
     "value_drift_trailing7",
     "event_counts_salted",
     "funnel_view_click_purchase",
+    "events_sliding_window_paned",
+    "lineitem_spend_point_in_time",
+    "orders_market_basket",
+    "events_user_paths",
+    "emb_random_projection",
+    "events_value_histogram",
 ]
 
 
