@@ -1035,3 +1035,162 @@ def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("total"), 6).alias("transition_prob"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: customers quartiled on recency / frequency /
+# monetary value (deterministic ntile tiebreaks on custkey).
+# --------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH rfm AS (
+    SELECT o_custkey,
+           max(epoch_ms(o_orderdate)) AS last_ms,
+           count(*) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, last_ms, frequency, round(monetary, 2) AS monetary,
+           ntile(4) OVER (ORDER BY last_ms DESC, o_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM rfm
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       count(*) AS n_customers,
+       round(avg(monetary), 6) AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+@register("customers_rfm_segments", _RFM_SQL)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM: one agg per customer, three global ntile windows
+    over the CUSTOMER dimension (not the fact table — cardinality =
+    customers, so the single-partition window is dimension-sized; at
+    true scale swap ntile for approx quantile fences), then a 64-cell
+    rollup."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_millis("o_orderdate")).alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    ).withColumn("monetary", F.round("monetary", 2))
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("last_ms"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU: rolling distinct actives per day + stickiness.
+# --------------------------------------------------------------------------
+
+_DAU_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+    FROM events
+),
+days AS (SELECT DISTINCT day_ms FROM ud),
+dau AS (
+    SELECT day_ms, count(*) AS dau FROM ud GROUP BY 1
+),
+wau AS (
+    SELECT d.day_ms, count(DISTINCT u.user_id) AS wau
+    FROM days d JOIN ud u
+      ON u.day_ms <= d.day_ms AND u.day_ms > d.day_ms - 7::BIGINT * 86400000
+    GROUP BY 1
+),
+mau AS (
+    SELECT d.day_ms, count(DISTINCT u.user_id) AS mau
+    FROM days d JOIN ud u
+      ON u.day_ms <= d.day_ms AND u.day_ms > d.day_ms - 30::BIGINT * 86400000
+    GROUP BY 1
+)
+SELECT dau.day_ms, dau.dau, wau.wau, mau.mau,
+       round(dau.dau * 1.0 / mau.mau, 6) AS stickiness
+FROM dau JOIN wau USING (day_ms) JOIN mau USING (day_ms)
+"""
+
+
+@register("events_dau_wau_mau", _DAU_SQL)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives: facts collapse to distinct
+    (user, day) once; the rolling joins then range-join DAYS×user-days
+    (bounded ×7/×30 fan-out of the already-tiny user-day set, never
+    the fact table). DISTINCT inside a sliding range can't use a
+    window frame, so the bounded range join IS the exact formulation —
+    the KMV/HLL sketches are the approximate scale path."""
+    ev = load_events(spark, sf_dir)
+    day = 86400000
+    ud = ev.select(
+        "user_id",
+        F.expr("(unix_millis(event_time) DIV 86400000) * 86400000").alias(
+            "day_ms"
+        ),
+    ).distinct()
+    days = ud.select("day_ms").distinct()
+    dau = ud.groupBy("day_ms").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n: int, name: str):
+        u = ud.select(
+            F.col("user_id").alias("u"), F.col("day_ms").alias("u_day")
+        )
+        return (
+            days.join(
+                u,
+                (F.col("u_day") <= F.col("day_ms"))
+                & (F.col("u_day") > F.col("day_ms") - n * day),
+            )
+            .groupBy("day_ms")
+            .agg(F.count_distinct("u").alias(name))
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day_ms")
+        .join(rolling(30, "mau"), "day_ms")
+        .select(
+            "day_ms",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
