@@ -1194,3 +1194,62 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival gap distribution per event type (latency analytics)
+# --------------------------------------------------------------------------
+
+# CAST(... AS DOUBLE) in the oracle is load-bearing: BIGINT * 1.0 is
+# DECIMAL in DuckDB, and DECIMAL median/quantile_cont take a different
+# (non-interpolating) code path whose result diverges from the sorted
+# multiset's true median — observed empirically on this data.
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) // 1000
+               AS gap_ms
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       round(median(CAST(gap_ms AS DOUBLE)), 6) AS median_gap_ms,
+       round(quantile_cont(CAST(gap_ms AS DOUBLE), 0.95), 6) AS p95_gap_ms,
+       round(avg(CAST(gap_ms AS DOUBLE)), 6) AS avg_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("events_interarrival_stats", _INTERARRIVAL_SQL)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps (one window pass, deterministic
+    (ts, event_id) order) rolled up to per-type latency stats — the
+    arrival-process profile behind session-gap and watermark tuning."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    # numeric tiebreak: canonical event_id is a string; '10' < '2'
+    # lexically would pair same-timestamp gaps differently than the
+    # oracle's BIGINT ordering
+    w = Window.partitionBy("user_id").orderBy(
+        "event_time", F.col("event_id").cast("long")
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            (
+                F.unix_micros("event_time")
+                - F.unix_micros(F.lag("event_time").over(w))
+            )
+            / F.lit(1000)
+        ).cast("long").alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    g = F.col("gap_ms").cast("double")
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.median(g), 6).alias("median_gap_ms"),
+        F.round(F.percentile(g, 0.95), 6).alias("p95_gap_ms"),
+        F.round(F.avg(g), 6).alias("avg_gap_ms"),
+    )
