@@ -1253,3 +1253,138 @@ def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(g, 0.95), 6).alias("p95_gap_ms"),
         F.round(F.avg(g), 6).alias("avg_gap_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic-gap session windows: the gap depends on the EVENT (errors
+# close their session after 5 min; everything else keeps the 30 min
+# gap). Exercises F.session_window's per-row gap expression — beyond
+# the reference's fixed 1800 s sessions.
+# --------------------------------------------------------------------------
+
+_DYN_SESSION_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'error'
+                THEN 300000000 ELSE 1800000000 END AS gap_us
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN max(epoch_us(ts) + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS is_new
+    FROM g
+),
+islands AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       epoch_ms(min(ts)) AS start_ms,
+       epoch_ms(max(ts)) AS end_ms,
+       count(*) AS page_count
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+@register("session_metrics_dynamic_gap", _DYN_SESSION_SQL)
+def q_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event gap expression into the native session_window; the
+    oracle is the running-max gaps-and-islands generalization (a
+    session stays open while any prior event's ts+gap still covers
+    the next event — for a constant gap this degenerates to the
+    plain lag formulation)."""
+    ev = load_events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(
+            F.session_window("event_time", gap), F.col("user_id")
+        )
+        .agg(
+            F.min("event_time").alias("start_time"),
+            F.max("event_time").alias("end_time"),
+            F.count(F.lit(1)).alias("page_count"),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.unix_millis("start_time").alias("start_ms"),
+            F.unix_millis("end_time").alias("end_ms"),
+            "page_count",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto (cumulative-share) analysis over customer revenue
+# --------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT o_custkey, round(revenue, 2) AS revenue,
+           sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+               ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           sum(revenue) OVER () AS total_rev,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk
+    FROM rev
+)
+SELECT o_custkey, revenue,
+       CAST(rnk AS BIGINT) AS rnk,
+       round(cum_rev / total_rev, 6) AS cum_share,
+       (round(cum_rev / total_rev, 6) <= 0.8) AS in_top80
+FROM ranked
+"""
+
+
+@register("customers_revenue_pareto", _PARETO_SQL)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 concentration: global running revenue share over the
+    CUSTOMER dimension (single-partition window over dim-sized data;
+    at web scale swap for repartitionByRange + per-range offsets)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "o_custkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.sum("revenue")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_rev"),
+        F.sum("revenue").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_rev"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+    share = F.round(F.col("cum_rev") / F.col("total_rev"), 6)
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        "rnk",
+        share.alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
