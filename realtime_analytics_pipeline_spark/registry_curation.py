@@ -1388,3 +1388,78 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session-outcome analysis: conversion rate by session depth bucket
+# --------------------------------------------------------------------------
+
+_SESSION_OUTCOME_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, event_type,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, island,
+           count(*) AS page_count,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM islands
+    GROUP BY 1, 2
+)
+SELECT CASE WHEN page_count = 1 THEN '1'
+            WHEN page_count <= 3 THEN '2-3'
+            WHEN page_count <= 7 THEN '4-7'
+            ELSE '8+' END AS depth_bucket,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate
+FROM sess
+GROUP BY 1
+"""
+
+
+@register("sessions_conversion_by_depth", _SESSION_OUTCOME_SQL)
+def q_session_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session outcome labeling INSIDE the native session_window
+    aggregation (the converted flag is one more agg column — no second
+    pass over events), then a 4-bucket rollup."""
+    ev = load_events(spark, sf_dir)
+    sess = (
+        ev.groupBy(
+            F.session_window("event_time", "30 minutes"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("page_count"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("converted"),
+        )
+    )
+    bucket = (
+        F.when(F.col("page_count") == 1, "1")
+        .when(F.col("page_count") <= 3, "2-3")
+        .when(F.col("page_count") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return (
+        sess.groupBy(bucket.alias("depth_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+            F.round(
+                F.sum("converted") / F.count(F.lit(1)), 6
+            ).alias("conversion_rate"),
+        )
+    )

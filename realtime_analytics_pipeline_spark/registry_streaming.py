@@ -732,3 +732,52 @@ def q_streaming_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAM_HISTOGRAM_SQL = """
+WITH h AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 100.0 THEN 11
+                     ELSE floor(value / 10.0) + 1 END AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT * FROM h
+WHERE window_start_ms + 60000 <=
+      (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_histogram_per_window", _STREAM_HISTOGRAM_SQL)
+def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live value-distribution monitoring: width_bucket histogram keyed
+    by (window, bucket) inside a single streaming aggregation — the
+    histogram IS the group key, so state stays windows × 12 buckets
+    regardless of input rate. Finalized set = single-operator
+    watermark rule. Bin width 10.0 is exact, so the floor-arithmetic
+    oracle reproduces width_bucket bit-for-bit."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).where(F.col("value").isNotNull())
+        agg = (
+            stream.groupBy(
+                F.window("event_time", "60 seconds").alias("w"),
+                F.width_bucket(
+                    "value", F.lit(0.0), F.lit(100.0), F.lit(10)
+                ).cast("long").alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = agg.select(
+            F.unix_millis("w.start").alias("window_start_ms"), "bucket", "n"
+        )
+        table = f"stream_histogram_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
