@@ -240,3 +240,64 @@ def value_mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
             F.sum(F.col("is_outlier").cast("long")) / F.count(F.lit(1)), 6
         ).alias("outlier_rate"),
     )
+
+
+def ks_drift_by_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of each group's
+    ``value_col`` distribution against the POOLED distribution — the
+    source-drift monitor for mixed training corpora.
+
+    Everything runs on the aggregated (group, value) grid, never on raw
+    rows: per-group and pooled counts first (one shuffle each), then the
+    ECDF windows walk |groups| × |distinct values| rows. The pooled-ECDF
+    window is single-partition but over |distinct values| AGGREGATED
+    rows — bounded by the value domain, not the corpus.
+
+    KS is computed on exact integer cumulative counts divided once at
+    the end, so both engines see identical rationals — no ULP drift.
+    """
+    gv = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("c"))
+    pooled = gv.groupBy(value_col).agg(F.sum("c").alias("pc"))
+    n_total = pooled.agg(F.sum("pc").alias("nn"))
+    w_pool = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled_cum = pooled.select(
+        value_col, F.sum("pc").over(w_pool).alias("cum_pc")
+    )
+    groups = gv.groupBy(group_col).agg(F.sum("c").alias("ng"))
+    grid = groups.crossJoin(F.broadcast(pooled_cum)).join(
+        gv, [group_col, value_col], "left"
+    )
+    w_g = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = grid.select(
+        group_col,
+        "ng",
+        "cum_pc",
+        F.sum(F.coalesce("c", F.lit(0))).over(w_g).alias("cum_c"),
+    ).crossJoin(F.broadcast(n_total))
+    return (
+        ecdf.groupBy(group_col)
+        .agg(
+            F.max("ng").alias("n_rows"),
+            (
+                F.round(
+                    F.max(
+                        F.abs(
+                            F.col("cum_c") / F.col("ng")
+                            - F.col("cum_pc") / F.col("nn")
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ks"),
+        )
+        .select(group_col, "n_rows", "ks")
+    )

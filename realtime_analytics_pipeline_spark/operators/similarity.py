@@ -235,3 +235,87 @@ def random_projection(
         for k, row in enumerate(coeffs)
     ]
     return embeddings.select("vec_id", *cols)
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k.
+
+    Stage 1 (declarative): exact top-``n_candidates`` by rounded cosine
+    per query — the same broadcast-query shape as ``cosine_topk``.
+    Stage 2 (Arrow path): the greedy MMR selection runs per query via
+    ``applyInPandas`` — per-group work is bounded by
+    ``n_candidates``² regardless of corpus size, and groups distribute
+    across executors, so the iterative part never touches the driver.
+
+    Determinism across engines: relevance AND candidate-pair
+    similarities are rounded to 6 decimals, then INTEGERIZED
+    (×10⁶) so every MMR comparison is exact integer arithmetic — no
+    float-rounding divergence between Spark, numpy, and the DuckDB
+    oracle is possible. With λ = ½ the rule argmax(λ·rel − (1−λ)·ms)
+    is scale-invariant, so pick r = argmax(rel_int − ms_int); ties
+    break by neighbor_id asc. (A general rational λ = p/q integerizes
+    the same way with weights p and q−p.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    if lam != 0.5:
+        raise NotImplementedError(
+            "integerized MMR is implemented for lam=0.5; other rational "
+            "lambdas integerize with weights p and q-p"
+        )
+    e = embeddings.select("vec_id", unit(as_double("embedding")).alias("v"))
+    q = e.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("rel", F.round(dot(F.col("qv"), F.col("v")), 6))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rel", "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= n_candidates
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        vecs = np.stack(pdf["v"].to_numpy())
+        rel = pdf["rel"].to_numpy()
+        nid = pdf["neighbor_id"].to_numpy()
+        rel_int = np.rint(rel * 1e6).astype(np.int64)
+        sims_int = np.rint(np.round(vecs @ vecs.T, 6) * 1e6).astype(np.int64)
+        n = len(pdf)
+        big = np.int64(1) << 40
+        selected: list[int] = []
+        for _ in range(min(k, n)):
+            if not selected:
+                score = rel_int.copy()
+            else:
+                ms = sims_int[:, selected].max(axis=1)
+                score = rel_int - ms
+            score[selected] = -big
+            # argmax with (score desc, neighbor_id asc) tie-break;
+            # rows are already nid-ascending so first max wins ties
+            selected.append(int(np.argmax(score)))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rnk": np.arange(1, len(selected) + 1, dtype="int32"),
+                "neighbor_id": nid[selected],
+                "rel": rel[selected],
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _mmr,
+        "query_id long, rnk int, neighbor_id long, rel double",
+    )

@@ -153,3 +153,136 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         dup_r.alias("dup_bigram_ratio"),
         keep.alias("keep"),
     )
+
+
+def dup_ngram_stats(documents: DataFrame, n: int = 4) -> DataFrame:
+    """Per-document cross-corpus duplicated-n-gram fraction.
+
+    The substring-level dedup signal from "Deduplicating Training Data
+    Makes Language Models Better" (Lee et al. 2022), at n-gram
+    granularity: for each document, the fraction of its overlapping
+    word n-grams that also occur in at least one OTHER document.
+
+    Plan shape (scale path): per-doc n-gram counts are aggregated
+    BEFORE the corpus-wide document-frequency join, so the inverted
+    index holds (gram, df) — vocabulary-sized — and the join back is
+    AQE-sized, never an all-pairs term. Two shuffles total, both keyed
+    on the gram hash.
+    """
+    toks = F.split(F.col("text"), " ")
+    grams_expr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = documents.select(
+        "doc_id", F.explode(grams_expr).alias("gram")
+    )
+    # per-(doc, gram) occurrence counts — the map-side reduction
+    per_doc = exploded.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    # inverted index: gram -> number of distinct docs containing it
+    df_counts = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = (
+        per_doc.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, F.col("occ")).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+    # left join keeps short documents (fewer than n tokens) in the output
+    return (
+        documents.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.col("n_dup_grams") / F.col("n_grams").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def boilerplate_chunks(
+    documents: DataFrame, chunk: int = 2, doc_frac: float = 0.2
+) -> DataFrame:
+    """Cross-document boilerplate removal at fixed-chunk granularity
+    (the C4 boilerplate-line filter re-expressed for the line-less
+    synthetic corpus: non-overlapping ``chunk``-token windows stand in
+    for lines).
+
+    A chunk is boilerplate when it appears in ≥ ``doc_frac`` of all
+    documents — a RELATIVE threshold, so the same code is meaningful at
+    sf0.001 and at 100 TB. Returns per doc: total chunks, kept chunks,
+    and the reassembled cleaned text (order-preserving).
+
+    Scale: the chunk→df index is vocabulary-sized; the boiler set is
+    hard-broadcast because its size is bounded by
+    avg_chunks_per_doc / doc_frac — independent of corpus size;
+    reassembly groups on doc_id only (one shuffle keyed the same as
+    the explode).
+    """
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    chunks_expr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk + 1, chunk)),
+    )
+    pos = documents.select(
+        "doc_id",
+        F.posexplode(chunks_expr).alias("pos", "chunk_text"),
+    )
+    df_counts = pos.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = documents.select(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    boiler = (
+        df_counts.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") >= F.col("n_docs") * F.lit(doc_frac))
+        .select("chunk_text")
+    )
+    flagged = pos.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+        "chunk_text",
+        "left",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct("pos", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "text_clean")
+    )

@@ -882,3 +882,185 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return fk_orders.union(fk_lines).union(qty).union(disc).union(uniq).union(nonnull)
+
+
+# --------------------------------------------------------------------------
+# Distribution analytics: entropy, decay weighting, concentration
+# --------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+WITH tc AS (
+    SELECT CAST(user_id AS VARCHAR) AS user_id, event_type, count(*) AS c
+    FROM events GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       count(*) AS n_types,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) + 0.0 AS entropy
+FROM tc GROUP BY 1
+"""
+
+
+@register("events_user_entropy", _ENTROPY_SQL)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution via the
+    single-pass identity H = ln(N) − Σ c·ln(c)/N — two partial-agg
+    stages, no per-user probability materialization. ``+ 0.0``
+    normalizes a −0.0 from the last-ULP cancellation when a user has
+    one event type (H ≡ 0)."""
+    ev = load_events(spark, sf_dir)
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return tc.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("entropy"),
+    )
+
+
+_DECAYED_SQL = """
+WITH ref AS (SELECT max(epoch_ms(ts)) AS max_ms FROM events)
+SELECT CAST(user_id AS VARCHAR) AS user_id,
+       count(*) AS n_events,
+       round(sum(value * exp(-((max_ms - epoch_ms(ts)) / 86400000.0) / 7.0)),
+             6) + 0.0 AS decayed_value,
+       round(sum(exp(-((max_ms - epoch_ms(ts)) / 86400000.0) / 7.0)),
+             6) + 0.0 AS decayed_count
+FROM events, ref
+GROUP BY 1
+"""
+
+
+@register("events_decayed_engagement", _DECAYED_SQL)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement (τ = 7 days, reference =
+    corpus max event time) — the ranking-signal decay pattern expressed
+    as ONE distributed aggregation: the weight is a closed-form column
+    expression, so no recursion, no window, no state. The scalar
+    reference time is a 1-row broadcast."""
+    ev = load_events(spark, sf_dir)
+    ref = ev.agg(F.max(F.unix_millis("event_time")).alias("max_ms"))
+    age_days = (
+        (F.col("max_ms") - F.unix_millis("event_time")) / F.lit(86400000.0)
+    )
+    weight = F.exp(-age_days / F.lit(7.0))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum(F.col("value") * weight), 6) + F.lit(0.0)).alias(
+                "decayed_value"
+            ),
+            (F.round(F.sum(weight), 6) + F.lit(0.0)).alias("decayed_count"),
+        )
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DOUBLE)) AS r
+    FROM orders GROUP BY 1),
+ranked AS (
+    SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+           count(*) OVER () AS n, sum(r) OVER () AS tot
+    FROM rev)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round(max(tot), 2) AS total_revenue,
+       round(2.0 * sum(i * r) / (max(n) * max(tot))
+             - (max(n) + 1.0) / max(n), 6) + 0.0 AS gini
+FROM ranked
+"""
+
+
+@register("customers_gini_revenue", _GINI_SQL)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration via the
+    rank identity G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n (ties broken by
+    custkey for determinism).
+
+    Scale note: the global rank is an inherent order statistic, but it
+    runs over the per-customer AGGREGATE (one row per customer, not
+    per order) — the same pre-aggregate-then-sort shape as
+    customers_revenue_pareto. At extreme customer counts the
+    rank-free ECDF approximation over quantile buckets is the
+    documented fallback."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("s"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round("tot", 2).alias("total_revenue"),
+        (
+            F.round(
+                F.lit(2.0) * F.col("s") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+_INC_MERGE_SQL = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) + 0.0 AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("incremental_metric_merge", _INC_MERGE_SQL)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-materialization correctness: the corpus is split
+    into two overlapping-key partial aggregates (odd/even event_id —
+    every (day, type) group spans both), each aggregated independently,
+    then MERGED by re-aggregating the mergeable partials (count→sum,
+    sum→sum). The oracle is the direct one-shot aggregation — merge
+    must be exact. Rounding happens only after the merge."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day_ms = (
+        (raw_ts_ms(ev) / F.lit(86400000)).cast("long") * F.lit(86400000)
+    ).alias("day_ms")
+    base = ev.select(
+        day_ms, "event_type", "value", (F.col("event_id") % 2).alias("par")
+    )
+    partials = [
+        base.where(F.col("par") == p)
+        .groupBy("day_ms", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+        )
+        for p in (0, 1)
+    ]
+    merged = (
+        partials[0]
+        .unionByName(partials[1])
+        .groupBy("day_ms", "event_type")
+        .agg(F.sum("pn").alias("n"), F.sum("pv").alias("vs"))
+    )
+    return merged.select(
+        "day_ms",
+        "event_type",
+        "n",
+        (F.round("vs", 6) + F.lit(0.0)).alias("value_sum"),
+    )

@@ -906,3 +906,217 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cm_build(bigrams, "bigram", depth=4, width=256)
     est = cm_estimate(sketch, bigrams, "bigram", depth=4, width=256)
     return est.orderBy(F.col("est_count").desc(), F.col("bigram")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup signals (Lee et al. 2022 style)
+# --------------------------------------------------------------------------
+
+_DUP_NGRAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 4
+                THEN list_transform(range(0, len(t) - 3),
+                     i -> array_to_string(t[i+1:i+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks),
+per_doc AS (SELECT doc_id, gram, count(*) AS occ FROM pos GROUP BY 1, 2),
+dfreq AS (SELECT gram, count(*) AS df FROM per_doc GROUP BY 1),
+stats AS (
+  SELECT doc_id, sum(occ) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN occ ELSE 0 END) AS n_dup_grams
+  FROM per_doc JOIN dfreq USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+             THEN n_dup_grams * 1.0 / n_grams ELSE 0.0 END, 6)
+           AS dup_fraction
+FROM documents d LEFT JOIN stats USING (doc_id)
+"""
+
+
+@register("text_dup_ngram_fraction", _DUP_NGRAM_SQL)
+def q_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-4-gram fraction per document — the
+    substring-granularity dedup signal (inverted-index join, no
+    all-pairs term)."""
+    return T.dup_ngram_stats(load_table(spark, sf_dir, "documents"), n=4)
+
+
+_BOILER_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT)),
+                i -> struct_pack(pos := i,
+                     chunk_text := array_to_string(t[i*2+1:i*2+2], ' ')))) AS s
+  FROM toks),
+p2 AS (SELECT doc_id, s.pos AS pos, s.chunk_text AS chunk_text FROM pos),
+boiler AS (
+  SELECT chunk_text FROM (
+    SELECT chunk_text, count(DISTINCT doc_id) AS df FROM p2 GROUP BY 1)
+  WHERE df >= (SELECT count(DISTINCT doc_id) FROM documents) * 0.04)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN b.chunk_text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       coalesce(string_agg(CASE WHEN b.chunk_text IS NULL
+                           THEN p2.chunk_text END, ' ' ORDER BY pos), '')
+           AS text_clean
+FROM p2 LEFT JOIN boiler b USING (chunk_text)
+GROUP BY doc_id
+"""
+
+
+@register("text_boilerplate_chunks", _BOILER_SQL)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal (2-token chunks
+    standing in for lines on the line-less corpus; RELATIVE ≥4%-of-docs
+    threshold so the same code is meaningful at any corpus size)."""
+    return T.boilerplate_chunks(
+        load_table(spark, sf_dir, "documents"), chunk=2, doc_frac=0.04
+    )
+
+
+_KS_SQL = """
+WITH gv AS (
+    SELECT source, n_chars AS v, count(*) AS c
+    FROM documents GROUP BY 1, 2),
+pooled AS (SELECT v, sum(c) AS pc FROM gv GROUP BY 1),
+pooled_cum AS (
+    SELECT v, sum(pc) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pc
+    FROM pooled),
+groups AS (SELECT source, sum(c) AS ng FROM gv GROUP BY 1),
+nn AS (SELECT sum(pc) AS nn FROM pooled),
+ecdf AS (
+    SELECT g.source, g.ng, p.cum_pc,
+           sum(coalesce(gv.c, 0)) OVER (PARTITION BY g.source ORDER BY p.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+    FROM groups g
+    CROSS JOIN pooled_cum p
+    LEFT JOIN gv ON gv.source = g.source AND gv.v = p.v)
+SELECT source,
+       CAST(max(ng) AS BIGINT) AS n_rows,
+       round(max(abs(cum_c * 1.0 / ng - cum_pc * 1.0 / nn)), 6) + 0.0 AS ks
+FROM ecdf, nn
+GROUP BY source
+"""
+
+
+@register("docs_length_ks_by_source", _KS_SQL)
+def q_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS statistic of the doc-length
+    distribution vs the pooled corpus — drift detection between
+    training-data sources, computed entirely on the aggregated
+    (source, length) grid."""
+    from realtime_analytics_pipeline_spark.operators.curation import (
+        ks_drift_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    out = ks_drift_by_group(docs, "source", "v")
+    return out.select("source", "n_rows", "ks")
+
+
+# Loop-unrolled greedy MMR (k=5, lambda=1/2) — selection compares
+# INTEGERIZED (x1e6) rounded similarities, so argmax is exact integer
+# arithmetic in both engines. Stage r's candidate score is
+# rel_int - max(sim_int over the r-1 already-selected docs).
+_MMR_SQL = """
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT qid, vec_id AS nid,
+           round(list_cosine_similarity(qv, v), 6) AS rel, v
+    FROM q, c WHERE vec_id != qid),
+cand AS (
+    SELECT qid, nid, rel,
+           CAST(round(rel * 1e6) AS BIGINT) AS rel_int, v
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY rel DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 20),
+sims AS (
+    SELECT a.qid, a.nid AS i, b.nid AS j,
+           CAST(round(round(list_cosine_similarity(a.v, b.v), 6) * 1e6)
+                AS BIGINT) AS s_int
+    FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid),
+s1 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT qid, nid, rel, row_number() OVER (
+            PARTITION BY qid ORDER BY rel_int DESC, nid) AS rn
+        FROM cand) WHERE rn = 1),
+sel1 AS (SELECT qid, nid FROM s1),
+s2 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT c.qid, c.nid, c.rel, row_number() OVER (
+            PARTITION BY c.qid ORDER BY c.rel_int - m.ms DESC, c.nid) AS rn
+        FROM cand c
+        JOIN (SELECT sims.qid, sims.i AS nid, max(s_int) AS ms
+              FROM sims JOIN sel1 ON sims.qid = sel1.qid
+                                  AND sims.j = sel1.nid
+              GROUP BY 1, 2) m ON m.qid = c.qid AND m.nid = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel1
+                          WHERE sel1.qid = c.qid AND sel1.nid = c.nid)
+    ) WHERE rn = 1),
+sel2 AS (SELECT qid, nid FROM sel1 UNION ALL SELECT qid, nid FROM s2),
+s3 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT c.qid, c.nid, c.rel, row_number() OVER (
+            PARTITION BY c.qid ORDER BY c.rel_int - m.ms DESC, c.nid) AS rn
+        FROM cand c
+        JOIN (SELECT sims.qid, sims.i AS nid, max(s_int) AS ms
+              FROM sims JOIN sel2 ON sims.qid = sel2.qid
+                                  AND sims.j = sel2.nid
+              GROUP BY 1, 2) m ON m.qid = c.qid AND m.nid = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel2
+                          WHERE sel2.qid = c.qid AND sel2.nid = c.nid)
+    ) WHERE rn = 1),
+sel3 AS (SELECT qid, nid FROM sel2 UNION ALL SELECT qid, nid FROM s3),
+s4 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT c.qid, c.nid, c.rel, row_number() OVER (
+            PARTITION BY c.qid ORDER BY c.rel_int - m.ms DESC, c.nid) AS rn
+        FROM cand c
+        JOIN (SELECT sims.qid, sims.i AS nid, max(s_int) AS ms
+              FROM sims JOIN sel3 ON sims.qid = sel3.qid
+                                  AND sims.j = sel3.nid
+              GROUP BY 1, 2) m ON m.qid = c.qid AND m.nid = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel3
+                          WHERE sel3.qid = c.qid AND sel3.nid = c.nid)
+    ) WHERE rn = 1),
+sel4 AS (SELECT qid, nid FROM sel3 UNION ALL SELECT qid, nid FROM s4),
+s5 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT c.qid, c.nid, c.rel, row_number() OVER (
+            PARTITION BY c.qid ORDER BY c.rel_int - m.ms DESC, c.nid) AS rn
+        FROM cand c
+        JOIN (SELECT sims.qid, sims.i AS nid, max(s_int) AS ms
+              FROM sims JOIN sel4 ON sims.qid = sel4.qid
+                                  AND sims.j = sel4.nid
+              GROUP BY 1, 2) m ON m.qid = c.qid AND m.nid = c.nid
+        WHERE NOT EXISTS (SELECT 1 FROM sel4
+                          WHERE sel4.qid = c.qid AND sel4.nid = c.nid)
+    ) WHERE rn = 1)
+SELECT qid AS query_id, CAST(1 AS INTEGER) AS rnk, nid AS neighbor_id, rel
+FROM s1
+UNION ALL SELECT qid, 2, nid, rel FROM s2
+UNION ALL SELECT qid, 3, nid, rel FROM s3
+UNION ALL SELECT qid, 4, nid, rel FROM s4
+UNION ALL SELECT qid, 5, nid, rel FROM s5
+"""
+
+
+@register("sim_mmr_rerank", _MMR_SQL)
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-5 via greedy Maximal Marginal Relevance over the
+    exact top-20 cosine candidates (λ = ½) — declarative candidate
+    generation + bounded per-query Arrow-path selection."""
+    return S.mmr_rerank(load_table(spark, sf_dir, "embeddings"))

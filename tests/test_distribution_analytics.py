@@ -1,0 +1,311 @@
+"""Unit tests for substring-level dedup signals (dup-ngram fraction,
+boilerplate chunk removal) and distribution analytics (entropy, decay
+weighting, Gini, incremental merge) on crafted inputs where the
+expected output is hand-checkable."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators import text_analysis as T
+
+
+# --------------------------------------------------------------------------
+# dup_ngram_stats
+# --------------------------------------------------------------------------
+
+
+def test_dup_ngram_fraction_crafted(spark):
+    # doc 1 and 2 share the 3-gram "a b c"; doc 3 is unique; doc 4 too
+    # short for any 3-gram.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # grams: "a b c", "b c d"
+            (2, "x a b c"),  # grams: "x a b", "a b c"
+            (3, "p q r s"),  # grams: "p q r", "q r s"
+            (4, "u v"),  # no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in T.dup_ngram_stats(df, n=3).collect()
+    }
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_fraction"] == 0.0
+
+
+def test_dup_ngram_within_doc_repeat_not_cross_doc(spark):
+    # A gram repeated only WITHIN one doc is not a cross-corpus dup.
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d e f")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.dup_ngram_stats(df, n=2).collect()}
+    # doc 1 bigrams: "a b","b a","a b","b a","a b" — none in doc 2
+    assert out[1]["n_dup_grams"] == 0
+
+
+# --------------------------------------------------------------------------
+# boilerplate_chunks
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_removal_crafted(spark):
+    # chunk "na na" appears in 3/4 docs -> boilerplate at doc_frac=0.5.
+    df = spark.createDataFrame(
+        [
+            (1, "na na x y"),
+            (2, "na na p q"),
+            (3, "z w na na"),
+            (4, "k l m n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_chunks(df, chunk=2, doc_frac=0.5).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_clean"] == "x y"
+    assert out[3]["text_clean"] == "z w"
+    assert out[4]["n_kept"] == 2 and out[4]["text_clean"] == "k l m n"
+
+
+def test_boilerplate_order_preserved_and_odd_tail(spark):
+    # Odd token count -> 1-token tail chunk; kept chunks re-join in
+    # original order.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b z z z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_chunks(df, chunk=2, doc_frac=1.0).collect()
+    }
+    # "a b" is in 2/2 docs -> boilerplate; everything else kept.
+    assert out[1]["n_chunks"] == 3
+    assert out[1]["text_clean"] == "c d e"
+    assert out[2]["text_clean"] == "z z z"
+
+
+def test_boilerplate_all_removed_yields_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_chunks(df, chunk=2, doc_frac=0.5).collect()
+    }
+    assert out[1]["n_kept"] == 0 and out[1]["text_clean"] == ""
+
+
+# --------------------------------------------------------------------------
+# entropy / decayed engagement / gini / incremental merge (registry fns)
+# --------------------------------------------------------------------------
+
+
+def test_user_entropy_uniform_and_degenerate(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # build a tiny parquet dir shaped like the testdata
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = []
+        # user 1: 2 types x 2 events each -> H = ln(2)
+        for i, et in enumerate(["view", "click", "view", "click"]):
+            rows.append((i, "2024-01-01 00:00:%02d" % i, 1, et, 1.0, "{}"))
+        # user 2: single type -> H = 0 exactly (and not -0.0)
+        for i, et in enumerate(["view"] * 3):
+            rows.append(
+                (10 + i, "2024-01-01 01:00:%02d" % i, 2, et, 1.0, "{}")
+            )
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_user_entropy"](spark, d).collect()
+        }
+    assert abs(out["1"]["entropy"] - round(math.log(2), 6)) < 1e-9
+    assert out["2"]["entropy"] == 0.0
+    assert math.copysign(1.0, out["2"]["entropy"]) == 1.0  # +0.0, not -0.0
+    assert out["1"]["n_events"] == 4 and out["1"]["n_types"] == 2
+
+
+def test_decayed_engagement_closed_form(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            # user 1: one event at ref time (weight 1), one 7 days
+            # earlier (weight e^-1)
+            (1, "2024-01-08 00:00:00", 1, "view", 10.0, "{}"),
+            (2, "2024-01-01 00:00:00", 1, "view", 10.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_decayed_engagement"](spark, d).collect()[0]
+    expect = 10.0 * (1.0 + math.exp(-1.0))
+    assert abs(out["decayed_value"] - round(expect, 6)) < 1e-9
+    assert abs(out["decayed_count"] - round(1.0 + math.exp(-1.0), 6)) < 1e-9
+
+
+def test_gini_extremes(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        # perfectly equal revenues -> gini 0
+        rows = [(i, i, 100.0, "1995-01-01") for i in range(1, 9)]
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        out = QUERIES["customers_gini_revenue"](spark, d).collect()[0]
+        assert out["gini"] == 0.0
+        assert out["n_customers"] == 8
+        # one customer holds everything -> gini -> (n-1)/n
+        rows = [(1, 1, 800.0, "1995-01-01")] + [
+            (i, i, 0.0, "1995-01-01") for i in range(2, 9)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        out = QUERIES["customers_gini_revenue"](spark, d).collect()[0]
+        assert abs(out["gini"] - round(7.0 / 8.0, 6)) < 1e-9
+
+
+def test_incremental_merge_equals_direct(spark, duck):
+    """Partial-aggregate merge must equal the one-shot aggregation on
+    the real testdata (the driver-style check, pinned in pytest)."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES, ORACLES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["day_ms"], r["event_type"]): (r["n"], r["value_sum"])
+        for r in QUERIES["incremental_metric_merge"](spark, sf).collect()
+    }
+    duck.execute(
+        f"CREATE OR REPLACE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    exp = {
+        (int(d), t): (int(n), v)
+        for d, t, n, v in duck.execute(
+            ORACLES["incremental_metric_merge"]
+        ).fetchall()
+    }
+    assert got == exp
+
+
+# --------------------------------------------------------------------------
+# ks_drift_by_group
+# --------------------------------------------------------------------------
+
+
+def test_ks_disjoint_supports(spark):
+    from realtime_analytics_pipeline_spark.operators.curation import (
+        ks_drift_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "g string, v long"
+    )
+    out = {r["g"]: r for r in ks_drift_by_group(df, "g", "v").collect()}
+    # pooled ECDF at v=2 is 0.5; A's is 1.0, B's is 0.0 -> KS = 0.5 each
+    assert out["a"]["ks"] == 0.5 and out["b"]["ks"] == 0.5
+    assert out["a"]["n_rows"] == 2
+
+
+def test_ks_identical_distribution_is_zero(spark):
+    from realtime_analytics_pipeline_spark.operators.curation import (
+        ks_drift_by_group,
+    )
+
+    rows = [(g, v) for g in ("a", "b") for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in ks_drift_by_group(df, "g", "v").collect()}
+    assert out["a"]["ks"] == 0.0 and out["b"]["ks"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# mmr_rerank
+# --------------------------------------------------------------------------
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_mmr_first_pick_is_top1_and_shape(spark):
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    mmr = mmr_rerank(emb, query_max_id=3, n_candidates=10, k=4).collect()
+    top = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in cosine_topk(emb, query_max_id=3, k=1).collect()
+    }
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
+        # greedy MMR's first pick is the plain argmax relevance
+        assert rows[0]["neighbor_id"] == top[(qid, 1)]
+        ids = [r["neighbor_id"] for r in rows]
+        assert len(set(ids)) == 4 and qid not in ids
+
+
+def test_mmr_prefers_diversity_over_near_duplicate(spark):
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # vec 0 = query. 1 and 2 are near-duplicates slightly above the
+    # query's axis; 3 sits on the OPPOSITE side, so it is closer to
+    # the query than to the already-picked near-dup. Plain top-2 =
+    # {1, 2}; MMR's second pick must skip the near-dup and take 3.
+    vecs = [
+        [1.0, 0.0],
+        [0.999, 0.01],
+        [0.998, 0.012],
+        [0.8, -0.6],
+    ]
+    out = sorted(
+        mmr_rerank(
+            _emb_df(spark, vecs), query_max_id=1, n_candidates=3, k=2
+        ).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert out[0]["neighbor_id"] == 1
+    assert out[1]["neighbor_id"] == 3
