@@ -319,3 +319,98 @@ def mmr_rerank(
         _mmr,
         "query_id long, rnk int, neighbor_id long, rel double",
     )
+
+
+def _sqdist(a, b):
+    """Squared L2 distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def pq_quantize(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product quantization: split each embedding into ``m`` equal
+    subvectors, learn a ``k``-centroid codebook per subspace with a
+    deterministic L2 k-means (init = subvectors of the k smallest
+    vec_ids, fixed iteration count, argmin ties by centroid id), and
+    emit per vector the m-code assignment plus the full-vector
+    reconstruction error.
+
+    The memory-bound ANN path at 100 TB: codebooks are tiny (m·k
+    vectors, always broadcast); each pass over the corpus is a
+    broadcast-join + argmin — shuffle-free except the per-dim mean
+    update, which aggregates k·dims rows. Codes compress dims·4 bytes
+    to m bytes per vector.
+    """
+    sub = None
+    e = embeddings.select(
+        "vec_id", as_double("embedding").alias("full")
+    ).localCheckpoint()
+    dims = len(e.select("full").first()["full"])
+    assert dims % m == 0, "embedding dims must divide evenly into m"
+    sub = dims // m
+    parts = []
+    for j in range(m):
+        ej = e.select(
+            "vec_id", F.slice("full", j * sub + 1, sub).alias("v")
+        )
+        centroids = ej.orderBy("vec_id").limit(k).select(
+            F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+        )
+        assigned = None
+        for it in range(iterations):
+            scored = ej.join(F.broadcast(centroids)).withColumn(
+                "dist", _sqdist(F.col("v"), F.col("cv"))
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("dist").asc(), F.col("cluster")
+            )
+            assigned = (
+                scored.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("vec_id", "cluster", "v", "dist")
+                .localCheckpoint()
+            )
+            if it < iterations - 1:
+                dims_df = assigned.select(
+                    "cluster", F.posexplode("v").alias("d", "x")
+                )
+                centroids = (
+                    dims_df.groupBy("cluster", "d")
+                    .agg(F.avg("x").alias("mu"))
+                    .groupBy("cluster")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("d", "mu"))
+                        ).alias("dm")
+                    )
+                    .select(
+                        "cluster",
+                        F.expr("transform(dm, p -> p.mu)").alias("cv"),
+                    )
+                )
+        parts.append(
+            assigned.select(
+                "vec_id",
+                F.col("cluster").alias(f"code{j}"),
+                F.col("dist").alias(f"_d{j}"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "vec_id")
+    err = F.sqrt(
+        sum((F.col(f"_d{j}") for j in range(1, m)), F.col("_d0"))
+    )
+    return out.select(
+        "vec_id",
+        *[f"code{j}" for j in range(m)],
+        F.round(err, 6).alias("recon_err"),
+    )

@@ -1064,3 +1064,128 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round("vs", 6) + F.lit(0.0)).alias("value_sum"),
     )
+
+
+_MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n_orders,
+           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+    FROM orders GROUP BY 1, 2)
+SELECT y, m, n_orders, revenue,
+       round(100.0 * (revenue - lag(revenue) OVER w) / lag(revenue) OVER w,
+             6) AS mom_pct,
+       round(100.0 * (revenue - lag(revenue, 12) OVER w)
+             / lag(revenue, 12) OVER w, 6) AS yoy_pct
+FROM monthly WINDOW w AS (ORDER BY y, m)
+"""
+
+
+@register("orders_monthly_growth", _MONTHLY_GROWTH_SQL)
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: the lag
+    window runs over the MONTHLY aggregate (bounded rows), and pct
+    change divides pre-rounded revenues so both engines divide
+    identical doubles. Timezone-safe because every loader pins the
+    session to UTC and o_orderdate is a naive timestamp."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias(
+            "revenue"
+        ),
+    )
+    w = Window.orderBy("y", "m")
+    mom = F.lag("revenue").over(w)
+    yoy = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "y",
+        "m",
+        "n_orders",
+        "revenue",
+        F.round(F.lit(100.0) * (F.col("revenue") - mom) / mom, 6).alias(
+            "mom_pct"
+        ),
+        F.round(F.lit(100.0) * (F.col("revenue") - yoy) / yoy, 6).alias(
+            "yoy_pct"
+        ),
+    )
+
+
+_HOURLY_SEASONALITY_SQL = """
+SELECT event_type,
+       CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hour_of_day,
+       count(*) AS n,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY event_type), 6) AS share
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("events_hourly_seasonality", _HOURLY_SEASONALITY_SQL)
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type with within-type
+    share — the hour bucket is pure epoch arithmetic ((ms // 3600000)
+    % 24), immune to session timezone on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    hod = ((raw_ts_ms(ev) / F.lit(3600000)).cast("long") % 24).alias(
+        "hour_of_day"
+    )
+    counts = ev.select("event_type", hod).groupBy(
+        "event_type", "hour_of_day"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT event_type,
+       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       CAST(grouping(event_type) AS INTEGER) * 2
+           + CAST(grouping((epoch_ms(ts) // 86400000) * 86400000)
+                  AS INTEGER) AS gid,
+       count(*) AS n,
+       round(sum(value), 6) + 0.0 AS value_sum
+FROM events
+GROUP BY GROUPING SETS ((event_type, day_ms), (event_type), (day_ms), ())
+"""
+
+
+@register("events_grouping_sets", _GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a portable grouping-flag id
+    (grouping(a)·2 + grouping(b)) — the generalized rollup surface;
+    one shuffle, Catalyst expands the sets map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    base = ev.select(
+        "event_type",
+        ((raw_ts_ms(ev) / F.lit(86400000)).cast("long") * F.lit(86400000)).alias(
+            "day_ms"
+        ),
+        "value",
+    )
+    base.createOrReplaceTempView("_gs_events")
+    return base.sparkSession.sql(
+        """
+        SELECT event_type, day_ms,
+               CAST(grouping(event_type) AS INT) * 2
+                   + CAST(grouping(day_ms) AS INT) AS gid,
+               count(*) AS n,
+               round(sum(value), 6) + 0.0 AS value_sum
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, day_ms), (event_type),
+                                (day_ms), ())
+        """
+    )

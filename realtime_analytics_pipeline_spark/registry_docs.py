@@ -1120,3 +1120,112 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-20 cosine candidates (λ = ½) — declarative candidate
     generation + bounded per-query Arrow-path selection."""
     return S.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 4, iterations: int = 2,
+                   dims: int = 64) -> str:
+    """Loop-unrolled DuckDB twin of similarity.pq_quantize: per
+    subspace, fixed-init L2 k-means (subvectors of the k smallest
+    vec_ids, argmin ties by centroid id). Squared distances are an
+    index-ordered sequential sum on BOTH engines (list_zip fold here,
+    F.aggregate fold in Spark) so the argmin sees identical doubles."""
+    sub = dims // m
+    sq = ("list_sum(list_transform(list_zip({a}, {b}), "
+          "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    ctes = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"e{j} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            f"FROM embeddings)"
+        )
+        ctes.append(
+            f"c{j}_0 AS (SELECT vec_id AS cluster, v AS cv FROM e{j} "
+            f"ORDER BY vec_id LIMIT {k})"
+        )
+        for i in range(1, iterations + 1):
+            d = sq.format(a="e.v", b="c.cv")
+            ctes.append(f"""a{j}_{i} AS (
+  SELECT vec_id, cluster, v, dist FROM (
+    SELECT e.vec_id, c.cluster, e.v, {d} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {d} ASC, c.cluster) AS rn
+    FROM e{j} e CROSS JOIN c{j}_{i - 1} c
+  ) WHERE rn = 1
+)""")
+            if i < iterations:
+                ctes.append(f"""m{j}_{i} AS (
+  SELECT cluster, list(mu ORDER BY d) AS ml FROM (
+    SELECT cluster, d, avg(v[d]) AS mu
+    FROM a{j}_{i}, (SELECT unnest(range(1, {sub + 1})) AS d)
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+                ctes.append(
+                    f"c{j}_{i} AS (SELECT cluster, ml AS cv FROM m{j}_{i})"
+                )
+    codes = ", ".join(
+        f"a{j}.cluster AS code{j}" for j in range(m)
+    )
+    err = " + ".join(f"a{j}.dist" for j in range(m))
+    joins = f"a0_{iterations} a0" + "".join(
+        f" JOIN a{j}_{iterations} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    final = (
+        f"SELECT a0.vec_id, {codes}, round(sqrt({err}), 6) AS recon_err\n"
+        f"FROM {joins}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+@register("emb_pq_codes", _pq_oracle_sql())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces, k=4 codes, deterministic
+    L2 k-means codebooks) with per-vector reconstruction error — the
+    byte-per-subvector compression step of an IVF-PQ index."""
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        pq_quantize,
+    )
+
+    return pq_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(c) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS tot FROM vocab)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * -ln(cf * 1.0 / tot)) / sum(c), 6) + 0.0
+           AS avg_neg_logprob,
+       round(exp(round(sum(c * -ln(cf * 1.0 / tot)) / sum(c), 6)), 6)
+           AS ppl
+FROM tf JOIN vocab USING (tok), tot
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logprob", _UNIGRAM_SQL)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: train token probabilities on
+    the corpus itself, score each doc by mean negative log-probability
+    and its exp (perplexity) — the KenLM-style quality-filter analog.
+    The LM is the vocabulary-sized (token, count) table; scoring is an
+    AQE-sized join back, never a per-doc model object."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("cf"))
+    tot = vocab.agg(F.sum("cf").alias("tot"))
+    scored = tf.join(vocab, "tok").crossJoin(F.broadcast(tot))
+    neg_ll = F.col("c") * -F.log(F.col("cf") * F.lit(1.0) / F.col("tot"))
+    avg = F.round(F.sum(neg_ll) / F.sum("c"), 6)
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (avg + F.lit(0.0)).alias("avg_neg_logprob"),
+        F.round(F.exp(avg), 6).alias("ppl"),
+    )

@@ -309,3 +309,151 @@ def test_mmr_prefers_diversity_over_near_duplicate(spark):
     )
     assert out[0]["neighbor_id"] == 1
     assert out[1]["neighbor_id"] == 3
+
+
+# --------------------------------------------------------------------------
+# pq_quantize
+# --------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_error_bound(spark):
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        pq_quantize,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = pq_quantize(emb, m=4, k=4, iterations=2).collect()
+    assert len(out) == 500
+    rows = {r["vec_id"]: r for r in out}
+    codebook_ids = {0, 1, 2, 3}  # init = the 4 smallest vec_ids
+    for r in out:
+        assert {r["code0"], r["code1"], r["code2"], r["code3"]} <= codebook_ids
+        assert r["recon_err"] >= 0.0
+    # a vector that seeded the codebooks reconstructs itself at
+    # iteration 1; after the mean update its error is still small
+    # relative to the corpus mean
+    import statistics
+
+    mean_err = statistics.mean(r["recon_err"] for r in out)
+    assert mean_err > 0.0
+
+
+def test_pq_error_zero_on_degenerate_corpus(spark):
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        pq_quantize,
+    )
+
+    # 8 identical vectors -> every centroid equals the vector ->
+    # reconstruction error exactly 0
+    v = [float(i % 3) for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = pq_quantize(df, m=2, k=2, iterations=2).collect()
+    assert all(r["recon_err"] == 0.0 for r in out)
+
+
+# --------------------------------------------------------------------------
+# observe_event_quality
+# --------------------------------------------------------------------------
+
+
+def test_observation_counters_match_direct_agg(spark):
+    from realtime_analytics_pipeline_spark.operators.observability import (
+        observe_event_quality,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    observed, obs = observe_event_quality(ev)
+    n = observed.count()  # the action that materializes the metrics
+    got = obs.get
+    assert got["n_rows"] == n
+    direct = ev.agg(
+        F.sum(F.col("value").isNull().cast("long")).alias("nulls"),
+        F.sum((F.col("value") < 0).cast("long")).alias("negs"),
+    ).collect()[0]
+    assert got["n_null_value"] == direct["nulls"]
+    assert got["n_neg_value"] == direct["negs"]
+    assert got["min_ms"] <= got["max_ms"]
+
+
+# --------------------------------------------------------------------------
+# unigram LM scoring / grouping sets / growth / seasonality
+# --------------------------------------------------------------------------
+
+
+def test_unigram_logprob_uniform_corpus(spark, duck):
+    """On a corpus where every token is equally frequent, every doc's
+    avg negative log-prob is ln(V) and ppl is V (V = vocab size)."""
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [(1, "a b", "en", "s0", 3), (2, "c d", "en", "s0", 3)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["text_unigram_logprob"](spark, d).collect()
+        }
+    expect = round(math.log(4), 6)
+    assert out[1]["avg_neg_logprob"] == expect
+    assert out[2]["avg_neg_logprob"] == expect
+    assert abs(out[1]["ppl"] - 4.0) < 1e-4
+
+
+def test_grouping_sets_totals_consistent(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_grouping_sets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = (type, day); 1 = type only; 2 = day only; 3 = grand total
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3][0]["n"]
+    assert sum(r["n"] for r in by_gid[0]) == grand
+    assert sum(r["n"] for r in by_gid[1]) == grand
+    assert sum(r["n"] for r in by_gid[2]) == grand
+    # subtotal rows null out the collapsed dimension
+    assert all(r["day_ms"] is None for r in by_gid[1])
+    assert all(r["event_type"] is None for r in by_gid[2])
+
+
+def test_monthly_growth_lag_edges(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["orders_monthly_growth"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: (r["y"], r["m"]),
+    )
+    assert rows[0]["mom_pct"] is None  # no prior month
+    assert all(r["yoy_pct"] is None for r in rows[:12])  # no prior year
+    assert all(r["mom_pct"] is not None for r in rows[1:])
+
+
+def test_hourly_seasonality_shares_sum_to_one(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_hourly_seasonality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], 0.0)
+        by_type[r["event_type"]] += r["share"]
+        assert 0 <= r["hour_of_day"] <= 23
+    for t, s in by_type.items():
+        assert abs(s - 1.0) < 1e-4, t
