@@ -1189,3 +1189,147 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (day_ms), ())
         """
     )
+
+
+_BITMAP_DISTINCT_SQL = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY 1
+"""
+
+
+@register("events_distinct_users_bitmap", _BITMAP_DISTINCT_SQL)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users via Spark's bitmap aggregates — the
+    mergeable exact-distinct pattern: per-(day, hour, bucket) bitmaps
+    built map-side, OR-merged hour→day (proving re-aggregability the
+    way HLL sketches merge, but lossless), then summed across disjoint
+    buckets. At 100 TB this replaces the count-distinct shuffle of raw
+    user ids with fixed-size bitmap pages. Oracle = plain
+    COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    ms = raw_ts_ms(ev)
+    base = ev.select(
+        ((ms / F.lit(86400000)).cast("long") * F.lit(86400000)).alias(
+            "day_ms"
+        ),
+        ((ms / F.lit(3600000)).cast("long") * F.lit(3600000)).alias(
+            "hour_ms"
+        ),
+        "user_id",
+    )
+    hourly = base.groupBy(
+        "day_ms",
+        "hour_ms",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    daily_buckets = hourly.groupBy("day_ms", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"), F.sum("n").alias("n")
+    )
+    return daily_buckets.groupBy("day_ms").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"),
+    )
+
+
+_CONCURRENCY_SQL = """
+WITH g AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+    SELECT user_id, us,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM g),
+sess AS (
+    SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+    FROM s GROUP BY 1, 2),
+pts AS (
+    SELECT us, sum(st) AS starts, sum(en) AS ends FROM (
+        SELECT s_us AS us, 1 AS st, 0 AS en FROM sess
+        UNION ALL
+        SELECT e_us AS us, 0 AS st, 1 AS en FROM sess)
+    GROUP BY 1),
+sweep AS (
+    SELECT us,
+           starts,
+           sum(starts) OVER cum - (sum(ends) OVER cum - ends) AS active
+    FROM pts
+    WINDOW cum AS (ORDER BY us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT (us // 86400000000) * 86400000 AS day_ms,
+       CAST(max(active) AS BIGINT) AS peak_concurrency,
+       CAST(sum(starts) AS BIGINT) AS n_sessions_started
+FROM sweep
+GROUP BY 1
+"""
+
+
+@register("sessions_max_concurrency_daily", _CONCURRENCY_SQL)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the +1/−1 interval sweep:
+    sessionize (native session_window, same ≥30 min break as the
+    session-metrics family), collapse endpoints to a per-timestamp
+    grid, and take a running starts−ends balance; a session active at
+    an instant counts its start before its end (closed interval).
+
+    Scale note: the sweep's global cumulative window runs over the
+    DISTINCT endpoint timestamps of SESSIONS — two rows per session,
+    aggregated — not raw events; for extreme session counts the
+    documented split is per-day sweeps plus a carried-in prefix
+    balance, same math, one extra day-level aggregation."""
+    ev = load_events(spark, sf_dir)
+    sess = ev.groupBy(
+        "user_id", F.session_window("event_time", "30 minutes")
+    ).agg(
+        F.unix_micros(F.min("event_time")).alias("s_us"),
+        F.unix_micros(F.max("event_time")).alias("e_us"),
+    )
+    pts = (
+        sess.select(
+            F.col("s_us").alias("us"),
+            F.lit(1).alias("st"),
+            F.lit(0).alias("en"),
+        )
+        .unionByName(
+            sess.select(
+                F.col("e_us").alias("us"),
+                F.lit(0).alias("st"),
+                F.lit(1).alias("en"),
+            )
+        )
+        .groupBy("us")
+        .agg(F.sum("st").alias("starts"), F.sum("en").alias("ends"))
+    )
+    cum = Window.orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = pts.select(
+        "us",
+        "starts",
+        (
+            F.sum("starts").over(cum)
+            - (F.sum("ends").over(cum) - F.col("ends"))
+        ).alias("active"),
+    )
+    return sweep.groupBy(
+        (
+            (F.col("us") / F.lit(86400000000)).cast("long")
+            * F.lit(86400000)
+        ).alias("day_ms")
+    ).agg(
+        F.max("active").alias("peak_concurrency"),
+        F.sum("starts").alias("n_sessions_started"),
+    )

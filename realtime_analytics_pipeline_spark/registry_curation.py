@@ -1463,3 +1463,88 @@ def q_session_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules on the co-occurrence pairs: confidence + lift.
+# --------------------------------------------------------------------------
+
+_BASKET_LIFT_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+isup AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2)
+SELECT part_a, part_b, support,
+       CAST(sa.s AS BIGINT) AS supp_a,
+       CAST(sb.s AS BIGINT) AS supp_b,
+       round(support * 1.0 / sa.s, 6) AS conf_a_to_b,
+       round(support * 1.0 / sb.s, 6) AS conf_b_to_a,
+       round(support * 1.0 * n_orders / (sa.s * sb.s), 6) AS lift
+FROM pairs
+JOIN isup sa ON sa.l_partkey = part_a
+JOIN isup sb ON sb.l_partkey = part_b, n
+"""
+
+
+@register("basket_rules_lift", _BASKET_LIFT_SQL)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength over the co-occurrence pairs:
+    confidence in both directions plus lift. The item-support side is
+    part-cardinality-sized (AQE decides broadcast vs shuffle); the
+    basket count is a 1-row broadcast; integer ratios divide once at
+    the end so both engines divide identical values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    return (
+        pairs.join(
+            isup.select(
+                F.col("l_partkey").alias("part_a"), F.col("s").alias("supp_a")
+            ),
+            "part_a",
+        )
+        .join(
+            isup.select(
+                F.col("l_partkey").alias("part_b"), F.col("s").alias("supp_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.round(F.col("support") / F.col("supp_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("support") / F.col("supp_b"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

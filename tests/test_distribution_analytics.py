@@ -457,3 +457,109 @@ def test_hourly_seasonality_shares_sum_to_one(spark):
         assert 0 <= r["hour_of_day"] <= 23
     for t, s in by_type.items():
         assert abs(s - 1.0) < 1e-4, t
+
+
+# --------------------------------------------------------------------------
+# bitmap distinct / concurrency sweep / basket lift
+# --------------------------------------------------------------------------
+
+
+def test_bitmap_distinct_matches_exact(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    got = {
+        r["day_ms"]: r
+        for r in QUERIES["events_distinct_users_bitmap"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {
+        r["day_ms"]: r
+        for r in ev.groupBy(
+            (
+                (F.unix_millis("ts") / F.lit(86400000)).cast("long")
+                * F.lit(86400000)
+            ).alias("day_ms")
+        )
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert got[k]["distinct_users"] == exact[k]["d"]
+
+
+def test_concurrency_sweep_crafted(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # Three users on one day:
+    #   u1 session 00:00-01:00, u2 session 00:30-01:30 (overlap -> 2),
+    #   u3 session 05:00-05:00 (single event; start counts before end)
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:30:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 01:30:00", 2, "view", 1.0, "{}"),
+        (5, "2024-01-01 05:00:00", 3, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["sessions_max_concurrency_daily"](spark, d).collect()
+    assert len(out) == 1
+    # u1's hour-long span splits at the >=30min gap into two sessions
+    # (events at 00:00 and 01:00 are 60min apart) — so starts:
+    # u1x2, u2x2, u3x1 = 5; peak: 00:30 has u1(00:00 session already
+    # closed? no — closed interval: endpoint 00:00 session is [00:00,
+    # 00:00]) ... u2 [00:30,00:30]+[01:30,01:30], single-event
+    # sessions everywhere since every gap >= 30min. Peak = 1.
+    r = out[0]
+    assert r["n_sessions_started"] == 5
+    assert r["peak_concurrency"] == 1
+
+
+def test_concurrency_sweep_overlap(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # u1 events 00:00 + 00:20 -> ONE session [00:00, 00:20];
+    # u2 event 00:10 -> session [00:10, 00:10] inside u1's span.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:10:00", 2, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["sessions_max_concurrency_daily"](spark, d).collect()
+    assert out[0]["n_sessions_started"] == 2
+    assert out[0]["peak_concurrency"] == 2
+
+
+def test_basket_lift_identities(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["basket_rules_lift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:200]:
+        assert 0.0 < r["conf_a_to_b"] <= 1.0
+        assert 0.0 < r["conf_b_to_a"] <= 1.0
+        assert r["support"] <= min(r["supp_a"], r["supp_b"])
+        assert r["lift"] > 0.0
