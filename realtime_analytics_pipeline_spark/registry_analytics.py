@@ -1333,3 +1333,40 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("active").alias("peak_concurrency"),
         F.sum("starts").alias("n_sessions_started"),
     )
+
+
+_RATE_LIMIT_SQL = """
+WITH ranked AS (
+    SELECT event_id, user_id, event_type, ts,
+           row_number() OVER (
+               PARTITION BY user_id, (epoch_ms(ts) // 300000)
+               ORDER BY ts, event_id) AS rn
+    FROM events)
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       event_type,
+       epoch_ms(ts) AS ts_ms
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("events_rate_limited", _RATE_LIMIT_SQL)
+def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttling / rate limiting: keep the FIRST event per user per
+    5-minute bucket (deterministic ts, event_id order) — the ingestion
+    de-noising pass; one shuffle keyed (user, bucket)."""
+    ev = load_events(spark, sf_dir)
+    bucket = (F.unix_millis("event_time") / F.lit(300000)).cast("long")
+    w = Window.partitionBy("user_id", bucket).orderBy(
+        "event_time", F.col("event_id").cast("long")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_millis("event_time").alias("ts_ms"),
+        )
+    )

@@ -1229,3 +1229,118 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (avg + F.lit(0.0)).alias("avg_neg_logprob"),
         F.round(F.exp(avg), 6).alias("ppl"),
     )
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       regexp_replace(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ',
+                                                'g'))),
+                      ' +', ' ', 'g') AS text_norm,
+       md5(regexp_replace(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                    ' ', 'g'))),
+                          ' +', ' ', 'g')) AS norm_fp,
+       length(text) - length(regexp_replace(trim(lower(regexp_replace(text,
+           '[^a-zA-Z0-9 ]', ' ', 'g'))), ' +', ' ', 'g')) AS chars_removed
+FROM documents
+"""
+
+
+@register("text_normalize", _NORMALIZE_SQL)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace, trim) + normalized fingerprint — the
+    pre-dedup canonicalization pass; pure Column regexps, map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(
+            F.lower(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", " "))
+        ),
+        r" +",
+        " ",
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.md5(norm).alias("norm_fp"),
+        (F.length("text") - F.length(norm)).alias("chars_removed"),
+    )
+
+
+# Agreement between the two near-dup modalities: token-set Jaccard
+# pairs vs embedding cosine of the same id pairs (doc_id == vec_id in
+# the synthetic corpus).
+_MODALITY_SQL = """
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
+    FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9)
+SELECT doc_a, doc_b, jaccard,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) AS cos,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                    eb.embedding::DOUBLE[]), 6) >= 0.9
+           AS emb_agrees
+FROM pairs
+JOIN embeddings ea ON ea.vec_id = doc_a
+JOIN embeddings eb ON eb.vec_id = doc_b
+"""
+
+
+@register("dedup_modality_agreement", _MODALITY_SQL)
+def q_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup verification: every token-set Jaccard
+    candidate pair is re-scored with embedding cosine (id-joined to the
+    embedding table) and flagged where the second modality confirms.
+    The join is pair-keyed — candidate-set-sized, not corpus-sized."""
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        unit,
+    )
+    from realtime_analytics_pipeline_spark.functions.vectors import dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.9)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", unit(as_double("embedding")).alias("v")
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.join(
+            emb.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va")),
+            "doc_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cos"),
+            (cos >= 0.9).alias("emb_agrees"),
+        )
+    )
+
+
+@register("sim_ivfpq_topk")  # rows-only: approximate on probe AND PQ axes
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ compressed-domain ANN: coarse probing + product-quantized
+    reconstruction scoring; recall vs the exact baseline pinned in
+    tests/test_ann_quality.py."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        ivfpq_topk,
+    )
+
+    return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))

@@ -84,3 +84,42 @@ def test_lsh_recall_curve_vs_bits(spark):
     }
     for r in lsh_ann_topk(embs, N_QUERIES, K, bits=4).collect():
         assert all_pairs[(r.query_id, r.neighbor_id)] == r.cos
+
+
+def test_ivfpq_recall_floor_and_full_probe_parity(spark):
+    """IVF-PQ recall@5 vs exact cosine: the compressed-domain search
+    keeps a usable fraction of true neighbors even on the
+    worst-case unclustered corpus, and scores stay in [-1, 1]."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        ivfpq_topk,
+    )
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, query_max_id=10, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, query_max_id=10, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2 = recall(2)
+    r8 = recall(8)  # full probe: only PQ distortion remains
+    # NOTE: unlike exact-scored IVF, recall is NOT monotone in nprobe
+    # here — a PQ-distorted high-scorer from a newly probed list can
+    # displace a true neighbor — so only floors are asserted.
+    # Measured 0.36 / 0.30 on the near-uniform corpus (PQ's worst
+    # case — see operator docstring); floors set with margin.
+    assert r8 >= 0.15
+    assert r2 >= 0.05
+    rows = ivfpq_topk(emb, query_max_id=3, k=5, nprobe=2).collect()
+    assert all(-1.0 <= r["cos_pq"] <= 1.0 for r in rows)

@@ -270,3 +270,51 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_text_normalize_map_only(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["text_normalize"](spark, SF_SMOKE))
+    assert "Exchange" not in plan  # pure projection rides the scan
+    # only doc_id + text are read
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_rate_limited_single_shuffle(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    import re
+
+    plan = plan_of(QUERIES["events_rate_limited"](spark, SF_SMOKE))
+    # one exchange keyed (user, bucket) feeds the row_number window
+    assert len(re.findall(r"^\(\d+\) Exchange$", plan, re.M)) == 1
+    # rank<=1 is pushed below the shuffle as a per-partition group limit
+    assert "WindowGroupLimit" in plan
+    assert "props" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_bitmap_distinct_merges_partial_bitmaps(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["events_distinct_users_bitmap"](spark, SF_SMOKE))
+    # three aggregation tiers (hour-bucket build, day-bucket OR-merge,
+    # day sum) with map-side partials
+    assert plan.count("HashAggregate") >= 4
+    # scan reads ts + user_id only
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "event_type" not in read_schema
+    assert "value" not in read_schema
+
+
+def test_decayed_engagement_single_shuffle_after_scalar(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["events_decayed_engagement"](spark, SF_SMOKE))
+    # the scalar max-ts broadcast must not force the fact side to
+    # shuffle before the per-user aggregation: exactly one
+    # hash-partitioned exchange (the user agg); the scalar side rides
+    # a SinglePartition + broadcast exchange
+    assert plan.count("hashpartitioning(") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
