@@ -781,3 +781,65 @@ def q_streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# Chained stateful aggregation: per-(day, bitmap-bucket) bitmaps built
+# in phase 1, OR-merged and counted in phase 2 — EXACT streaming
+# distinct with fixed-size mergeable state (the lossless alternative to
+# HLL state). Finalized set measured empirically at sf0.001/sf0.01:
+# window_end ≤ max − delay (the SINGLE-agg law, no extra window-length
+# lag) — phase 2 groups on the SAME window struct phase 1 emits, and
+# both phases finalize in the same terminal no-data batch, unlike the
+# 1m chained-distinct case where the second grouping re-keys.
+_STREAM_BITMAP_SQL = """
+WITH daily AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1)
+SELECT day_ms, day_ms + 86400000 AS day_end_ms, n_events, distinct_users
+FROM daily
+WHERE day_ms + 86400000 <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_daily_users_bitmap", _STREAM_BITMAP_SQL)
+def q_streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct users as a STREAMING job: phase 1 keeps one
+    bitmap per (day, bucket) in state (bounded, mergeable — new events
+    OR into it); phase 2 merges buckets per finalized day. Append-mode
+    emission; oracle = batch COUNT(DISTINCT) on the finalized set."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # read_events_stream_from_dir already assigns the 10 s watermark
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        phase1 = stream.groupBy(
+            F.window("event_time", "1 day").alias("win"),
+            F.expr("bitmap_bucket_number(CAST(user_id AS LONG))").alias(
+                "bucket"
+            ),
+        ).agg(
+            F.expr(
+                "bitmap_construct_agg("
+                "bitmap_bit_position(CAST(user_id AS LONG)))"
+            ).alias("bm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        phase2 = phase1.groupBy("win").agg(
+            F.sum("n").alias("n_events"),
+            F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"),
+        )
+        out = phase2.select(
+            F.unix_millis(F.col("win.start")).alias("day_ms"),
+            F.unix_millis(F.col("win.end")).alias("day_end_ms"),
+            "n_events",
+            "distinct_users",
+        )
+        table = f"stream_bitmap_daily_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

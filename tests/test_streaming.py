@@ -273,3 +273,67 @@ def test_progress_metrics_trace(spark, tmp_path):
     assert any(t["state_rows"] > 0 for t in trace)  # stateful agg visible
     assert any(t["state_bytes"] > 0 for t in trace)
     assert trace[-1]["watermark"] is not None  # advanced by the replay
+
+
+def test_streaming_bitmap_distinct_multibatch(spark, tmp_path):
+    """Bitmap state must OR-merge across micro-batches: replaying the
+    corpus as three time-sliced files yields the same finalized daily
+    distinct-user counts as the batch aggregation (a user seen in two
+    batches of the same day counts once)."""
+    import time as _time
+
+    src = str(tmp_path / "bm_src")
+    raw = load_table(spark, SF_SMOKE, "events")
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cuts = [lo + (hi - lo) * i // 3 for i in range(1, 3)]
+    slices = [
+        raw.where(F.col("ts") < cuts[0]),
+        raw.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        raw.where(F.col("ts") >= cuts[1]),
+    ]
+    for part in slices:
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = read_events_stream_from_dir(spark, src)
+    phase1 = stream.groupBy(
+        F.window("event_time", "1 day").alias("win"),
+        F.expr("bitmap_bucket_number(CAST(user_id AS LONG))").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(CAST(user_id AS LONG)))"
+        ).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    phase2 = phase1.groupBy("win").agg(
+        F.sum("n").alias("n_events"),
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"),
+    )
+    out = phase2.select(
+        F.unix_millis(F.col("win.start")).alias("day_ms"),
+        "n_events",
+        "distinct_users",
+    )
+    run_to_memory_table(out, "t_bm_daily", output_mode="append")
+    got = {
+        r["day_ms"]: (r["n_events"], r["distinct_users"])
+        for r in spark.table("t_bm_daily").collect()
+    }
+
+    ev = load_events(spark, SF_SMOKE)
+    max_ms = ev.agg(F.max(F.unix_millis("event_time"))).collect()[0][0]
+    day = (F.unix_millis("event_time") / F.lit(86400000)).cast(
+        "long"
+    ) * F.lit(86400000)
+    want = {
+        r["day_ms"]: (r["n"], r["d"])
+        for r in ev.groupBy(day.alias("day_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("d"),
+        )
+        .where(F.col("day_ms") + 86400000 <= max_ms - 10_000)
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 25
