@@ -1370,3 +1370,78 @@ def q_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("event_time").alias("ts_ms"),
         )
     )
+
+
+_LINEAR_ATTR_SQL = """
+WITH touches AS (
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.value AS revenue,
+           count(*) OVER (PARTITION BY p.event_id) AS n_touches,
+           v.event_id AS view_id,
+           epoch_ms(v.ts) AS view_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR)
+SELECT (view_ms // 86400000) * 86400000 AS day_ms,
+       count(*) AS n_credited_views,
+       count(DISTINCT purchase_id) AS n_purchases,
+       round(sum(coalesce(revenue, 0) / n_touches), 6) + 0.0
+           AS attributed_revenue
+FROM touches
+GROUP BY 1
+"""
+
+
+@register("attribution_linear_credit", _LINEAR_ATTR_SQL)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every view within the 1 h
+    lookback of a purchase shares the purchase's revenue equally
+    (1/n_touches each), rolled up to the day the touch happened — the
+    complement of the as-of join's last-touch model. The fan-out join
+    is user-keyed + time-bounded (state-bounded streaming twin:
+    streaming_interval_join); credit division happens on pre-aggregated
+    integer touch counts so both engines divide identical values."""
+    ev = load_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("event_time").alias("p_time"),
+        F.col("value").alias("revenue"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("v_time"),
+    )
+    touches = p.join(
+        v,
+        (p["u"] == v["u"])
+        & (v["v_time"] <= p["p_time"])
+        & (v["v_time"] >= p["p_time"] - F.expr("INTERVAL 1 HOUR")),
+    )
+    wt = Window.partitionBy("purchase_id")
+    credited = touches.select(
+        "purchase_id",
+        "revenue",
+        F.unix_millis("v_time").alias("view_ms"),
+        F.count(F.lit(1)).over(wt).alias("n_touches"),
+    )
+    day = (F.col("view_ms") / F.lit(86400000)).cast("long") * F.lit(
+        86400000
+    )
+    return credited.groupBy(day.alias("day_ms")).agg(
+        F.count(F.lit(1)).alias("n_credited_views"),
+        F.count_distinct("purchase_id").alias("n_purchases"),
+        (
+            F.round(
+                F.sum(
+                    F.coalesce("revenue", F.lit(0.0)) / F.col("n_touches")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("attributed_revenue"),
+    )
