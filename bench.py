@@ -85,6 +85,17 @@ HEADLINE = [
     "events_cohort_retention",
     "events_value_mad_outliers",
     "sample_docs_quota",
+    # round-3 second continuation
+    "text_dup_ngram_fraction",  # inverted-index substring dedup signal
+    "text_unigram_logprob",  # corpus-trained LM quality scoring
+    "sim_mmr_rerank",  # Arrow-path diversity selection
+    "events_distinct_users_bitmap",  # mergeable exact distinct
+    "streaming_daily_users_bitmap",  # same, as a streaming job
+    "sessions_max_concurrency_daily",  # interval sweep
+    "basket_rules_lift",
+    "attribution_linear_credit",
+    "events_decayed_engagement",
+    "docs_length_ks_by_source",
 ]
 
 

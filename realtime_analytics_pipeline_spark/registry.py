@@ -416,7 +416,18 @@ _VERIFY_WINDOW = [
     # emb_random_projection, multimodal_chunks, events_value_winsorized,
     # value_drift_trailing7, sample_docs_quota, value_trend_by_type,
     # source_mixing_weights, pipeline_decontaminated_corpus,
-    # tpch_q15_top_supplier.
+    # tpch_q15_top_supplier; and the third-continuation additions
+    # (all replica-green at sf0.001+sf0.01, never driver-verified):
+    # text_dup_ngram_fraction, text_boilerplate_chunks,
+    # text_unigram_logprob, text_normalize, sim_mmr_rerank,
+    # emb_pq_codes, docs_length_ks_by_source, dedup_modality_agreement,
+    # events_user_entropy, events_decayed_engagement,
+    # customers_gini_revenue, incremental_metric_merge,
+    # orders_monthly_growth, events_hourly_seasonality,
+    # events_grouping_sets, events_distinct_users_bitmap,
+    # sessions_max_concurrency_daily, basket_rules_lift,
+    # events_rate_limited, attribution_linear_credit,
+    # streaming_daily_users_bitmap.
     # -- new in the round-3 continuation (never driver-verified) --
     "text_pii_redaction",
     "text_tfidf_top_terms",

@@ -48,6 +48,15 @@ QUERIES = [
     "sample_docs_quota",
     "pack_token_budget",
     "events_cohort_retention",
+    "text_dup_ngram_fraction",
+    "text_unigram_logprob",
+    "text_normalize",
+    "events_distinct_users_bitmap",
+    "events_decayed_engagement",
+    "events_rate_limited",
+    "sessions_max_concurrency_daily",
+    "basket_rules_lift",
+    "attribution_linear_credit",
     "events_value_mad_outliers",
     "value_drift_trailing7",
     "event_counts_salted",
