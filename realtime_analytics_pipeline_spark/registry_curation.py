@@ -11,7 +11,7 @@ lesson).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.operators import curation as C
@@ -1547,4 +1547,196 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("lift"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement: Efraimidis–Spirakis A-ES keys.
+# --------------------------------------------------------------------------
+
+_AES_U = "(" + __import__(
+    "realtime_analytics_pipeline_spark.operators.sampling",
+    fromlist=["md5_bucket_sql"],
+).md5_bucket_sql("CAST(doc_id AS VARCHAR)", "aes") + " + 0.5) / 65536.0"
+
+_AES_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(ln({_AES_U}) / n_chars, 12) AS k
+    FROM documents)
+SELECT doc_id, n_chars, k, rnk FROM (
+    SELECT doc_id, n_chars, k,
+           row_number() OVER (ORDER BY k DESC, doc_id) AS rnk
+    FROM keyed)
+WHERE rnk <= 100
+"""
+
+
+@register("sample_docs_aes_weighted", _AES_SQL)
+def q_aes_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    exponential keys: key = ln(u)/w with a deterministic md5-derived
+    u, take the global top-k by key. One pass + a top-k — the
+    distributed-systems classic for weighted reservoir sampling
+    (heavier docs win proportionally more often); keys are rounded to
+    12 decimals with doc_id tiebreak so the cross-engine ranking is
+    ULP-proof."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash_bucket(F.col("doc_id"), "aes") + F.lit(0.5)) / F.lit(65536.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("k"),
+    )
+    w = Window.orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select("doc_id", "n_chars", "k", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC / MERGE: apply an upsert+delete+insert changelog to a snapshot.
+# --------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH latest AS (
+    SELECT o_custkey, round(CAST(o_totalprice AS DOUBLE), 2) AS new_bal
+    FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1),
+changelog AS (
+    SELECT o_custkey AS key,
+           CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+           new_bal
+    FROM latest
+    UNION ALL
+    SELECT o_custkey + 1000000 AS key, 'I' AS op, new_bal
+    FROM latest WHERE o_custkey % 89 = 0),
+merged AS (
+    SELECT coalesce(c.c_custkey, g.key) AS c_custkey,
+           coalesce(c.c_name, 'NEW') AS c_name,
+           CASE WHEN g.op = 'U' THEN g.new_bal
+                WHEN g.op = 'I' THEN g.new_bal
+                ELSE round(CAST(c.c_acctbal AS DOUBLE), 2) END AS acctbal,
+           CASE WHEN g.key IS NULL THEN 'kept'
+                WHEN g.op = 'U' THEN 'updated'
+                WHEN g.op = 'I' THEN 'inserted' END AS change_type,
+           g.op AS op
+    FROM customer c FULL OUTER JOIN changelog g ON c.c_custkey = g.key)
+SELECT c_custkey, c_name, acctbal, change_type
+FROM merged WHERE op IS NULL OR op != 'D'
+"""
+
+
+@register("customers_cdc_merge", _CDC_SQL)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE semantics as a full-outer join: a derived
+    changelog (update per customer's latest order, deletes for
+    custkey%97, inserts for synthesized new keys) applied to the
+    customer snapshot — unmatched-left kept, matched updated or
+    deleted, unmatched-right inserted. The join is key-equi, AQE
+    decides broadcast vs shuffle; at table scale this is the
+    foreachBatch-upsert pattern the sinks already exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "new_bal"
+            ),
+        )
+    )
+    changelog = (
+        latest.select(
+            F.col("o_custkey").alias("key"),
+            F.when(F.col("o_custkey") % 97 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "new_bal",
+        )
+    ).unionByName(
+        latest.where(F.col("o_custkey") % 89 == 0).select(
+            (F.col("o_custkey") + 1000000).alias("key"),
+            F.lit("I").alias("op"),
+            "new_bal",
+        )
+    )
+    merged = customer.join(
+        changelog, customer["c_custkey"] == changelog["key"], "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "key").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("NEW")).alias("c_name"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+        .otherwise(F.round(F.col("c_acctbal").cast("double"), 2))
+        .alias("acctbal"),
+        F.when(F.col("key").isNull(), "kept")
+        .when(F.col("op") == "U", "updated")
+        .when(F.col("op") == "I", "inserted")
+        .alias("change_type"),
+        "op",
+    )
+    return merged.where(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select("c_custkey", "c_name", "acctbal", "change_type")
+
+
+_NULLSAFE_SQL = """
+WITH bucketed AS (
+    SELECT event_id,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE CAST(floor(value / 100) AS BIGINT) END AS bucket
+    FROM events),
+dim AS (
+    SELECT DISTINCT bucket,
+           CASE WHEN bucket IS NULL THEN 'unmeasured'
+                ELSE 'band_' || CAST(bucket AS VARCHAR) END AS label
+    FROM bucketed)
+SELECT label, count(*) AS n
+FROM bucketed b JOIN dim d ON b.bucket IS NOT DISTINCT FROM d.bucket
+GROUP BY 1
+"""
+
+
+@register("events_nullsafe_bucket_join", _NULLSAFE_SQL)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    bucket rows match the dimension's NULL row instead of dropping —
+    the semantics regular equi-joins silently lose."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_id",
+        F.when(
+            F.col("value").isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(F.floor(F.col("value") / 100).cast("long"))
+        .alias("bucket"),
+    )
+    dim = bucketed.select("bucket").distinct().select(
+        "bucket",
+        F.when(F.col("bucket").isNull(), "unmeasured")
+        .otherwise(F.concat(F.lit("band_"), F.col("bucket").cast("string")))
+        .alias("label"),
+    )
+    return (
+        bucketed.alias("b")
+        .join(
+            dim.alias("d"),
+            F.col("b.bucket").eqNullSafe(F.col("d.bucket")),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

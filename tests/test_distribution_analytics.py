@@ -604,3 +604,72 @@ def test_csv_and_jsonl_sources_match_parquet(spark, tmp_path):
             .collect()
         }
         assert got == want, loader.__name__
+
+
+# --------------------------------------------------------------------------
+# A-ES weighted sampling / CDC merge / null-safe join
+# --------------------------------------------------------------------------
+
+
+def test_aes_heavy_weight_dominates(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [(i, "x", "en", "s0", 1) for i in range(10)]
+        rows.append((99, "x", "en", "s0", 10_000_000))
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = sorted(
+            QUERIES["sample_docs_aes_weighted"](spark, d).collect(),
+            key=lambda r: r["rnk"],
+        )
+    # key = ln(u)/w -> the near-infinite weight pushes the key to ~0,
+    # the maximum possible; the heavy doc must rank first
+    assert out[0]["doc_id"] == 99
+    assert len(out) == 11  # min(100, corpus)
+
+
+def test_cdc_merge_semantics(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["customers_cdc_merge"](spark, sf).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["change_type"], []).append(r)
+    orders = spark.read.parquet(sf + "/orders.parquet")
+    customer = spark.read.parquet(sf + "/customer.parquet")
+    with_orders = {
+        r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()
+    }
+    deleted = {k for k in with_orders if k % 97 == 0}
+    inserted = {k + 1000000 for k in with_orders if k % 89 == 0}
+    n_cust = customer.count()
+    got_keys = {r["c_custkey"] for r in out}
+    assert deleted.isdisjoint(got_keys)
+    assert inserted <= got_keys
+    assert all(r["c_name"] == "NEW" for r in by_type.get("inserted", []))
+    assert len(by_type["updated"]) == len(with_orders) - len(deleted)
+    # at sf0.001 every customer has orders, so "kept" may be empty
+    assert len(by_type.get("kept", [])) == n_cust - len(with_orders)
+
+
+def test_nullsafe_join_keeps_null_bucket(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["label"]: r["n"]
+        for r in QUERIES["events_nullsafe_bucket_join"](spark, sf).collect()
+    }
+    ev = spark.read.parquet(sf + "/events.parquet")
+    n_null = ev.where(F.col("value").isNull()).count()
+    if n_null:
+        assert out.get("unmeasured") == n_null
+    assert sum(out.values()) == ev.count()
