@@ -1445,3 +1445,115 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("attributed_revenue"),
     )
+
+
+_TWA_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           epoch_ms(ts) AS ms, value
+    FROM events WHERE value IS NOT NULL),
+seg AS (
+    SELECT event_type, day_ms, value,
+           coalesce(lead(ms) OVER (PARTITION BY event_type, day_ms
+                                   ORDER BY ms, value),
+                    day_ms + 86400000) - ms AS dt
+    FROM pts)
+SELECT event_type, day_ms,
+       count(*) AS n_points,
+       round(sum(value * dt) / sum(dt), 6) + 0.0 AS time_weighted_avg
+FROM seg GROUP BY 1, 2
+"""
+
+
+@register("events_time_weighted_avg_daily", _TWA_SQL)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED daily average (gauge semantics): each reading
+    holds until the next one (last one until day end), so sparse busy
+    periods don't drown quiet ones the way a plain AVG does. One
+    window pass per (type, day) + one aggregation; integer millisecond
+    weights keep both engines on identical arithmetic until the final
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    ms = raw_ts_ms(ev)
+    pts = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        ((ms / F.lit(86400000)).cast("long") * F.lit(86400000)).alias(
+            "day_ms"
+        ),
+        ms.alias("ms"),
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day_ms").orderBy("ms", "value")
+    seg = pts.select(
+        "event_type",
+        "day_ms",
+        "value",
+        (
+            F.coalesce(
+                F.lead("ms").over(w), F.col("day_ms") + F.lit(86400000)
+            )
+            - F.col("ms")
+        ).alias("dt"),
+    )
+    return seg.groupBy("event_type", "day_ms").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            )
+            + F.lit(0.0)
+        ).alias("time_weighted_avg"),
+    )
+
+
+_BOUNCE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged),
+sess AS (
+    SELECT user_id, island,
+           (epoch_ms(min(ts)) // 86400000) * 86400000 AS day_ms,
+           count(*) AS page_count
+    FROM islands GROUP BY 1, 2)
+SELECT day_ms,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN page_count = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       round(sum(CASE WHEN page_count = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS bounce_rate
+FROM sess GROUP BY 1
+"""
+
+
+@register("sessions_bounce_rate_daily", _BOUNCE_SQL)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions with a single event,
+    attributed to the day the session STARTED (native session_window,
+    same ≥30 min break as the session-metrics family)."""
+    ev = load_events(spark, sf_dir)
+    sess = ev.groupBy(
+        "user_id", F.session_window("event_time", "30 minutes")
+    ).agg(
+        F.unix_millis(F.min("event_time")).alias("start_ms"),
+        F.count(F.lit(1)).alias("page_count"),
+    )
+    day = (F.col("start_ms") / F.lit(86400000)).cast("long") * F.lit(
+        86400000
+    )
+    bounce = F.when(F.col("page_count") == 1, 1).otherwise(0)
+    return sess.groupBy(day.alias("day_ms")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).alias("n_bounces"),
+        F.round(F.sum(bounce) / F.count(F.lit(1)), 6).alias("bounce_rate"),
+    )

@@ -827,3 +827,57 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rev", 2).cast("double").alias("total_revenue"),
         )
     )
+
+
+_FUZZY_SQL = """
+WITH blocked AS (
+    SELECT c_custkey, c_name,
+           substr(c_name, 1, length(c_name) - 2) AS blk
+    FROM customer)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS lev
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register("customers_fuzzy_name_pairs", _FUZZY_SQL)
+def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution with BLOCKING: candidate pairs come
+    only from same-block keys (all-but-last-2 chars), then the
+    expensive levenshtein verifies within blocks — the standard
+    recall/cost trade (pairs differing outside the block key are
+    missed BY DESIGN; more passes with different keys raise recall).
+    Block sizes are bounded, so pair work never goes corpus-quadratic.
+    """
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "substr(c_name, 1, length(c_name) - 2)"
+        ).alias("blk"),
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .where(F.col("lev") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "lev")
+    )

@@ -673,3 +673,76 @@ def test_nullsafe_join_keeps_null_bucket(spark):
     if n_null:
         assert out.get("unmeasured") == n_null
     assert sum(out.values()) == ev.count()
+
+
+# --------------------------------------------------------------------------
+# fuzzy blocking join / time-weighted average / bounce rate
+# --------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_within_block_only(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["customers_fuzzy_name_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:100]:
+        assert r["lev"] <= 2
+        assert r["key_a"] < r["key_b"]
+        # blocking key: names agree on everything but the last 2 chars
+        assert r["name_a"][:-2] == r["name_b"][:-2]
+
+
+def test_time_weighted_avg_crafted(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # value 100 held for 6h, then 0 held until day end (18h):
+    # TWA = (100*6 + 0*18)/24 = 25; plain AVG would say 50.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 100.0, "{}"),
+        (2, "2024-01-01 06:00:00", 1, "view", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_time_weighted_avg_daily"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["time_weighted_avg"] == 25.0
+    assert out[0]["n_points"] == 2
+
+
+def test_bounce_rate_crafted(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # u1: two events 10 min apart -> one 2-page session (no bounce);
+    # u2: one event -> bounce. Rate = 1/2.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "view", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", 2, "view", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["sessions_bounce_rate_daily"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["n_sessions"] == 2
+    assert out[0]["n_bounces"] == 1
+    assert out[0]["bounce_rate"] == 0.5
