@@ -1557,3 +1557,40 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bounce).alias("n_bounces"),
         F.round(F.sum(bounce) / F.count(F.lit(1)), 6).alias("bounce_rate"),
     )
+
+
+_DAILY_PCTL_SQL = """
+SELECT event_type,
+       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       count(value) AS n,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("performance_daily_percentiles", _DAILY_PCTL_SQL)
+def q_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily latency percentiles per type (p50/p95/p99, continuous
+    interpolation — identical to DuckDB quantile_cont): the reference
+    PerformanceTracker's percentile surface at the daily monitoring
+    rollup. Exact percentiles group-locally; the approx sketch path
+    (percentile_approx, accuracy-pinned in pytest) is the
+    unbounded-group fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day = ((raw_ts_ms(ev) / F.lit(86400000)).cast("long") * F.lit(86400000))
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("event_type", day.alias("day_ms"))
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )

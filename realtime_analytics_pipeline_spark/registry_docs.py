@@ -9,7 +9,7 @@ check. Every exactly-computable op ships a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.operators import dedup as D
@@ -1344,3 +1344,139 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ivfpq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_BUDGET_SQL = """
+WITH scored AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')), 6) AS quality
+    FROM documents),
+ranked AS (
+    SELECT doc_id, n_tokens, quality,
+           sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM scored)
+SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= 5000
+"""
+
+
+@register("corpus_budget_selection", _BUDGET_SQL)
+def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: greedy highest-quality-first
+    (type-token ratio as the quality proxy) under a hard cumulative
+    token budget — the data-selection step when training capacity is
+    fixed. The cumulative window runs over the doc-level aggregate;
+    ties break by doc_id so the cut is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+_CONTRASTIVE_SQL = """
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding::DOUBLE[], x -> x /
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[]))) AS v
+    FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 20),
+scored AS (
+    SELECT query_id, qlabel, vec_id AS cand_id, label AS clabel,
+           round(list_dot_product(qv, v), 6) AS cos
+    FROM q, e WHERE vec_id != query_id),
+pos AS (
+    SELECT query_id, cand_id AS pos_id, cos AS pos_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id) AS rn
+        FROM scored WHERE clabel = qlabel) WHERE rn = 1),
+neg AS (
+    SELECT query_id, cand_id AS neg_id, cos AS neg_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, cand_id) AS rn
+        FROM scored WHERE clabel != qlabel) WHERE rn = 1)
+SELECT query_id, pos_id, pos_cos, neg_id, neg_cos,
+       round(pos_cos - neg_cos, 6) AS margin
+FROM pos JOIN neg USING (query_id)
+"""
+
+
+@register("emb_contrastive_pairs", _CONTRASTIVE_SQL)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: per anchor, the hardest
+    positive (nearest same-label) and hardest negative (nearest
+    other-label) with the margin between them — the triplet-mining
+    step of embedding training, as one broadcast-join pass + two
+    per-anchor top-1 windows."""
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+        unit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", unit(as_double("embedding")).alias("v")
+    )
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "qlabel",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("clabel"),
+        F.round(dot(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id")
+    )
+    pos = (
+        scored.where(F.col("clabel") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col("clabel") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )

@@ -746,3 +746,65 @@ def test_bounce_rate_crafted(spark):
     assert out[0]["n_sessions"] == 2
     assert out[0]["n_bounces"] == 1
     assert out[0]["bounce_rate"] == 0.5
+
+
+# --------------------------------------------------------------------------
+# budget selection / contrastive pairs / approx-percentile accuracy
+# --------------------------------------------------------------------------
+
+
+def test_budget_selection_respects_budget_and_order(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["corpus_budget_selection"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["cum_tokens"],
+    )
+    assert rows
+    assert rows[-1]["cum_tokens"] <= 5000
+    # quality non-increasing along the greedy order
+    quals = [r["quality"] for r in rows]
+    assert all(a >= b for a, b in zip(quals, quals[1:]))
+    # cumulative sum consistent
+    total = 0
+    for r in rows:
+        total += r["n_tokens"]
+        assert r["cum_tokens"] == total
+
+
+def test_contrastive_pairs_labels_and_margin(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["emb_contrastive_pairs"](spark, sf).collect()
+    assert len(out) == 20
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(sf + "/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in out:
+        assert labels[r["pos_id"]] == labels[r["query_id"]]
+        assert labels[r["neg_id"]] != labels[r["query_id"]]
+        assert abs(r["margin"] - round(r["pos_cos"] - r["neg_cos"], 6)) < 1e-9
+
+
+def test_percentile_approx_accuracy_vs_exact(spark):
+    """approx_percentile with accuracy=10000 must land within 1% rank
+    error of the exact continuous percentile on the events values —
+    the sketch operators' serving-layer accuracy contract."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("value").isNotNull()
+    )
+    got = ev.agg(
+        F.percentile_approx("value", 0.95, 10000).alias("approx"),
+        F.expr("percentile(value, 0.95)").alias("exact"),
+    ).collect()[0]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    import bisect
+
+    rank_approx = bisect.bisect_left(vals, got["approx"]) / len(vals)
+    assert abs(rank_approx - 0.95) < 0.01
