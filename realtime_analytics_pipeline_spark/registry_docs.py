@@ -1480,3 +1480,62 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+_SLIDING_CHUNKS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(0, CAST(greatest(1, ceil((len(t) - 32) / 24.0) + 1)
+                      AS BIGINT)),
+             i -> struct_pack(
+                 chunk_idx := i,
+                 start_tok := i * 24,
+                 chunk_text := array_to_string(t[i*24+1:i*24+32], ' ')))) AS s
+  FROM toks)
+SELECT doc_id, s.chunk_idx AS chunk_idx, s.start_tok AS start_tok,
+       s.chunk_text AS chunk_text,
+       len(string_split(s.chunk_text, ' ')) AS chunk_tokens
+FROM chunks
+WHERE s.chunk_text != ''
+"""
+
+
+@register("text_sliding_chunks", _SLIDING_CHUNKS_SQL)
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking into OVERLAPPING context windows (32
+    tokens, stride 24 → 8-token overlap) — the embedding-ingest
+    preprocessing step for documents longer than the model context.
+    Chunk count per doc is ceil((n−W)/S)+1 so the tail is always
+    covered; map-only explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    window, stride = 32, 24
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - window) / F.lit(float(stride))) + 1,
+    ).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (i * stride).alias("start_tok"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, window)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.chunk_idx").alias("chunk_idx"),
+            F.col("s.start_tok").alias("start_tok"),
+            F.col("s.chunk_text").alias("chunk_text"),
+        )
+        .where(F.col("chunk_text") != "")
+        .withColumn(
+            "chunk_tokens", F.size(F.split("chunk_text", " ")).cast("long")
+        )
+    )
