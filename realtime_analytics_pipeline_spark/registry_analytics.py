@@ -1594,3 +1594,71 @@ def q_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
         )
     )
+
+
+_OHLC_SQL = """
+WITH pts AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+           epoch_ms(ts) AS ms, event_id, value
+    FROM events WHERE value IS NOT NULL),
+ranked AS (
+    SELECT event_type, hour_ms, value,
+           row_number() OVER (PARTITION BY event_type, hour_ms
+               ORDER BY ms, event_id) AS rn_first,
+           row_number() OVER (PARTITION BY event_type, hour_ms
+               ORDER BY ms DESC, event_id DESC) AS rn_last
+    FROM pts)
+SELECT event_type, hour_ms,
+       count(*) AS n,
+       round(max(CASE WHEN rn_first = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_last = 1 THEN value END), 6) AS close
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@register("events_ohlc_hourly", _OHLC_SQL)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candles per (type, hour): open/close are time-ordered
+    first/last values (event_id tiebreak — deterministic under equal
+    timestamps), high/low plain extremes; one window pass + one
+    aggregation, the same shuffle key throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    ms = raw_ts_ms(ev)
+    pts = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        ((ms / F.lit(3600000)).cast("long") * F.lit(3600000)).alias(
+            "hour_ms"
+        ),
+        ms.alias("ms"),
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("event_type", "hour_ms").orderBy(
+        "ms", "event_id"
+    )
+    wl = Window.partitionBy("event_type", "hour_ms").orderBy(
+        F.col("ms").desc(), F.col("event_id").desc()
+    )
+    ranked = pts.select(
+        "event_type",
+        "hour_ms",
+        "value",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return ranked.groupBy("event_type", "hour_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.max(F.when(F.col("rn_first") == 1, F.col("value"))), 6
+        ).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(
+            F.max(F.when(F.col("rn_last") == 1, F.col("value"))), 6
+        ).alias("close"),
+    )

@@ -1539,3 +1539,32 @@ def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens", F.size(F.split("chunk_text", " ")).cast("long")
         )
     )
+
+
+_BALANCED_SQL = """
+WITH ranked AS (
+    SELECT vec_id, label,
+           row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS rn
+    FROM embeddings)
+SELECT vec_id, label, rn FROM ranked WHERE rn <= 20
+"""
+
+
+@register("emb_balanced_sample", _BALANCED_SQL)
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: exactly ≤20 vectors per label,
+    chosen by deterministic md5 order — the class-rebalancing step
+    before training on skewed label distributions. One shuffle keyed
+    on label; the md5 sort replaces an RNG so every engine and every
+    run picks the same sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = F.md5(F.concat(F.lit("bal"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("label").orderBy(h, "vec_id")
+    return (
+        emb.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+    )

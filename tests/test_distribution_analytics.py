@@ -808,3 +808,87 @@ def test_percentile_approx_accuracy_vs_exact(spark):
 
     rank_approx = bisect.bisect_left(vals, got["approx"]) / len(vals)
     assert abs(rank_approx - 0.95) < 0.01
+
+
+# --------------------------------------------------------------------------
+# balanced sampling / OHLC / sliding chunks
+# --------------------------------------------------------------------------
+
+
+def test_balanced_sample_per_class_quota(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["emb_balanced_sample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["label"], set()).add(r["vec_id"])
+    assert all(len(v) <= 20 for v in per.values())
+    # determinism across invocations
+    again = {
+        (r["label"], r["vec_id"])
+        for r in QUERIES["emb_balanced_sample"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert again == {(r["label"], r["vec_id"]) for r in rows}
+
+
+def test_ohlc_crafted(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = [
+        (1, "2024-01-01 00:05:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "view", 99.0, "{}"),
+        (3, "2024-01-01 00:20:00", 1, "view", 5.0, "{}"),
+        (4, "2024-01-01 00:40:00", 1, "view", 42.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_ohlc_hourly"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (
+        10.0,
+        99.0,
+        5.0,
+        42.0,
+    )
+
+
+def test_sliding_chunks_cover_and_overlap(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["text_sliding_chunks"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id].split(" ")
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # every chunk is the exact token slice it claims to be
+        for c in chunks:
+            lo = c["start_tok"]
+            assert c["chunk_text"] == " ".join(toks[lo : lo + 32])
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["start_tok"] + last["chunk_tokens"] >= len(toks)
