@@ -881,3 +881,123 @@ def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lev") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", "lev")
     )
+
+
+_SHARE_HIER_SQL = """
+WITH nat AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+           AS share_of_region,
+       round(sum(revenue) OVER (PARTITION BY region)
+             / sum(revenue) OVER (), 6) AS region_share_of_total
+FROM nat
+"""
+
+
+@register("revenue_share_hierarchy", _SHARE_HIER_SQL)
+def q_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation→region→total):
+    the fact table aggregates once; both share windows run over the
+    25-row nation dimension aggregate, so the global window is
+    dimension-sized, never fact-sized. Region/nation dims broadcast
+    (constant size); customer join left to AQE. Shares divide
+    pre-rounded revenues so both engines divide identical doubles."""
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("double")), 2
+            ).alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+_ROLLING_AOV_SQL = """
+WITH daily AS (
+    SELECT (epoch_ms(o_orderdate) // 86400000) * 86400000 AS day_ms,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1)
+SELECT day_ms, n_orders,
+       CAST(sum(n_orders) OVER w28 AS BIGINT) AS orders_28d,
+       round(sum(cents) OVER w28
+             / (100.0 * sum(n_orders) OVER w28), 6) AS aov_28d
+FROM daily
+WINDOW w28 AS (ORDER BY day_ms
+    RANGE BETWEEN 2332800000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("orders_rolling_aov_28d", _ROLLING_AOV_SQL)
+def q_rolling_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling average order value via a RANGE frame over
+    epoch-ms (27 days back + today = 2332800000 ms) — the
+    calendar-correct trailing window: unlike a ROWS frame, missing
+    days don't stretch the lookback. The window runs over the DAILY
+    aggregate, not the fact table; revenue is integerized to CENTS
+    before windowing so the rolling sums are exact integers — a
+    160-term float window sum diverges in the last ULP between
+    engines, an integer one cannot."""
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (
+            (F.unix_millis("o_orderdate") / F.lit(86400000)).cast("long")
+            * F.lit(86400000)
+        ).alias("day_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+        ).alias("cents"),
+    )
+    w28 = Window.orderBy("day_ms").rangeBetween(-2332800000, 0)
+    return daily.select(
+        "day_ms",
+        "n_orders",
+        F.sum("n_orders").over(w28).alias("orders_28d"),
+        F.round(
+            F.sum("cents").over(w28)
+            / (F.lit(100.0) * F.sum("n_orders").over(w28)),
+            6,
+        ).alias("aov_28d"),
+    )
