@@ -1740,3 +1740,62 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph.
+# --------------------------------------------------------------------------
+
+_TRIANGLES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2),
+wedges AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM edges e1 JOIN edges e2 ON e1.v = e2.u)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM wedges w JOIN edges e3 ON w.a = e3.u AND w.c = e3.v
+"""
+
+
+@register("basket_graph_triangles", _TRIANGLES_SQL)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph
+    (edges = part pairs with support ≥ 2): the canonical
+    wedge-generation + closing-edge hash-join algorithm — every
+    triangle (a<b<c) is produced exactly once because edges are
+    ordered pairs. Wedge volume is Σ deg², the standard cost model;
+    at web scale the mitigation is degree-ordered orientation (always
+    extend from the lower-degree endpoint), which this ordering
+    already approximates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        a.join(b, (a["k"] == b["k"]) & (a["u"] < b["v"]))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    ).select("n_edges", "n_triangles")

@@ -1001,3 +1001,48 @@ def q_rolling_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("aov_28d"),
     )
+
+
+_SHIP_DELAY_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_lineitems,
+       round(avg((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+                 / 86400000.0), 6) AS avg_delay_days,
+       round(quantile_cont((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+                           / 86400000.0, 0.5), 6) AS median_delay_days,
+       CAST(max((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+                // 86400000) AS BIGINT) AS max_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@register("orders_shipping_delay_stats", _SHIP_DELAY_SQL)
+def q_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: the
+    fulfilment-SLA monitoring query (epoch-ms date arithmetic, exact
+    continuous median, identical in both engines)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = (
+        F.unix_millis("l_shipdate") - F.unix_millis("o_orderdate")
+    ) / F.lit(86400000.0)
+    delay_days_int = (
+        (F.unix_millis("l_shipdate") - F.unix_millis("o_orderdate"))
+        / F.lit(86400000)
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(delay), 6).alias("avg_delay_days"),
+            F.round(F.expr(
+                "percentile((unix_millis(l_shipdate) -"
+                " unix_millis(o_orderdate)) / 86400000.0, 0.5)"
+            ), 6).alias("median_delay_days"),
+            F.max(delay_days_int).alias("max_delay_days"),
+        )
+    )

@@ -892,3 +892,47 @@ def test_sliding_chunks_cover_and_overlap(spark):
         # full coverage: last chunk reaches the final token
         last = chunks[-1]
         assert last["start_tok"] + last["chunk_tokens"] >= len(toks)
+
+
+# --------------------------------------------------------------------------
+# triangle counting / shipping delay
+# --------------------------------------------------------------------------
+
+
+def test_triangles_crafted_graph(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # orders as baskets: {1,2,3} x2 -> edges (1,2),(1,3),(2,3) each
+    # support 2 => one triangle; basket {4,5} x2 -> one edge, no tri.
+    rows = []
+    oid = 0
+    for _ in range(2):
+        oid += 1
+        for p in (1, 2, 3):
+            rows.append((oid, p))
+    for _ in range(2):
+        oid += 1
+        for p in (4, 5):
+            rows.append((oid, p))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        out = QUERIES["basket_graph_triangles"](spark, d).collect()
+    assert out[0]["n_edges"] == 4
+    assert out[0]["n_triangles"] == 1
+
+
+def test_shipping_delay_nonnegative_and_total(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["orders_shipping_delay_stats"](spark, sf).collect()
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    assert sum(r["n_lineitems"] for r in rows) == li.count()
+    for r in rows:
+        assert r["avg_delay_days"] >= 0
+        assert r["median_delay_days"] <= r["max_delay_days"]
