@@ -1662,3 +1662,53 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn_last") == 1, F.col("value"))), 6
         ).alias("close"),
     )
+
+
+_EQUIDEPTH_SQL = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS bs
+    FROM events WHERE value IS NOT NULL GROUP BY 1),
+assigned AS (
+    SELECT e.event_type,
+           len(list_filter(b.bs, x -> x < e.value)) AS bucket,
+           e.value
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL)
+SELECT event_type, bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM assigned GROUP BY 1, 2
+"""
+
+
+@register("events_value_equidepth", _EQUIDEPTH_SQL)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets) per type: exact decile
+    boundaries from one aggregation, broadcast back, bucket = count of
+    boundaries strictly below the value — no global sort of the fact
+    table (the ntile formulation would need one); boundary comparisons
+    run on identical interpolated doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,"
+            " 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bs")
+    )
+    assigned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.size(F.filter("bs", lambda x: x < F.col("value"))).alias(
+            "bucket"
+        ),
+        "value",
+    )
+    return assigned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

@@ -936,3 +936,24 @@ def test_shipping_delay_nonnegative_and_total(spark):
     for r in rows:
         assert r["avg_delay_days"] >= 0
         assert r["median_delay_days"] <= r["max_delay_days"]
+
+
+def test_equidepth_buckets_balanced_and_ordered(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_value_equidepth"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, bs in by_type.items():
+        bs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in bs] == list(range(len(bs)))
+        total = sum(r["n"] for r in bs)
+        # equi-depth: every bucket within 2x of the ideal share
+        for r in bs:
+            assert r["n"] <= 2 * total / len(bs) + 1
+        # bucket ranges strictly ordered
+        for a, b in zip(bs, bs[1:]):
+            assert a["hi"] <= b["lo"]
