@@ -1046,3 +1046,71 @@ def q_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(delay_days_int).alias("max_delay_days"),
         )
     )
+
+
+_COHORT_LTV_SQL = """
+WITH firsts AS (
+    SELECT o_custkey,
+           min((epoch_ms(o_orderdate) // 86400000) // 30) AS cohort_p
+    FROM orders GROUP BY 1),
+facts AS (
+    SELECT f.cohort_p,
+           ((epoch_ms(o.o_orderdate) // 86400000) // 30) - f.cohort_p
+               AS period_offset,
+           CAST(round(CAST(o.o_totalprice AS DOUBLE) * 100) AS BIGINT)
+               AS cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+per AS (
+    SELECT cohort_p, period_offset,
+           count(*) AS n_orders, sum(cents) AS cents
+    FROM facts GROUP BY 1, 2)
+SELECT CAST(cohort_p AS BIGINT) AS cohort_p,
+       CAST(period_offset AS BIGINT) AS period_offset,
+       n_orders,
+       round(sum(cents) OVER (PARTITION BY cohort_p ORDER BY period_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 100.0, 2) AS cum_revenue
+FROM per
+"""
+
+
+@register("orders_cohort_ltv", _COHORT_LTV_SQL)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime value: cohort = 30-day period of the
+    customer's FIRST order; revenue accumulates per cohort along the
+    period offset. The cumulative window runs over the (cohort,
+    offset) aggregate in exact integer cents — the first-order lookup
+    is a per-customer aggregate joined back (AQE-sized)."""
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    period = (
+        (F.unix_millis("o_orderdate") / F.lit(86400000)).cast("long")
+        / F.lit(30)
+    ).cast("long")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(period).alias("cohort_p")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort_p",
+        (period - F.col("cohort_p")).alias("period_offset"),
+        F.round(F.col("o_totalprice").cast("double") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    per = facts.groupBy("cohort_p", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    w = (
+        Window.partitionBy("cohort_p")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_p",
+        "period_offset",
+        "n_orders",
+        F.round(F.sum("cents").over(w) / F.lit(100.0), 2).alias(
+            "cum_revenue"
+        ),
+    )

@@ -957,3 +957,19 @@ def test_equidepth_buckets_balanced_and_ordered(spark):
         # bucket ranges strictly ordered
         for a, b in zip(bs, bs[1:]):
             assert a["hi"] <= b["lo"]
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["orders_cohort_ltv"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_p"], []).append(r)
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["period_offset"])
+        assert rs[0]["period_offset"] == 0  # cohort defined by first order
+        vals = [r["cum_revenue"] for r in rs]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
