@@ -427,7 +427,16 @@ _VERIFY_WINDOW = [
     # events_grouping_sets, events_distinct_users_bitmap,
     # sessions_max_concurrency_daily, basket_rules_lift,
     # events_rate_limited, attribution_linear_credit,
-    # streaming_daily_users_bitmap.
+    # streaming_daily_users_bitmap, sample_docs_aes_weighted,
+    # customers_cdc_merge, events_nullsafe_bucket_join,
+    # customers_fuzzy_name_pairs, events_time_weighted_avg_daily,
+    # sessions_bounce_rate_daily, corpus_budget_selection,
+    # emb_contrastive_pairs, performance_daily_percentiles,
+    # text_sliding_chunks, emb_balanced_sample, events_ohlc_hourly,
+    # revenue_share_hierarchy, orders_rolling_aov_28d,
+    # basket_graph_triangles, orders_shipping_delay_stats,
+    # events_value_equidepth, orders_cohort_ltv,
+    # text_langid_confusion.
     # -- new in the round-3 continuation (never driver-verified) --
     "text_pii_redaction",
     "text_tfidf_top_terms",

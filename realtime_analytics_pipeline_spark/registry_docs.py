@@ -1568,3 +1568,54 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 20)
     )
+
+
+_LANGID_EVAL_SQL = f"""
+WITH pred AS (
+    SELECT doc_id, lang AS labeled,
+           CASE WHEN len({_SW}) * 1.0 / len({_SPLIT}) >= 0.02
+                THEN 'en' ELSE 'und' END AS predicted
+    FROM documents),
+cm AS (
+    SELECT labeled, predicted, count(*) AS n
+    FROM pred GROUP BY 1, 2)
+SELECT labeled, predicted, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY labeled), 6)
+           AS recall_share,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY predicted), 6)
+           AS precision_share
+FROM cm
+"""
+
+
+@register("text_langid_confusion", _LANGID_EVAL_SQL)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: confusion matrix of the
+    language-ID heuristic against the labeled column, with per-cell
+    recall (row-normalized) and precision (column-normalized) shares —
+    the model-quality reporting step of a filtering pipeline, all on
+    the class-cardinality-sized aggregate."""
+    from realtime_analytics_pipeline_spark.operators import (
+        text_analysis as TA,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TA.language_id(docs).select(
+        F.col("labeled_lang").alias("labeled"),
+        F.col("pred_lang").alias("predicted"),
+    )
+    cm = pred.groupBy("labeled", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("labeled")
+    wp = Window.partitionBy("predicted")
+    return cm.select(
+        "labeled",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wl), 6).alias("recall_share"),
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias(
+            "precision_share"
+        ),
+    )
