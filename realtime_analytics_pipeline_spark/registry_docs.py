@@ -1619,3 +1619,119 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone composition: the FULL curation pipeline over the new ops.
+# --------------------------------------------------------------------------
+
+_FULL_PIPE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT)),
+                i -> struct_pack(pos := i,
+                     chunk_text := array_to_string(t[i*2+1:i*2+2], ' ')))) AS s
+  FROM toks),
+p2 AS (SELECT doc_id, s.pos AS pos, s.chunk_text AS chunk_text FROM pos),
+boiler AS (
+  SELECT chunk_text FROM (
+    SELECT chunk_text, count(DISTINCT doc_id) AS df FROM p2 GROUP BY 1)
+  WHERE df >= (SELECT count(DISTINCT doc_id) FROM documents) * 0.04),
+cleaned AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN b.chunk_text IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN b.chunk_text IS NULL
+                             THEN p2.chunk_text END, ' ' ORDER BY pos), '')
+             AS text
+  FROM p2 LEFT JOIN boiler b USING (chunk_text)
+  GROUP BY doc_id),
+kept AS (SELECT doc_id, text FROM cleaned WHERE n_kept >= 5),
+dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+        PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dedup)
+  GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(c) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS tot FROM vocab),
+lm AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         round(sum(c * -ln(cf * 1.0 / tot)) / sum(c), 6) + 0.0 AS nll
+  FROM tf JOIN vocab USING (tok), tot GROUP BY doc_id),
+qual AS (
+  SELECT d.doc_id, l.n_tokens, l.nll,
+         round(len(list_distinct(string_split(d.text, ' '))) * 1.0
+               / len(string_split(d.text, ' ')), 6) AS quality
+  FROM dedup d JOIN lm l USING (doc_id)),
+sel AS (
+  SELECT doc_id, n_tokens, nll, quality,
+         sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+  FROM qual)
+SELECT doc_id, n_tokens, quality, nll,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM sel WHERE cum_tokens <= 3000
+"""
+
+
+@register("pipeline_curation_full", _FULL_PIPE_SQL)
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE composed distributed query:
+    boilerplate-chunk removal → min-length gate (≥5 kept chunks) →
+    exact dedup on the CLEANED text → corpus-trained unigram LM
+    scoring of the survivors → greedy token-budget selection. Every
+    stage is an independently-oracled operator; this gates the
+    end-to-end composition (what a reference user actually runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = T.boilerplate_chunks(docs, chunk=2, doc_frac=0.04)
+    kept = cleaned.where(F.col("n_kept") >= 5).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        kept.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    toks = dedup.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("cf"))
+    tot = vocab.agg(F.sum("cf").alias("tot"))
+    neg_ll = F.col("c") * -F.log(F.col("cf") * F.lit(1.0) / F.col("tot"))
+    lm = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.round(F.sum(neg_ll) / F.sum("c"), 6) + F.lit(0.0)).alias(
+                "nll"
+            ),
+        )
+    )
+    dtoks = F.split(F.col("text"), " ")
+    qual = dedup.join(lm, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "nll",
+        F.round(
+            F.size(F.array_distinct(dtoks)) / F.size(dtoks).cast("double"),
+            6,
+        ).alias("quality"),
+    )
+    wsel = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        qual.withColumn("cum_tokens", F.sum("n_tokens").over(wsel))
+        .where(F.col("cum_tokens") <= 3000)
+        .select("doc_id", "n_tokens", "quality", "nll", "cum_tokens")
+    )

@@ -337,3 +337,36 @@ def test_streaming_bitmap_distinct_multibatch(spark, tmp_path):
     }
     assert got == want
     assert len(got) >= 25
+
+
+def test_streaming_observed_metrics_in_progress(spark, tmp_path):
+    """df.observe on a STREAMING frame surfaces per-batch aggregate
+    counters through StreamingQuery progress (observedMetrics) — the
+    zero-extra-pass DQ channel for running jobs."""
+    src = str(tmp_path / "obs_src")
+    load_table(spark, SF_SMOKE, "events").coalesce(1).write.parquet(src)
+    stream = read_events_stream_from_dir(spark, src)
+    observed = stream.observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    agg = observed.groupBy("event_type").count()
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "obs_ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = None
+    for p in q.recentProgress:
+        om = p.get("observedMetrics") or {}
+        if "dq" in om:
+            m = om["dq"]
+            got = (m["n_rows"], m["n_null_value"])
+    assert got is not None, "observedMetrics never surfaced"
+    ev = spark.read.parquet(src)
+    assert got[0] == ev.count()
+    assert got[1] == ev.where(F.col("value").isNull()).count()
