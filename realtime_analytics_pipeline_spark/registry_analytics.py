@@ -1712,3 +1712,152 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+_ERROR_SLO_SQL = """
+SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS error_rate,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+           / count(*) > 0.05 AS slo_breach
+FROM events GROUP BY 1
+"""
+
+
+@register("events_error_slo_5m", _ERROR_SLO_SQL)
+def q_error_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's acceptance envelope (error rate ≤ 5%) as a
+    5-minute windowed monitor with a breach flag — the alerting query
+    a reference operator would run against the serving store."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    win = ((raw_ts_ms(ev) / F.lit(300000)).cast("long") * F.lit(300000))
+    err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return ev.groupBy(win.alias("window_start_ms")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(err).alias("n_errors"),
+        F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("error_rate"),
+        (F.sum(err) / F.count(F.lit(1)) > 0.05).alias("slo_breach"),
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           min((epoch_ms(ts) // 86400000) * 86400000) AS first_day
+    FROM events GROUP BY 1),
+daily AS (
+    SELECT (epoch_ms(e.ts) // 86400000) * 86400000 AS day_ms,
+           e.user_id, f.first_day
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2, 3)
+SELECT day_ms,
+       CAST(sum(CASE WHEN day_ms = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+       CAST(sum(CASE WHEN day_ms != first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users
+FROM daily GROUP BY 1
+"""
+
+
+@register("events_new_vs_returning", _NEW_RETURNING_SQL)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: first-seen day per user is a
+    per-user aggregate joined back onto the distinct user-day set (the
+    growth-accounting shape — the fact table reduces to user-days
+    before any join)."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day = ((raw_ts_ms(ev) / F.lit(86400000)).cast("long") * F.lit(86400000))
+    user_days = ev.select(
+        day.alias("day_ms"), "user_id"
+    ).distinct()
+    firsts = user_days.groupBy("user_id").agg(
+        F.min("day_ms").alias("first_day")
+    )
+    joined = user_days.join(firsts, "user_id")
+    new_flag = F.when(F.col("day_ms") == F.col("first_day"), 1).otherwise(0)
+    return joined.groupBy("day_ms").agg(
+        F.sum(new_flag).alias("new_users"),
+        F.sum(F.lit(1) - new_flag).alias("returning_users"),
+    )
+
+
+_MIX_DRIFT_SQL = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+               AS ym,
+           o_orderpriority AS pr, count(*) AS n
+    FROM orders GROUP BY 1, 2),
+shares AS (
+    SELECT ym, pr, n * 1.0 / sum(n) OVER (PARTITION BY ym) AS share
+    FROM monthly),
+seq AS (SELECT DISTINCT ym, dense_rank() OVER (ORDER BY ym) AS r
+        FROM shares)
+SELECT cur.ym,
+       round(sum(abs(cur.share - coalesce(prev.share, 0))), 6) AS l1_shift
+FROM shares cur
+JOIN seq sc ON sc.ym = cur.ym
+LEFT JOIN seq sp ON sp.r = sc.r - 1
+LEFT JOIN shares prev ON prev.ym = sp.ym AND prev.pr = cur.pr
+WHERE sc.r > 1
+GROUP BY cur.ym
+"""
+
+
+@register("orders_priority_mix_drift", _MIX_DRIFT_SQL)
+def q_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month categorical-distribution drift: L1 distance
+    between consecutive months' order-priority mixes (categories
+    missing from the previous month contribute their full share). All
+    joins run on the months×priorities aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    monthly = orders.groupBy(
+        ym.alias("ym"), F.col("o_orderpriority").alias("pr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wm = Window.partitionBy("ym")
+    shares = monthly.select(
+        "ym", "pr", (F.col("n") / F.sum("n").over(wm)).alias("share")
+    )
+    seq = shares.select("ym").distinct().select(
+        "ym", F.dense_rank().over(Window.orderBy("ym")).alias("r")
+    )
+    cur = shares.alias("cur").join(
+        seq.alias("sc"), F.col("cur.ym") == F.col("sc.ym")
+    )
+    prev_seq = seq.select(
+        F.col("ym").alias("pym"), (F.col("r") + 1).alias("pr_next")
+    )
+    prev = shares.select(
+        F.col("ym").alias("p_ym"),
+        F.col("pr").alias("p_pr"),
+        F.col("share").alias("p_share"),
+    )
+    joined = (
+        cur.join(
+            prev_seq, F.col("sc.r") == F.col("pr_next"), "left"
+        )
+        .join(
+            prev,
+            (F.col("p_ym") == F.col("pym"))
+            & (F.col("p_pr") == F.col("cur.pr")),
+            "left",
+        )
+        .where(F.col("sc.r") > 1)
+    )
+    return joined.groupBy(F.col("cur.ym").alias("ym")).agg(
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("cur.share") - F.coalesce("p_share", F.lit(0.0))
+                )
+            ),
+            6,
+        ).alias("l1_shift")
+    )

@@ -973,3 +973,64 @@ def test_cohort_ltv_monotone_cumulative(spark):
         assert rs[0]["period_offset"] == 0  # cohort defined by first order
         vals = [r["cum_revenue"] for r in rs]
         assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+
+# --------------------------------------------------------------------------
+# SLO monitor / new-vs-returning / mix drift / full pipeline
+# --------------------------------------------------------------------------
+
+
+def test_error_slo_flag_consistent(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_error_slo_5m"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert r["slo_breach"] == (r["n_errors"] / r["n_events"] > 0.05)
+        assert 0.0 <= r["error_rate"] <= 1.0
+
+
+def test_new_vs_returning_conservation(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["events_new_vs_returning"](spark, sf).collect(),
+        key=lambda r: r["day_ms"],
+    )
+    ev = spark.read.parquet(sf + "/events.parquet")
+    total_users = ev.select("user_id").distinct().count()
+    # every user is new exactly once
+    assert sum(r["new_users"] for r in rows) == total_users
+    # day 1 has no returning users
+    assert rows[0]["returning_users"] == 0
+
+
+def test_priority_mix_drift_bounds(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["orders_priority_mix_drift"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["l1_shift"] <= 2.0  # L1 between distributions
+
+
+def test_full_pipeline_composition_consistent(spark):
+    """The capstone pipeline's budget stage must agree with its own
+    components: every selected doc survived dedup (unique cleaned
+    text), is under budget, and quality is the TTR of the CLEANED
+    text."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["pipeline_curation_full"](spark, sf).collect()
+    assert rows
+    assert max(r["cum_tokens"] for r in rows) <= 3000
+    quals = sorted((r["quality"], -r["doc_id"]) for r in rows)
+    # greedy order: qualities non-increasing along cum_tokens order
+    by_cum = sorted(rows, key=lambda r: r["cum_tokens"])
+    qs = [r["quality"] for r in by_cum]
+    assert all(a >= b for a, b in zip(qs, qs[1:]))
