@@ -436,7 +436,9 @@ _VERIFY_WINDOW = [
     # revenue_share_hierarchy, orders_rolling_aov_28d,
     # basket_graph_triangles, orders_shipping_delay_stats,
     # events_value_equidepth, orders_cohort_ltv,
-    # text_langid_confusion.
+    # text_langid_confusion, pipeline_curation_full,
+    # events_error_slo_5m, events_new_vs_returning,
+    # orders_priority_mix_drift, docs_vocab_growth.
     # -- new in the round-3 continuation (never driver-verified) --
     "text_pii_redaction",
     "text_tfidf_top_terms",

@@ -1735,3 +1735,62 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= 3000)
         .select("doc_id", "n_tokens", "quality", "nll", "cum_tokens")
     )
+
+
+_VOCAB_GROWTH_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+firsts AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+doc_tokens AS (
+    SELECT doc_id // 50 AS bucket, count(*) AS n FROM toks GROUP BY 1),
+new_vocab AS (
+    SELECT first_doc // 50 AS bucket, count(*) AS v FROM firsts GROUP BY 1),
+grid AS (
+    SELECT d.bucket,
+           sum(d.n) AS bucket_tokens,
+           coalesce(max(nv.v), 0) AS bucket_new_vocab
+    FROM doc_tokens d LEFT JOIN new_vocab nv ON nv.bucket = d.bucket
+    GROUP BY 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(bucket_new_vocab) OVER w AS BIGINT) AS vocab_size
+FROM grid
+WINDOW w AS (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("docs_vocab_growth", _VOCAB_GROWTH_SQL)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve WITHOUT quadratic prefix
+    scans: a token joins the vocabulary at its FIRST document, so
+    cumulative distinct = running sum of first-occurrence counts per
+    50-doc bucket — two aggregations and a bounded window, where the
+    naive formulation re-counts distinct over every growing prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy(
+        (F.col("doc_id") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    new_vocab = firsts.groupBy(
+        (F.col("first_doc") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        doc_tokens.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n").alias("bucket_tokens"),
+            F.coalesce("v", F.lit(0)).alias("bucket_new_vocab"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "bucket",
+        F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        F.sum("bucket_new_vocab").over(w).alias("vocab_size"),
+    )
