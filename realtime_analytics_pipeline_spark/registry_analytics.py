@@ -1861,3 +1861,53 @@ def q_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l1_shift")
     )
+
+
+_STREAKS_SQL = """
+WITH ud AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS user_id,
+           (epoch_ms(ts) // 86400000) AS day_n
+    FROM events),
+grp AS (
+    SELECT user_id, day_n,
+           day_n - row_number() OVER (
+               PARTITION BY user_id ORDER BY day_n) AS g
+    FROM ud),
+streaks AS (
+    SELECT user_id, count(*) AS streak_len
+    FROM grp GROUP BY user_id, g)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM streaks GROUP BY 1
+"""
+
+
+@register("events_user_streaks", _STREAKS_SQL)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user: the
+    gaps-and-islands grouping key (day − row_number) is constant
+    exactly along consecutive runs — all on the distinct user-day set,
+    one window + two aggregations."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        (F.unix_millis("event_time") / F.lit(86400000))
+        .cast("long")
+        .alias("day_n"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    grp = ud.select(
+        "user_id",
+        "day_n",
+        (F.col("day_n") - F.row_number().over(w)).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -1794,3 +1794,43 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bucket_tokens").over(w).alias("cum_tokens"),
         F.sum("bucket_new_vocab").over(w).alias("vocab_size"),
     )
+
+
+_ZIPF_SQL = """
+WITH freq AS (
+    SELECT tok, count(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY 1),
+ranked AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(regr_slope(ln(f), ln(r)), 6) + 0.0 AS zipf_slope,
+       round(regr_r2(ln(f), ln(r)), 6) AS r2
+FROM ranked
+"""
+
+
+@register("docs_zipf_fit", _ZIPF_SQL)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of log-frequency vs log-rank over the
+    corpus vocabulary (a true Zipfian corpus slopes ≈ −1) — corpus
+    health statistics on the vocabulary-sized aggregate; the rank
+    window is vocabulary-sized, never token-stream-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = freq.select("f", F.row_number().over(w).alias("r"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        (
+            F.round(
+                F.expr("regr_slope(ln(f), ln(r))"), 6
+            )
+            + F.lit(0.0)
+        ).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
+    )

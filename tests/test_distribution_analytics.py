@@ -1034,3 +1034,43 @@ def test_full_pipeline_composition_consistent(spark):
     by_cum = sorted(rows, key=lambda r: r["cum_tokens"])
     qs = [r["quality"] for r in by_cum]
     assert all(a >= b for a, b in zip(qs, qs[1:]))
+
+
+def test_user_streaks_crafted(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # user 1: days 1,2,3 then 7 -> streaks [3, 1]; user 2: day 5 only.
+    rows, eid = [], 0
+    for day in (1, 2, 3, 7):
+        eid += 1
+        rows.append((eid, f"2024-01-0{day} 10:00:00", 1, "view", 1.0, "{}"))
+    rows.append((99, "2024-01-05 10:00:00", 2, "view", 1.0, "{}"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["user_id"]: r
+            for r in QUERIES["events_user_streaks"](spark, d).collect()
+        }
+    assert out["1"]["longest_streak"] == 3
+    assert out["1"]["n_streaks"] == 2
+    assert out["1"]["n_active_days"] == 4
+    assert out["2"]["longest_streak"] == 1
+
+
+def test_zipf_fit_negative_slope(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    out = QUERIES["docs_zipf_fit"](spark, "/root/testdata/sf0.001").collect()
+    r = out[0]
+    assert r["zipf_slope"] < 0  # frequency decreases with rank
+    assert 0.0 <= r["r2"] <= 1.0
+    assert r["vocab_size"] > 0
