@@ -1911,3 +1911,81 @@ def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+_WEEKLY_ENGAGE_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           (epoch_ms(ts) // 86400000) // 7 AS week_n,
+           epoch_ms(ts) // 86400000 AS day_n
+    FROM events),
+uw AS (
+    SELECT user_id, week_n, count(*) AS days_active
+    FROM ud GROUP BY 1, 2)
+SELECT CAST(days_active AS BIGINT) AS days_active,
+       count(*) AS n_user_weeks
+FROM uw GROUP BY 1
+"""
+
+
+@register("events_weekly_engagement_histogram", _WEEKLY_ENGAGE_SQL)
+def q_weekly_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-frequency distribution: how many user-weeks had 1-7
+    active days — computed on the distinct user-day set, so the
+    histogram is user-weeks-sized regardless of event rate."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day_n = (raw_ts_ms(ev) / F.lit(86400000)).cast("long")
+    ud = ev.select(
+        "user_id",
+        (day_n / F.lit(7)).cast("long").alias("week_n"),
+        day_n.alias("day_n"),
+    ).distinct()
+    uw = ud.groupBy("user_id", "week_n").agg(
+        F.count(F.lit(1)).alias("days_active")
+    )
+    return uw.groupBy("days_active").agg(
+        F.count(F.lit(1)).alias("n_user_weeks")
+    )
+
+
+_INTERPURCHASE_SQL = """
+WITH gaps AS (
+    SELECT o_custkey,
+           (epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+               / 86400000.0 AS gap_days
+    FROM orders)
+SELECT o_custkey,
+       count(*) AS n_gaps,
+       round(avg(gap_days), 6) AS avg_gap_days,
+       round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("orders_interpurchase_time", _INTERPURCHASE_SQL)
+def q_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase cadence: average and exact median days
+    between consecutive orders (orderkey tiebreak for same-day
+    orders) — one window pass keyed the same as the aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gap = (
+        F.unix_millis("o_orderdate")
+        - F.unix_millis(F.lag("o_orderdate").over(w))
+    ) / F.lit(86400000.0)
+    gaps = orders.select(
+        "o_custkey", gap.alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+            "median_gap_days"
+        ),
+    )

@@ -1834,3 +1834,40 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(f), ln(r))"), 6).alias("r2"),
     )
+
+
+# Cluster-size distribution over the same bounded CC subgraph: the
+# "how much mass do dup clusters hold" report a dedup run ends with.
+_CC_SIZES_SQL = _CC_SQL.replace(
+    """SELECT u AS vertex,
+       min(comp) AS component,
+       (u = min(comp)) AS is_representative
+FROM reach GROUP BY u""",
+    """, comps AS (SELECT u, min(comp) AS component FROM reach GROUP BY u),
+szs AS (SELECT component, count(*) AS cluster_size FROM comps GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM szs GROUP BY cluster_size""",
+)
+
+
+@register("dedup_cluster_sizes", _CC_SIZES_SQL)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (how many clusters of each
+    size, how many docs they hold) — the summary a dedup pass reports;
+    same bounded subgraph discipline as dedup_connected_components."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    comps = connected_components(pairs)
+    szs = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return szs.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

@@ -1074,3 +1074,39 @@ def test_zipf_fit_negative_slope(spark):
     assert r["zipf_slope"] < 0  # frequency decreases with rank
     assert 0.0 <= r["r2"] <= 1.0
     assert r["vocab_size"] > 0
+
+
+def test_cluster_sizes_consistent_with_components(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    sizes = QUERIES["dedup_cluster_sizes"](spark, sf).collect()
+    comps = QUERIES["dedup_connected_components"](spark, sf).collect()
+    assert sum(r["n_docs"] for r in sizes) == len(comps)
+    assert sum(r["n_clusters"] for r in sizes) == len(
+        {r["component"] for r in comps}
+    )
+
+
+def test_weekly_engagement_bounds(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_weekly_engagement_histogram"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert 1 <= r["days_active"] <= 7
+
+
+def test_interpurchase_gap_sanity(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["orders_interpurchase_time"](spark, sf).collect()
+    orders = spark.read.parquet(sf + "/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    # gaps = orders - customers (one fewer gap than orders per customer)
+    assert sum(r["n_gaps"] for r in rows) == n_orders - n_cust
+    for r in rows[:100]:
+        assert r["avg_gap_days"] >= 0 and r["median_gap_days"] >= 0
