@@ -1989,3 +1989,51 @@ def q_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_gap_days"
         ),
     )
+
+
+_SURVIVAL_SQL = """
+WITH spans AS (
+    SELECT user_id,
+           max(epoch_ms(ts) // 86400000) - min(epoch_ms(ts) // 86400000)
+               AS lifespan_days
+    FROM events GROUP BY 1),
+n AS (SELECT count(*) AS total FROM spans),
+grid AS (SELECT unnest(range(0, 31)) AS day_n)
+SELECT CAST(day_n AS BIGINT) AS day_n,
+       CAST((SELECT count(*) FROM spans WHERE lifespan_days >= day_n)
+            AS BIGINT) AS surviving_users,
+       round((SELECT count(*) FROM spans WHERE lifespan_days >= day_n)
+             * 1.0 / total, 6) AS survival_rate
+FROM grid, n
+"""
+
+
+@register("events_survival_curve", _SURVIVAL_SQL)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifespan survival curve S(n) = share of users still active
+    ≥ n days after their first event, n = 0..30 — per-user lifespans
+    aggregate first, then a tiny grid×lifespans count (31 × users,
+    on the aggregated side)."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day = (raw_ts_ms(ev) / F.lit(86400000)).cast("long")
+    spans = ev.groupBy("user_id").agg(
+        (F.max(day) - F.min(day)).alias("lifespan_days")
+    )
+    total = spans.agg(F.count(F.lit(1)).alias("total"))
+    grid = spans.sparkSession.range(0, 31).select(
+        F.col("id").alias("day_n")
+    )
+    joined = grid.crossJoin(F.broadcast(total)).join(
+        spans, F.col("lifespan_days") >= F.col("day_n"), "left"
+    )
+    return joined.groupBy("day_n", "total").agg(
+        F.count("user_id").alias("surviving_users")
+    ).select(
+        "day_n",
+        "surviving_users",
+        F.round(F.col("surviving_users") / F.col("total"), 6).alias(
+            "survival_rate"
+        ),
+    )

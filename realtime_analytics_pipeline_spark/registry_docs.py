@@ -1871,3 +1871,88 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+_PMI_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+    SELECT w[i] AS a, w[i + 1] AS b, count(*) AS nab
+    FROM (SELECT t AS w FROM toks),
+         (SELECT unnest(range(1, 500)) AS i)
+    WHERE i + 1 <= len(w)
+    GROUP BY 1, 2),
+uni AS (
+    SELECT tok, count(*) AS n FROM (
+        SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+tot AS (
+    SELECT (SELECT sum(nab) FROM big) AS nb,
+           (SELECT sum(n) FROM uni) AS nu)
+SELECT a, b, CAST(nab AS BIGINT) AS nab,
+       round(ln((nab * 1.0 / nb)
+                / ((ua.n * 1.0 / nu) * (ub.n * 1.0 / nu))), 6) AS pmi
+FROM big JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b, tot
+WHERE nab >= 5
+ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
+
+@register("docs_pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by pointwise
+    mutual information (min support 5) — bigram and unigram counts are
+    vocabulary-sized aggregates; the probability ratios divide
+    integer counts by two scalar totals, so both engines divide
+    identical values."""
+    from realtime_analytics_pipeline_spark.functions.text import (
+        shingle_expr,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("toks"))
+    big = (
+        toks.select(F.explode(shingle_expr("toks", 2)).alias("bg"))
+        .select(
+            F.split("bg", " ")[0].alias("a"),
+            F.split("bg", " ")[1].alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .where(F.col("nab") >= 5)
+    )
+    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nb = toks.select(F.explode(shingle_expr("toks", 2)).alias("bg")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    nu = uni.agg(F.sum("n").alias("nu"))
+    scored = (
+        big.join(
+            uni.select(F.col("tok").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(
+            uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_")),
+            "b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "nab",
+            F.round(
+                F.log(
+                    (F.col("nab") / F.col("nb"))
+                    / (
+                        (F.col("na") / F.col("nu"))
+                        * (F.col("nb_") / F.col("nu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("a"), F.col("b")
+    ).limit(20)

@@ -99,3 +99,34 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_media(media).select(
         "doc_id", "chunk_idx", "start_byte", "n_bytes", "chunk_md5"
     )
+
+
+_MM_DEDUP_SQL = """
+WITH doubled AS (
+    SELECT * FROM documents UNION ALL SELECT * FROM documents)
+SELECT md5(text) AS content_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       count(*) AS n_copies,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM doubled GROUP BY 1
+"""
+
+
+@register("multimodal_dedup_digest", _MM_DEDUP_SQL)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup by CONTENT digest through the real binary path:
+    payloads attach as binary columns, the md5 comes out of the
+    mapInPandas feature extractor (not a SQL shortcut), and exact dup
+    groups collapse on it — the image/audio dedup shape, on a doubled
+    corpus so real duplicates exist."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    media = attach_payload(doubled)
+    feats = extract_features(media).select("doc_id", "content_md5", "n_bytes")
+    return feats.groupBy("content_md5").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_bytes").alias("n_bytes"),
+    )

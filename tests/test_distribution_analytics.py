@@ -1110,3 +1110,40 @@ def test_interpurchase_gap_sanity(spark):
     assert sum(r["n_gaps"] for r in rows) == n_orders - n_cust
     for r in rows[:100]:
         assert r["avg_gap_days"] >= 0 and r["median_gap_days"] >= 0
+
+
+def test_multimodal_dedup_counts(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["multimodal_dedup_digest"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    # doubled corpus of unique texts: every digest has exactly 2 copies
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert len(rows) == 500
+
+
+def test_survival_curve_monotone(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["events_survival_curve"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["day_n"],
+    )
+    assert rows[0]["survival_rate"] == 1.0  # everyone survives day 0
+    rates = [r["survival_rate"] for r in rows]
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
+
+
+def test_pmi_top_pairs_support(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["docs_pmi_collocations"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["nab"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
