@@ -1956,3 +1956,65 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("a"), F.col("b")
     ).limit(20)
+
+
+_EMB_OUTLIER_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+    SELECT label AS c_label, list(m ORDER BY d) AS cv FROM (
+        SELECT label, d, avg(v[d]) AS m
+        FROM e, (SELECT unnest(range(1, 65)) AS d)
+        GROUP BY 1, 2
+    ) GROUP BY 1),
+own AS (
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.v, c.cv), 6) AS cos
+    FROM e JOIN cent c ON c.c_label = e.label),
+stats AS (
+    SELECT label, avg(cos) AS mu, stddev_samp(cos) AS sd
+    FROM own GROUP BY 1)
+SELECT vec_id, label, cos,
+       round((cos - mu) / sd, 6) + 0.0 AS z,
+       abs(round((cos - mu) / sd, 6)) > 2.0 AS is_outlier
+FROM own JOIN stats USING (label)
+"""
+
+
+@register("emb_outlier_detection", _EMB_OUTLIER_SQL)
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier / mislabel detection: cosine to the vector's
+    OWN label centroid, z-scored within the label (|z| > 2 flags) —
+    the dataset-cleaning pass before contrastive training. Centroids
+    aggregate per label; everything after runs on label-sized stats
+    broadcast back."""
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    cent = (
+        e.select("label", F.posexplode("v").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select("label", F.expr("transform(dm, p -> p.m)").alias("cv"))
+    )
+    own = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos"),
+    )
+    stats = own.groupBy("label").agg(
+        F.avg("cos").alias("mu"), F.stddev_samp("cos").alias("sd")
+    )
+    z = F.round((F.col("cos") - F.col("mu")) / F.col("sd"), 6)
+    return own.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "cos",
+        (z + F.lit(0.0)).alias("z"),
+        (F.abs(z) > 2.0).alias("is_outlier"),
+    )

@@ -1114,3 +1114,110 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+_SEASONAL_INDEX_SQL = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1, 2),
+moy AS (
+    SELECT m, CAST(sum(cents) AS BIGINT) AS tot_cents,
+           count(*) AS n_years
+    FROM monthly GROUP BY 1),
+g AS (SELECT CAST(sum(tot_cents) AS BIGINT) AS gc,
+             CAST(sum(n_years) AS BIGINT) AS gn FROM moy)
+SELECT m, n_years,
+       round((tot_cents * 1.0 / n_years) / (gc * 1.0 / gn), 6)
+           AS seasonal_index
+FROM moy, g
+"""
+
+
+@register("orders_seasonal_index", _SEASONAL_INDEX_SQL)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: each calendar month's mean
+    revenue relative to the overall monthly mean (index 1.0 = no
+    seasonality) — integer-cents aggregates divided once at the end,
+    all on the 12-row month dimension."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+        ).alias("cents")
+    )
+    moy = monthly.groupBy("m").agg(
+        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("n_years")
+    )
+    g = moy.agg(
+        F.sum("tot_cents").alias("gc"), F.sum("n_years").alias("gn")
+    )
+    return moy.crossJoin(F.broadcast(g)).select(
+        "m",
+        "n_years",
+        F.round(
+            (F.col("tot_cents") / F.col("n_years"))
+            / (F.col("gc") / F.col("gn")),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+_HHI_SQL = """
+WITH srev AS (
+    SELECT s.s_nationkey AS nk, l.l_suppkey,
+           CAST(sum(CAST(round(CAST(l_extendedprice AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2),
+tot AS (SELECT nk, CAST(sum(cents) AS BIGINT) AS t FROM srev GROUP BY 1)
+SELECT n.n_name AS nation,
+       count(*) AS n_suppliers,
+       round(sum((cents * 1.0 / t) * (cents * 1.0 / t)), 6) + 0.0 AS hhi
+FROM srev JOIN tot USING (nk) JOIN nation n ON n.n_nationkey = srev.nk
+GROUP BY 1
+"""
+
+
+@register("suppliers_nation_hhi", _HHI_SQL)
+def q_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation
+    (Σ share² of supplier revenue; 1/n = perfectly even, 1.0 =
+    monopoly) — shares divide integer-cents aggregates, squared and
+    summed on the per-supplier aggregate."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    srev = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice").cast("double") * 100).cast(
+                    "long"
+                )
+            ).alias("cents")
+        )
+    )
+    tot = srev.groupBy("nk").agg(F.sum("cents").alias("t"))
+    share = F.col("cents") / F.col("t")
+    return (
+        srev.join(tot, "nk")
+        .join(
+            F.broadcast(nation), F.col("nk") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum(share * share), 6) + F.lit(0.0)).alias("hhi"),
+        )
+    )

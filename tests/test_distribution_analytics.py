@@ -1147,3 +1147,40 @@ def test_pmi_top_pairs_support(spark):
     assert all(r["nab"] >= 5 for r in rows)
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_emb_outliers_rate_and_zscores(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["emb_outlier_detection"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    n_out = sum(1 for r in rows if r["is_outlier"])
+    # z-flag at |z|>2: a small minority flags, never the majority
+    assert 0 < n_out < len(rows) * 0.2
+    for r in rows[:200]:
+        assert r["is_outlier"] == (abs(r["z"]) > 2.0)
+
+
+def test_seasonal_index_weighted_mean_one(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["orders_seasonal_index"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 12
+    # n_years-weighted mean of the index is exactly 1 by construction
+    num = sum(r["seasonal_index"] * r["n_years"] for r in rows)
+    den = sum(r["n_years"] for r in rows)
+    assert abs(num / den - 1.0) < 1e-4
+
+
+def test_hhi_bounds(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["suppliers_nation_hhi"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0
