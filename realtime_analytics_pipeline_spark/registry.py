@@ -438,7 +438,13 @@ _VERIFY_WINDOW = [
     # events_value_equidepth, orders_cohort_ltv,
     # text_langid_confusion, pipeline_curation_full,
     # events_error_slo_5m, events_new_vs_returning,
-    # orders_priority_mix_drift, docs_vocab_growth.
+    # orders_priority_mix_drift, docs_vocab_growth, docs_zipf_fit,
+    # events_user_streaks, dedup_cluster_sizes,
+    # events_weekly_engagement_histogram, orders_interpurchase_time,
+    # multimodal_dedup_digest, events_survival_curve,
+    # docs_pmi_collocations, emb_outlier_detection,
+    # orders_seasonal_index, suppliers_nation_hhi,
+    # attribution_latency_stats.
     # -- new in the round-3 continuation (never driver-verified) --
     "text_pii_redaction",
     "text_tfidf_top_terms",

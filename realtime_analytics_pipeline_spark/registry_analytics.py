@@ -2037,3 +2037,67 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival_rate"
         ),
     )
+
+
+_ATTR_LATENCY_SQL = """
+WITH pairs AS (
+    SELECT p.event_id AS purchase_id,
+           (epoch_us(p.ts) - max(epoch_us(v.ts))) / 1000000.0
+               AS latency_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.event_id, p.ts)
+SELECT count(*) AS n_attributed,
+       round(avg(latency_s), 6) AS avg_latency_s,
+       round(quantile_cont(latency_s, 0.5), 6) AS p50_latency_s,
+       round(quantile_cont(latency_s, 0.95), 6) AS p95_latency_s,
+       round(max(latency_s), 6) AS max_latency_s
+FROM pairs
+"""
+
+
+@register("attribution_latency_stats", _ATTR_LATENCY_SQL)
+def q_attribution_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: time from the LAST qualifying
+    view (the as-of touch) to the purchase, with exact percentile
+    stats — the funnel-speed metric on the time-bounded join's
+    per-purchase aggregate."""
+    ev = load_events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("event_time").alias("p_time"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_time").alias("v_time")
+    )
+    pairs = (
+        p.join(
+            v,
+            (p["u"] == v["u"])
+            & (v["v_time"] <= p["p_time"])
+            & (v["v_time"] >= p["p_time"] - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("purchase_id", "p_time")
+        .agg(F.max(F.unix_micros("v_time")).alias("last_view_us"))
+        .select(
+            (
+                (F.unix_micros("p_time") - F.col("last_view_us"))
+                / F.lit(1000000.0)
+            ).alias("latency_s")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.avg("latency_s"), 6).alias("avg_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias(
+            "p50_latency_s"
+        ),
+        F.round(F.expr("percentile(latency_s, 0.95)"), 6).alias(
+            "p95_latency_s"
+        ),
+        F.round(F.max("latency_s"), 6).alias("max_latency_s"),
+    )
