@@ -57,6 +57,12 @@ QUERIES = [
     "sessions_max_concurrency_daily",
     "basket_rules_lift",
     "attribution_linear_credit",
+    "pipeline_curation_full",
+    "events_error_slo_5m",
+    "events_user_streaks",
+    "orders_rolling_aov_28d",
+    "events_survival_curve",
+    "suppliers_nation_hhi",
     "events_value_mad_outliers",
     "value_drift_trailing7",
     "event_counts_salted",
