@@ -2018,3 +2018,59 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z + F.lit(0.0)).alias("z"),
         (F.abs(z) > 2.0).alias("is_outlier"),
     )
+
+
+_BURSTINESS_SQL = """
+WITH tf AS (
+    SELECT doc_id, tok, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+stats AS (
+    SELECT tok,
+           CAST(sum(c) AS BIGINT) AS cf,
+           sum(c * c) AS ssq,
+           count(*) AS df
+    FROM tf GROUP BY 1)
+SELECT tok, cf, CAST(df AS BIGINT) AS df,
+       round(((ssq * 1.0 / nd) - (cf * 1.0 / nd) * (cf * 1.0 / nd))
+             / (cf * 1.0 / nd), 6) + 0.0 AS fano
+FROM stats, n
+WHERE cf >= 100
+"""
+
+
+@register("text_token_burstiness", _BURSTINESS_SQL)
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Fano factor = population variance-to-mean of
+    per-doc counts, zeros included): bursty content words score > 1,
+    evenly-spread function words ≈ Poisson — a corpus statistic used
+    to pick stopword lists and weight TF-IDF variants. Zero-count docs
+    never materialize: E[x²] and μ come from the token's own per-doc
+    counts plus the scalar corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count_distinct("doc_id").alias("nd"))
+    stats = tf.groupBy("tok").agg(
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    mu = F.col("cf") / F.col("nd")
+    fano = ((F.col("ssq") / F.col("nd")) - mu * mu) / mu
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .where(F.col("cf") >= 100)
+        .select(
+            "tok",
+            "cf",
+            "df",
+            (F.round(fano, 6) + F.lit(0.0)).alias("fano"),
+        )
+    )

@@ -1221,3 +1221,68 @@ def q_nation_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum(share * share), 6) + F.lit(0.0)).alias("hhi"),
         )
     )
+
+
+_ABC_SQL = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1),
+ranked AS (
+    SELECT o_custkey, cents,
+           sum(cents) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(cents) OVER () AS tot
+    FROM rev),
+classed AS (
+    SELECT o_custkey, cents,
+           CASE WHEN cum * 1.0 / tot <= 0.8 THEN 'A'
+                WHEN cum * 1.0 / tot <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM ranked)
+SELECT abc,
+       count(*) AS n_customers,
+       round(sum(cents) * 1.0
+             / (SELECT sum(cents) FROM rev), 6) AS revenue_share
+FROM classed GROUP BY 1
+"""
+
+
+@register("customers_abc_classification", _ABC_SQL)
+def q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory-style customer classification: A = customers
+    inside the top 80% of cumulative revenue, B = next 15%, C = tail —
+    integer-cents cumulative over the per-customer aggregate, boundary
+    ratios computed from identical integers in both engines."""
+    from pyspark.sql import Window, functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+        ).alias("cents")
+    )
+    w_cum = Window.orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("tot"),
+    )
+    share = F.col("cum") / F.col("tot")
+    classed = ranked.select(
+        "cents",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot",
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
+    )

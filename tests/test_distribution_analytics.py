@@ -1184,3 +1184,50 @@ def test_hhi_bounds(spark):
     ).collect()
     for r in rows:
         assert 1.0 / r["n_suppliers"] - 1e-9 <= r["hhi"] <= 1.0
+
+
+def test_abc_partition_and_shares(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["abc"]: r for r in QUERIES[
+        "customers_abc_classification"](spark, sf).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_cust = (
+        spark.read.parquet(sf + "/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-4
+    # A holds the most revenue with the fewest-or-equal customers
+    assert rows["A"]["revenue_share"] >= rows["B"]["revenue_share"]
+
+
+def test_burstiness_uniform_token_low_fano(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    # "u" appears exactly 10x in every doc -> zero variance -> fano 0;
+    # "b" is bursty: 100x in half the docs, absent elsewhere.
+    rows = []
+    for d in range(20):
+        text = " ".join(["u"] * 10 + (["b"] * 100 if d % 2 == 0 else []))
+        rows.append((d, text, "en", "s0", len(text)))
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = {
+            r["tok"]: r
+            for r in QUERIES["text_token_burstiness"](spark, tmp).collect()
+        }
+    assert out["u"]["fano"] == 0.0
+    assert out["b"]["fano"] > 10.0
