@@ -2074,3 +2074,64 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(fano, 6) + F.lit(0.0)).alias("fano"),
         )
     )
+
+
+_JS_DIVERGENCE_SQL = """
+WITH tf AS (
+    SELECT source, tok, count(*) AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents) GROUP BY 1, 2),
+stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM tf GROUP BY 1),
+pool AS (SELECT tok, CAST(sum(c) AS BIGINT) AS pc FROM tf GROUP BY 1),
+ptot AS (SELECT CAST(sum(pc) AS BIGINT) AS pt FROM pool),
+terms AS (
+    SELECT tf.source,
+           tf.c * 1.0 / st.st AS p,
+           pool.pc * 1.0 / ptot.pt AS q
+    FROM tf
+    JOIN stot st ON st.source = tf.source
+    JOIN pool ON pool.tok = tf.tok, ptot)
+SELECT source,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * q * ln(q / ((p + q) / 2))), 6) + 0.0 AS js_div
+FROM terms GROUP BY 1
+"""
+
+
+@register("docs_js_divergence_by_source", _JS_DIVERGENCE_SQL)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon CONTENT drift per source vs the pooled token
+    distribution (the companion to the KS length drift: KS sees shape,
+    JS sees vocabulary usage). Every source shares the pooled support,
+    so the per-token q-side sum is over the source's own vocabulary —
+    exact when sources cover the vocabulary (true here by
+    construction) and a documented lower bound otherwise. All on
+    vocabulary-sized aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").alias("st"))
+    pool = tf.groupBy("tok").agg(F.sum("c").alias("pc"))
+    ptot = pool.agg(F.sum("pc").alias("pt"))
+    terms = (
+        tf.join(stot, "source")
+        .join(pool, "tok")
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "source",
+            (F.col("c") / F.col("st")).alias("p"),
+            (F.col("pc") / F.col("pt")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = F.lit(0.5) * F.col("p") * F.log(F.col("p") / m) + F.lit(
+        0.5
+    ) * F.col("q") * F.log(F.col("q") / m)
+    return terms.groupBy("source").agg(
+        (F.round(F.sum(js), 6) + F.lit(0.0)).alias("js_div")
+    )

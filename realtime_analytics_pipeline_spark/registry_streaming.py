@@ -843,3 +843,58 @@ def q_streaming_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# Single stateful aggregation ⇒ the single-agg finalization law
+# (window_end ≤ max − delay), same as streaming_session_metrics.
+_STREAM_SLO_SQL = """
+WITH w AS (
+    SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events GROUP BY 1)
+SELECT window_start_ms, n_events, n_errors,
+       round(n_errors * 1.0 / n_events, 6) AS error_rate,
+       n_errors * 1.0 / n_events > 0.05 AS slo_breach
+FROM w
+WHERE window_start_ms + 300000 <=
+      (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_error_slo", _STREAM_SLO_SQL)
+def q_streaming_error_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≤5%-error acceptance envelope as a LIVE streaming monitor:
+    5-minute windowed error rates with breach flags emitted in append
+    mode as windows finalize — the alerting job a reference operator
+    would attach to the live topic."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+        agg = stream.groupBy(
+            F.window("event_time", "5 minutes").alias("win")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(err).alias("n_errors"),
+        )
+        out = agg.select(
+            F.unix_millis(F.col("win.start")).alias("window_start_ms"),
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("n_events"), 6).alias(
+                "error_rate"
+            ),
+            (F.col("n_errors") / F.col("n_events") > 0.05).alias(
+                "slo_breach"
+            ),
+        )
+        table = f"stream_error_slo_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

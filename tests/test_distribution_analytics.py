@@ -1231,3 +1231,30 @@ def test_burstiness_uniform_token_low_fano(spark):
         }
     assert out["u"]["fano"] == 0.0
     assert out["b"]["fano"] > 10.0
+
+
+def test_js_divergence_bounds_and_identity(spark):
+    import os
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["docs_js_divergence_by_source"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["js_div"] <= math.log(2) + 1e-9
+    # identical sources -> zero divergence
+    with tempfile.TemporaryDirectory() as d:
+        data = [
+            (i, "a b c", "en", f"s{i % 2}", 5) for i in range(10)
+        ]
+        spark.createDataFrame(
+            data,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = QUERIES["docs_js_divergence_by_source"](spark, d).collect()
+        assert all(r["js_div"] == 0.0 for r in out)
