@@ -2101,3 +2101,55 @@ def q_attribution_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("latency_s"), 6).alias("max_latency_s"),
     )
+
+
+_XCORR_SQL = """
+WITH daily AS (
+    SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.n, b.n), 6) + 0.0 AS pearson_r
+FROM daily a JOIN daily b
+  ON a.day_ms = b.day_ms AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+@register("events_type_correlation", _XCORR_SQL)
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-move: pairwise Pearson correlation of
+    daily count series (day-equi self-join on the daily aggregate —
+    types² pairs × days, never the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    from realtime_analytics_pipeline_spark.schema import raw_ts_ms
+
+    day = ((raw_ts_ms(ev) / F.lit(86400000)).cast("long") * F.lit(86400000))
+    daily = ev.groupBy(day.alias("day_ms"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select(
+        F.col("day_ms").alias("d"),
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+    )
+    b = daily.select(
+        F.col("day_ms").alias("d2"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("d") == F.col("d2"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.round(F.corr("na", "nb"), 6) + F.lit(0.0)).alias(
+                "pearson_r"
+            ),
+        )
+    )

@@ -1286,3 +1286,52 @@ def q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("cents") / F.max("tot"), 6).alias("revenue_share"),
     )
+
+
+_ELASTICITY_SQL = """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(regr_slope(ln(l.l_quantity),
+                        ln(l.l_extendedprice / l.l_quantity)), 6) + 0.0
+           AS elasticity,
+       round(regr_r2(ln(l.l_quantity),
+                     ln(l.l_extendedprice / l.l_quantity)), 6)
+           AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+GROUP BY 1
+"""
+
+
+@register("parts_price_elasticity", _ELASTICITY_SQL)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS of quantity on unit price per brand — the demand
+    elasticity estimate, a distributed regression per group using
+    Catalyst's regr_* aggregates (unit price derives inside the
+    expression; the part join is AQE-sized)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part")
+    ln_q = F.log(F.col("l_quantity"))
+    ln_p = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            (
+                F.round(F.expr(
+                    "regr_slope(ln(l_quantity),"
+                    " ln(l_extendedprice / l_quantity))"
+                ), 6)
+                + F.lit(0.0)
+            ).alias("elasticity"),
+            F.round(F.expr(
+                "regr_r2(ln(l_quantity),"
+                " ln(l_extendedprice / l_quantity))"
+            ), 6).alias("r2"),
+        )
+    )

@@ -1258,3 +1258,30 @@ def test_js_divergence_bounds_and_identity(spark):
         )
         out = QUERIES["docs_js_divergence_by_source"](spark, d).collect()
         assert all(r["js_div"] == 0.0 for r in out)
+
+
+def test_type_correlation_bounds_and_pairs(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["events_type_correlation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    types = set()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["pearson_r"] <= 1.0 + 1e-9
+        assert r["type_a"] < r["type_b"]
+        types.update((r["type_a"], r["type_b"]))
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_price_elasticity_r2_bounds(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["parts_price_elasticity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n_lineitems"] > 0
