@@ -1335,3 +1335,339 @@ def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 6).alias("r2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes previously blocked on the missing partsupp table — unblocked
+# by deriving the supplier-part relation from lineitem: ps(partkey, suppkey)
+# with cost = min unit price and availqty = total shipped quantity.  The
+# derived view is aggregated ONCE per query (partial -> final on the pair
+# key) and everything downstream is pair-sized, not lineitem-sized.
+# --------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_cost
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(ps_cost, 6) AS min_cost
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+  AND r_name = 'EUROPE'
+  AND ps_cost = (SELECT min(ps2.ps_cost) FROM ps ps2
+                 JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+                 JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                 JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                 WHERE ps2.ps_partkey = ps.ps_partkey
+                   AND r2.r_name = 'EUROPE')
+"""
+
+
+@register("tpch_q2_min_cost_supplier", _Q2_SQL)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (minimum-cost supplier): correlated min subquery per
+    part over the region-qualified supplier set.  Spark-first plan:
+    derive ps from lineitem once, restrict it to EUROPE suppliers
+    (nation/region dims are constant-size -> hard broadcast), then a
+    window MIN over ps_partkey + equality filter replaces the
+    correlated subquery — one extra shuffle on ps_partkey instead of
+    a per-row rescan.  The min is a PICK over identically-computed
+    doubles (no arithmetic), so cross-engine equality is exact.
+    Reference parity: the engine has no subquery surface at all
+    (services/processing/src/jobs/*.py are fixed pipelines); this is
+    §2.9 capability beyond it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    euro_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"))
+    euro_ps = ps.join(euro_supp, ps.ps_suppkey == euro_supp.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    return (
+        euro_ps.withColumn("min_cost_raw", F.min("ps_cost").over(w))
+        .where(F.col("ps_cost") == F.col("min_cost_raw"))
+        .join(part, F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("ps_cost", 6).alias("min_cost"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH ps AS (
+    SELECT l_partkey AS partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS val
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_regionkey = 2
+    GROUP BY 1
+)
+SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM ps
+WHERE 1000 * CAST(val * 10000 AS BIGINT)
+      > (SELECT CAST(sum(val) * 10000 AS BIGINT) FROM ps)
+"""
+
+
+@register("tpch_q11_important_stock", _Q11_SQL)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): group-by value per part gated by a
+    scalar-subquery FRACTION of the global total (val > total/1000).
+    The threshold compare runs in integer 1e-4 units (DECIMAL sums are
+    exact on both engines; scaling to BIGINT removes any decimal
+    division/typing divergence).  The per-part view aggregates once;
+    the 1-row global total re-aggregates the SAME view and is
+    broadcast — at 100 TB this is two supplier-joined scans of
+    lineitem collapsed to one by exchange reuse, then part-sized."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    supp2 = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    )
+    ps = (
+        li.join(supp2, li.l_suppkey == supp2.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(val).alias("val"))
+    )
+    total = ps.agg(
+        (F.sum("val") * 10000).cast("bigint").alias("total_e4")
+    )
+    return (
+        ps.crossJoin(F.broadcast(total))
+        .where(
+            F.lit(1000) * (F.col("val") * 10000).cast("bigint")
+            > F.col("total_e4")
+        )
+        .select(
+            "partkey",
+            F.round("val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q16_supplier_cnt", _Q16_SQL)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (parts/supplier relationship): distinct-pair view,
+    negated dimension predicates, NOT IN exclusion subquery (the
+    complaints list -> suppliers with negative balance), COUNT
+    DISTINCT per part attribute triple.  NOT IN over a non-null key
+    set maps to LEFT ANTI; the exclusion set is tiny and broadcast.
+    The distinct-pair dedup shuffles the 16-byte pair key once and
+    the part join is AQE-sized."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    excl = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(
+            F.broadcast(excl),
+            ps.l_suppkey == excl.s_suppkey,
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_SQL = """
+WITH avail AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+    FROM lineitem GROUP BY 1, 2),
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_regionkey = 1
+  AND s_suppkey IN (
+      SELECT a.l_suppkey
+      FROM avail a
+      JOIN shipped sh ON a.l_partkey = sh.l_partkey
+                     AND a.l_suppkey = sh.l_suppkey
+      JOIN part ON p_partkey = a.l_partkey
+      WHERE p_type = 'PROMO' AND a.availqty > 2 * sh.qty96)
+"""
+
+
+@register("tpch_q20_excess_stock", _Q20_SQL)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (potential part promotion): nested semi-join chain —
+    suppliers IN (pairs whose all-time quantity exceeds 2x their 1996
+    shipments of PROMO parts).  The correlated inner aggregate becomes
+    a pair-keyed self-join of two aggregations of the SAME scan
+    (co-partitioned on the pair key -> AQE reuses the exchange), the
+    part filter is AQE-sized, and the outer IN is a LEFT SEMI on
+    s_suppkey.  Quantities are integral -> BIGINT sums, exact compare."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    qty = F.col("l_quantity").cast("bigint")
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).cast("bigint").alias("availqty")
+    )
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("sh_partkey"),
+            F.col("l_suppkey").alias("sh_suppkey"),
+        )
+        .agg(F.sum(qty).cast("bigint").alias("qty96"))
+    )
+    excess = (
+        avail.join(
+            shipped,
+            (F.col("l_partkey") == F.col("sh_partkey"))
+            & (F.col("l_suppkey") == F.col("sh_suppkey")),
+        )
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .where(F.col("availqty") > 2 * F.col("qty96"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(excess, F.col("s_suppkey") == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("tpch_q21_sole_blamed_supplier", _Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): EXISTS (another
+    supplier on the order) + NOT EXISTS (another supplier ALSO at
+    fault) — the schema lacks commit/receipt dates, so "at fault"
+    maps to returned lines (l_returnflag = 'R') on finalized orders.
+    Both correlated EXISTS become orderkey-equi SEMI/ANTI joins with
+    the supplier inequality in the join condition; three scans of
+    lineitem share one shuffle key (l_orderkey) so AQE can reuse the
+    exchange.  Deterministic LIMIT via (numwait DESC, s_name)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    blamed = (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
