@@ -2153,3 +2153,91 @@ def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_P95_SKETCH_SQL = """
+WITH binned AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+           CAST(floor(value / 0.5) AS BIGINT) AS bin,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+),
+hourly AS (
+    -- merge the per-minute sketches into hourly ones: pure count adds
+    SELECT event_type, (minute_ms // 3600000) * 3600000 AS hour_ms,
+           bin, sum(cnt) AS cnt
+    FROM binned GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT event_type, hour_ms, bin, cnt,
+           sum(cnt) OVER (PARTITION BY event_type, hour_ms ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type, hour_ms) AS total
+    FROM hourly
+)
+SELECT event_type, hour_ms,
+       CAST(total AS BIGINT) AS n_events,
+       min((bin + 1) * 0.5) AS p95_upper
+FROM cum
+WHERE 20 * cum >= 19 * total
+GROUP BY 1, 2, 3
+"""
+
+
+@register("value_p95_sketch_rollup_1h", _P95_SKETCH_SQL)
+def q_value_p95_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile rollup: per-minute histogram sketches
+    (fixed 0.5-wide bins) merged into hourly sketches by pure count
+    addition, then p95 read off the merged cumulative counts (first
+    bin whose cumulative count reaches ceil(0.95*n), compared as
+    20*cum >= 19*total in exact integer arithmetic).  This is the
+    sketch answer to A4's PERCENTILE(0.95) (reference
+    performance_analyzer.py window p95) when windows must re-roll
+    without reprocessing raw events: histograms are the mergeable
+    percentile structure — counts add across any window regroup,
+    which exact percentiles don't.  At 100 TB the raw scan reduces to
+    (type x minute x ~1k bins) rows once, and every wider rollup is
+    sketch-sized.  Error is bounded by bin width (0.5), vs the exact
+    per-window percentile gated in performance_metrics_5m."""
+    events = load_events(spark, sf_dir)
+    binned = (
+        events.groupBy(
+            "event_type",
+            ((F.unix_millis("event_time") / 60000).cast("bigint") * 60000).alias(
+                "minute_ms"
+            ),
+            F.floor(F.col("value") / 0.5).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hourly = (
+        binned.groupBy(
+            "event_type",
+            ((F.col("minute_ms") / 3600000).cast("bigint") * 3600000).alias(
+                "hour_ms"
+            ),
+            "bin",
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "hour_ms")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type", "hour_ms")
+    cum = hourly.select(
+        "event_type",
+        "hour_ms",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return (
+        cum.where(F.lit(20) * F.col("cum") >= F.lit(19) * F.col("total"))
+        .groupBy(
+            "event_type", "hour_ms", F.col("total").alias("n_events")
+        )
+        .agg(F.min((F.col("bin") + 1) * 0.5).alias("p95_upper"))
+    )

@@ -209,3 +209,40 @@ def test_kmv_estimates_and_intersection(spark):
         est,
         both_exact,
     )
+
+
+def test_p95_histogram_sketch_bounds_exact_percentile(spark):
+    """The histogram-sketch p95 upper edge must sit at most one bin
+    width (0.5) above the exact hourly p95 and never below it."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    sketch = {
+        (r.event_type, r.hour_ms): (r.n_events, r.p95_upper)
+        for r in QUERIES["value_p95_sketch_rollup_1h"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = load_events(spark, SF_SMOKE)
+    hour_ms = (
+        (F.unix_millis("event_time") / F.lit(3600000)).cast("long")
+        * F.lit(3600000)
+    ).alias("hour_ms")
+    exact = {
+        (r.event_type, r.hour_ms): (r.n, r.p95)
+        for r in ev.select("event_type", hour_ms, "value")
+        .groupBy("event_type", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(sketch) == set(exact)
+    for k, (n, upper) in sketch.items():
+        exact_n, exact_p95 = exact[k]
+        assert n == exact_n  # counts ride along exactly
+        # nearest-rank p95 lands inside the chosen bin; the continuous
+        # interpolated percentile can only be <= that bin's upper edge
+        # and > upper - 0.5 - (interpolation within one sample gap)
+        assert upper >= exact_p95 - 1e-9
+        assert upper - exact_p95 <= 0.5 + 1e-9 or n < 20
