@@ -96,6 +96,10 @@ HEADLINE = [
     "attribution_linear_credit",
     "events_decayed_engagement",
     "docs_length_ks_by_source",
+    # this session: completed TPC-H matrix + mergeable quantiles
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_sole_blamed_supplier",
+    "value_p95_sketch_rollup_1h",
 ]
 
 

@@ -378,10 +378,8 @@ _VERIFY_WINDOW = [
     "event_types_per_user",
     "cascade_rollup_1m_to_1h",
     "tpch_q17_small_quantity",
-    "customer_supplier_union",
     "latest_event_per_user",
     "value_percentiles_by_type",
-    "doc_length_zscores",
     # -- new in round 3 --
     "streaming_session_metrics",
     "tpch_q8_market_share",
@@ -390,7 +388,6 @@ _VERIFY_WINDOW = [
     "dedup_embedding_cosine_blas",
     "dedup_semantic_clustered",
     "multimodal_features",
-    "sample_docs_hash",
     "streaming_interval_join_outer",
     "pack_token_budget",
     "tpch_q4_order_priority",
@@ -404,6 +401,18 @@ _VERIFY_WINDOW = [
     "streaming_stateful_sessions",
     "sample_docs_weighted",
     "streaming_exact_dedup",
+    # -- new this session: completed TPC-H matrix + mergeable quantiles
+    # (Q2 = correlated min over region-qualified ps; Q21 = EXISTS +
+    # NOT-EXISTS pair — capability shapes no other in-window query
+    # carries; Q11/Q16/Q20 stay out, family-evidenced by these plus
+    # q17/q18/q22 and replica-green at both SFs).  Displaced:
+    # customer_supplier_union (set-op family green r01+r02 via
+    # EXCEPT/INTERSECT twins), doc_length_zscores (z-score family
+    # in-window via value_drift_daily), sample_docs_hash (sampling
+    # family in-window via sample_docs_weighted).
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_sole_blamed_supplier",
+    "value_p95_sketch_rollup_1h",
     "decontaminate_eval_overlap",
     "text_gopher_flags",
     "emb_quantize_int8",
