@@ -2241,3 +2241,48 @@ def q_value_p95_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min((F.col("bin") + 1) * 0.5).alias("p95_upper"))
     )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+    SELECT (epoch_ms(o_orderdate) // 86400000) * 86400000 AS day_ms,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+)
+SELECT day_ms,
+       CAST(rev_cents AS DOUBLE) / 100 AS revenue,
+       round(quantile_cont(rev_cents, 0.5) OVER (
+           ORDER BY day_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 100, 6) AS rolling_median_7d
+FROM daily
+"""
+
+
+@register("orders_rolling_median_7d", _ROLLING_MEDIAN_SQL)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE as a WINDOW-FRAME aggregate (7-row rolling
+    median of daily revenue) — the robust-trend twin of the mean-based
+    orders_rolling_aov_28d.  Daily revenue is pre-reduced to integer
+    cents (exact across engines; the interpolated median of ints is a
+    half-integer, also exact), so the frame percentile is
+    deterministic.  At 100 TB the frame runs over the DAY-sized
+    aggregate, not the fact table — one shuffle to days, then a
+    single-partition frame over ~10^3 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        ((F.unix_millis("o_orderdate") / 86400000).cast("bigint") * 86400000
+         ).alias("day_ms")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day_ms").rowsBetween(-6, 0)
+    return daily.select(
+        "day_ms",
+        (F.col("rev_cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.expr("percentile(rev_cents, 0.5)").over(w) / 100, 6
+        ).alias("rolling_median_7d"),
+    )
