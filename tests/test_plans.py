@@ -318,3 +318,41 @@ def test_decayed_engagement_single_shuffle_after_scalar(spark):
     # a SinglePartition + broadcast exchange
     assert plan.count("hashpartitioning(") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q21_exists_shapes_become_semi_and_anti_joins(spark):
+    """Both correlated EXISTS in the Q21 shape must compile to
+    orderkey-equi SEMI/ANTI hash joins (never a nested-loop rescan),
+    and the supplier dim side must broadcast."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q21_sole_blamed_supplier"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_one_window_over_broadcast_dims(spark):
+    """The correlated min-cost subquery must compile to a single
+    WINDOW over ps_partkey (not a re-aggregating self-join of the
+    lineitem scan), with nation/region broadcast."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_p95_sketch_rollup_aggregates_before_window(spark):
+    """The sketch rollup must reduce events to (type, minute, bin)
+    counts BEFORE any window/exchange over hour groups — the raw scan
+    feeds a partial_count hash aggregate, and the frame runs over
+    sketch-sized rows only."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["value_p95_sketch_rollup_1h"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    # the two rollup levels + cumulative/total windows, no join at all
+    assert "Join" not in plan
