@@ -24,6 +24,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 # flagship set: one per operator family, cheap enough to run at sf0.01
 QUERIES = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_sole_blamed_supplier",
+    "value_p95_sketch_rollup_1h",
     "event_metrics_1m",
     "performance_metrics_5m",
     "session_metrics",
