@@ -26,3 +26,15 @@ def test_all_queries_have_callables():
     assert registry.QUERIES, "registry must not be empty"
     for name in registry.ORACLES:
         assert name in registry.QUERIES
+
+
+def test_complete_tpch_shape_matrix():
+    """Every TPC-H query shape Q1-Q22 has a registered, oracled
+    analog (the partsupp-dependent five run over the lineitem-derived
+    supplier-part view)."""
+    from realtime_analytics_pipeline_spark.registry import ORACLES, QUERIES
+
+    names = {n for n in QUERIES if n.startswith("tpch_q")}
+    got = {int(n.split("_")[1][1:]) for n in names}
+    assert got == set(range(1, 23))
+    assert all(n in ORACLES for n in names)
