@@ -356,3 +356,59 @@ def test_p95_sketch_rollup_aggregates_before_window(spark):
     assert "HashAggregate" in plan
     # the two rollup levels + cumulative/total windows, no join at all
     assert "Join" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The automatic complement to manual salting
+    (event_counts_salted): with one key holding ~95% of fact rows,
+    AQE must re-plan the sort-merge join with skew=true (the hot
+    partition split into advisory-sized slices) — the runtime lever
+    that keeps 100 TB joins alive when the skew isn't known ahead of
+    time. Verified on the EXECUTED adaptive plan, not the static one."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        for k, v in {
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.shuffle.partitions": "8",
+        }.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 997).cast("string"))
+            )
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 2000).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+            .alias("k"),
+            (F.col("id") * 2).alias("w"),
+        )
+        j = fact.join(dim, "k").select(
+            F.length("payload").alias("lp"), "w"
+        )
+        assert len(j.collect()) == 399_979
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
