@@ -1558,8 +1558,10 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape (potential part promotion): nested semi-join chain —
     suppliers IN (pairs whose all-time quantity exceeds 2x their 1996
     shipments of PROMO parts).  The correlated inner aggregate becomes
-    a pair-keyed self-join of two aggregations of the SAME scan
-    (co-partitioned on the pair key -> AQE reuses the exchange), the
+    a pair-keyed join of two aggregations, each shuffling lineitem
+    ONCE on the 16-byte pair key (the date filter is pushed into the
+    second scan, so the exchanges differ by design; the join consumes
+    both exchanges with no third shuffle), the
     part filter is AQE-sized, and the outer IN is a LEFT SEMI on
     s_suppkey.  Quantities are integral -> BIGINT sums, exact compare."""
     from pyspark.sql import functions as F
