@@ -419,7 +419,12 @@ _VERIFY_WINDOW = [
     # NOTE for round 4: further continuation queries left OUT of this
     # window (replica-green, never driver-verified) are listed by
     # `python -c "...queries()[50:]"` — promote them next round by
-    # demoting whatever goes green in CORRECTNESS_r03: notably
+    # demoting whatever goes green in CORRECTNESS_r03: the
+    # fourth-continuation additions tpch_q11_important_stock,
+    # tpch_q16_supplier_cnt, tpch_q20_excess_stock,
+    # orders_rolling_median_7d, plus the displaced
+    # customer_supplier_union, doc_length_zscores, sample_docs_hash;
+    # and from earlier continuations notably
     # streaming_sliding_window_5m1m, events_sliding_window_paned,
     # events_forget_users, streaming_stateful_totals_final,
     # emb_random_projection, multimodal_chunks, events_value_winsorized,
