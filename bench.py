@@ -100,6 +100,9 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q21_sole_blamed_supplier",
     "value_p95_sketch_rollup_1h",
+    # custom Python Data Source: pushed-filter scan through the
+    # Arrow-batched Python reader (connector-boundary cost made visible)
+    "pyds_feed_scan",
 ]
 
 

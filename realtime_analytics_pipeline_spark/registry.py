@@ -343,6 +343,7 @@ from realtime_analytics_pipeline_spark import registry_multimodal  # noqa: E402,
 from realtime_analytics_pipeline_spark import registry_parity  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_curation  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_feed  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------
@@ -384,8 +385,16 @@ _VERIFY_WINDOW = [
     "streaming_session_metrics",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "sim_cosine_topk_blas",
-    "dedup_embedding_cosine_blas",
+    # -- fifth continuation: custom Python Data Source (Spark 4 API) --
+    # hard driver evidence for a brand-new capability family (batch scan
+    # with pushFilters + streaming offset-range consumption through the
+    # same source). Displaced: sim_cosine_topk_blas and
+    # dedup_embedding_cosine_blas — their oracles are IDENTICAL to the
+    # r02-driver-green exact twins (sim_cosine_topk,
+    # dedup_embedding_cosine) and blas-vs-exact equality is
+    # pytest-pinned, so their marginal in-window value is the lowest.
+    "pyds_feed_scan",
+    "streaming_pyds_feed",
     "dedup_semantic_clustered",
     "multimodal_features",
     "streaming_interval_join_outer",

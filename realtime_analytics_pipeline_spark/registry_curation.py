@@ -1799,3 +1799,84 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     ).select("n_edges", "n_triangles")
+
+
+# --------------------------------------------------------------------------
+# CDC generation: diff two point-in-time states into a changelog.
+# The inverse of customers_cdc_merge (which APPLIES a changelog).
+# --------------------------------------------------------------------------
+
+_SNAPDIFF_SQL = """
+WITH old_state AS (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    GROUP BY o_custkey),
+new_state AS (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+    GROUP BY o_custkey)
+SELECT coalesce(o.o_custkey, n.o_custkey) AS custkey,
+       CASE WHEN o.o_custkey IS NULL THEN 'I'
+            WHEN n.o_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       o.n_orders AS old_orders,
+       n.n_orders AS new_orders,
+       o.spend_cents AS old_spend_cents,
+       n.spend_cents AS new_spend_cents
+FROM old_state o FULL OUTER JOIN new_state n ON o.o_custkey = n.o_custkey
+WHERE o.o_custkey IS NULL OR n.o_custkey IS NULL
+   OR o.n_orders != n.n_orders OR o.spend_cents != n.spend_cents
+"""
+
+
+@register("orders_snapshot_diff", _SNAPDIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC GENERATION: diff two deterministic per-customer states (order
+    count + integer-cents spend before vs after a cutoff date) into an
+    insert/update/delete changelog — the feed a downstream MERGE
+    (customers_cdc_merge) consumes. Shape: two pushed-filter scans of
+    the same fact table, partial-aggregated map-side, one full-outer
+    join on the aggregate key (AQE sizes it); unchanged keys are
+    filtered so the changelog carries only real changes. Cents are
+    derived per-row as CAST(round(price*100) AS BIGINT) BEFORE summing
+    — float-sum divergence across engines was observed in this repo
+    (orders_rolling_aov_28d), integer sums are exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def state(pred):
+        return (
+            orders.where(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents).alias("spend_cents"),
+            )
+        )
+
+    old = state(F.col("o_orderdate") < cutoff).alias("o")
+    new = state(F.col("o_orderdate") >= cutoff).alias("n")
+    joined = old.join(
+        new, F.col("o.o_custkey") == F.col("n.o_custkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce("o.o_custkey", "n.o_custkey").alias("custkey"),
+        F.when(F.col("o.o_custkey").isNull(), "I")
+        .when(F.col("n.o_custkey").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("o.n_orders").alias("old_orders"),
+        F.col("n.n_orders").alias("new_orders"),
+        F.col("o.spend_cents").alias("old_spend_cents"),
+        F.col("n.spend_cents").alias("new_spend_cents"),
+    ).where(
+        F.col("o.o_custkey").isNull()
+        | F.col("n.o_custkey").isNull()
+        | (F.col("o.n_orders") != F.col("n.n_orders"))
+        | (F.col("o.spend_cents") != F.col("n.spend_cents"))
+    )

@@ -1,0 +1,256 @@
+"""Custom Python Data Source (rtap_feed): the broker-free Kafka analog.
+
+Covers the full source/sink contract the reference gets from Kafka
+(kafka_source.py:6-19, kafka_sink.py:10-46): partitioned parallel batch
+scan with filter pushdown + row-group pruning, offset-tracked streaming
+reads over a growing log with exactly-once checkpoint restart, and a
+two-phase epoch-commit streaming sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+
+from realtime_analytics_pipeline_spark.sources.feed import (
+    FeedBatchReader,
+    FeedStreamWriter,
+    _plan_partitions,
+    _StagedFile,
+    read_committed,
+    register_feed_source,
+)
+
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+EVENTS_SMOKE = f"{SF_SMOKE}/events.parquet"
+EVENTS_SF001 = f"{SF_CORRECTNESS}/events.parquet"
+
+
+@pytest.fixture()
+def feed(spark):
+    register_feed_source(spark)
+    return spark
+
+
+def _feed_df(spark, path, **options):
+    r = spark.read.format("rtap_feed").option("path", path)
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+# -- batch scan ------------------------------------------------------------
+
+
+def test_batch_scan_equals_parquet(feed):
+    got = sorted(map(tuple, _feed_df(feed, EVENTS_SMOKE).collect()))
+    ref = sorted(map(tuple, feed.read.parquet(EVENTS_SMOKE).collect()))
+    assert got == ref
+
+
+def test_batch_scan_parallelism_from_range_split(feed):
+    # one file, one row group — the planner must still fan out
+    df = _feed_df(feed, EVENTS_SF001, parallelism=8)
+    assert df.rdd.getNumPartitions() >= 4
+    assert df.count() == 10000
+
+
+def test_filter_pushdown_correctness(feed):
+    base = _feed_df(feed, EVENTS_SF001)
+    ref = feed.read.parquet(EVENTS_SF001)
+    for cond in (
+        F.col("event_type") == "purchase",
+        F.col("value") > 50.0,
+        F.col("event_type").isin("view", "click"),
+        F.col("props").contains("android"),  # unsupported -> Spark-side
+    ):
+        a = base.filter(cond).agg(
+            F.count("*").alias("c"), F.round(F.sum("value"), 6).alias("s")
+        ).collect()
+        b = ref.filter(cond).agg(
+            F.count("*").alias("c"), F.round(F.sum("value"), 6).alias("s")
+        ).collect()
+        assert a == b, str(cond)
+
+
+def test_push_filters_split_supported_unsupported():
+    reader = FeedBatchReader({"path": EVENTS_SMOKE})
+    unsupported = list(
+        reader.pushFilters(
+            [
+                EqualTo(("event_type",), "purchase"),
+                GreaterThan(("value",), 10.0),
+                StringContains(("props",), "android"),  # no arrow expr
+                EqualTo(("a", "b"), 1),  # nested: stays in Spark
+            ]
+        )
+    )
+    assert len(reader.pushedFilters()) == 2
+    assert len(unsupported) == 2
+
+
+def test_row_group_pruning_from_footer_stats(tmp_path):
+    # two row groups with disjoint value ranges -> an EqualTo outside a
+    # group's [min,max] must prune that group at PLANNING time
+    import pyarrow as pa
+
+    t1 = pa.table({"k": [1, 2, 3], "v": ["a", "a", "b"]})
+    t2 = pa.table({"k": [100, 200, 300], "v": ["c", "c", "d"]})
+    f = str(tmp_path / "two_groups.parquet")
+    writer = pq.ParquetWriter(f, t1.schema)
+    writer.write_table(t1)
+    writer.write_table(t2)
+    writer.close()
+    assert pq.ParquetFile(f).metadata.num_row_groups == 2
+
+    all_parts = _plan_partitions(f, 1, [])
+    assert len(all_parts) == 2
+    pruned = _plan_partitions(f, 1, [EqualTo(("k",), 50)])
+    assert pruned == []  # 50 outside both [1,3] and [100,300]
+    one = _plan_partitions(f, 1, [GreaterThan(("k",), 50)])
+    assert len(one) == 1 and one[0].row_group == 1
+
+
+# -- streaming read + epoch-commit sink ------------------------------------
+
+
+def _wait(predicate, timeout=90.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if predicate():
+            return True
+        time.sleep(0.4)
+    return False
+
+
+def _committed_count(spark, sink):
+    try:
+        return read_committed(spark, sink).count()
+    except FileNotFoundError:
+        return 0
+
+
+def test_stream_growing_log_exactly_once_restart(feed, tmp_path):
+    src = str(tmp_path / "log")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    shutil.copy(EVENTS_SMOKE, os.path.join(src, "a.parquet"))
+
+    def start():
+        return (
+            feed.readStream.format("rtap_feed")
+            .option("path", src)
+            .option("batch_rows", "300")
+            .load()
+            .writeStream.format("rtap_feed")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    q = start()
+    try:
+        assert _wait(lambda: _committed_count(feed, sink) == 1000)
+        # grow the log while the query runs -> picked up next trigger
+        shutil.copy(EVENTS_SMOKE, os.path.join(src, "b.parquet"))
+        assert _wait(lambda: _committed_count(feed, sink) == 2000)
+    finally:
+        q.stop()
+
+    # restart from the same checkpoint: no replays reach the table
+    q2 = start()
+    try:
+        time.sleep(3)
+    finally:
+        q2.stop()
+    assert _committed_count(feed, sink) == 2000
+
+    # bounded task sizes: every offset range spans <= batch_rows
+    got = sorted(map(tuple, read_committed(feed, sink).collect()))
+    want = sorted(list(map(tuple, feed.read.parquet(EVENTS_SMOKE).collect())) * 2)
+    assert got == want
+
+
+def test_stream_results_match_batch_pipeline(feed, tmp_path):
+    """The feed source composes with the normal operator pipeline."""
+    src = str(tmp_path / "log")
+    os.makedirs(src)
+    shutil.copy(EVENTS_SMOKE, os.path.join(src, "a.parquet"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        feed.readStream.format("rtap_feed")
+        .option("path", src)
+        .load()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("feed_counts")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: feed.sql("SELECT sum(n) AS s FROM feed_counts").collect()[0].s
+            == 1000
+        )
+    finally:
+        q.stop()
+    got = {
+        (r.event_type, r.n)
+        for r in feed.sql("SELECT * FROM feed_counts").collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in feed.read.parquet(EVENTS_SMOKE)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sink  # silences lint; sink dir unused in memory-sink variant
+
+
+def test_epoch_commit_idempotent_replay(tmp_path):
+    """A replayed epoch (manifest already published) drops its stage."""
+    import pyarrow as pa
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    w = FeedStreamWriter({"path": sink})
+    batch = pa.record_batch({"x": pa.array([1, 2, 3])})
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=7)
+    manifest = json.load(open(os.path.join(sink, "_commits", "7.json")))
+    assert manifest["rows"] == 3 and len(manifest["files"]) == 1
+
+    # replay the same epoch: new staged file must be discarded, manifest
+    # unchanged
+    m2 = w.write(iter([batch]))
+    w.commit([m2], batchId=7)
+    again = json.load(open(os.path.join(sink, "_commits", "7.json")))
+    assert again == manifest
+    assert not os.listdir(os.path.join(sink, "_staging"))
+    files = [f for f in os.listdir(sink) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+    # abort cleans the stage without publishing
+    m3 = w.write(iter([batch]))
+    w.abort([m3], batchId=8)
+    assert not os.path.exists(os.path.join(sink, "_commits", "8.json"))
+    assert not os.listdir(os.path.join(sink, "_staging"))
+    assert isinstance(m3, _StagedFile)
