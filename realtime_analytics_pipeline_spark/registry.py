@@ -344,6 +344,7 @@ from realtime_analytics_pipeline_spark import registry_parity  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_curation  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_feed  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_sql_features  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------

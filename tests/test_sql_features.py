@@ -1,0 +1,76 @@
+"""Spark 4 SQL-surface features: recursive CTE, VARIANT, polymorphic UDTF.
+
+Oracles for these queries live in registry_sql_features.py; these tests
+pin the cross-operator invariants the oracles can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def test_recursive_spine_covers_every_month_with_zero_fill(spark):
+    df = registry.QUERIES["orders_monthly_spine_recursive"](spark, SF_SMOKE)
+    rows = df.collect()
+    # 1995-01 .. 2001-12 inclusive = 84 months, no gaps, strictly monthly
+    assert len(rows) == 84
+    ms = sorted(r.month_start_ms for r in rows)
+    assert len(set(ms)) == 84
+    # zero-filled tail: orders end 2001-08-01, spine runs to 2001-12
+    zero = [r for r in rows if r.n_orders == 0]
+    assert len(zero) >= 1
+    assert all(r.revenue_cents == 0 for r in zero)
+
+
+def test_variant_extraction_equals_legacy_json_path(spark):
+    """parse_json + variant_get == get_json_object on the same rows —
+    the new binary path and the legacy string-reparse path must agree."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, SF_SMOKE).where(F.col("props").isNotNull())
+    legacy = ev.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    variant = ev.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k")
+    )
+    assert sorted(r.k for r in legacy.collect()) == sorted(
+        r.k for r in variant.collect()
+    )
+
+
+def test_udtf_sessions_match_native_session_windows(spark):
+    """The UDTF sessionizer and the native session_window operator must
+    produce the same number of sessions and the same total event count
+    (same 30-minute gap rule)."""
+    udtf_sessions = registry.QUERIES["sessions_udtf"](spark, SF_SMOKE)
+    native = registry.QUERIES["session_metrics"](spark, SF_SMOKE)
+    u = udtf_sessions.agg(
+        F.count("*").alias("n"), F.sum("n_events").alias("ev")
+    ).collect()[0]
+    n = native.agg(F.count("*").alias("n")).collect()[0]
+    assert u.n == n.n
+    total_events = (
+        registry.QUERIES["sessions_udtf"](spark, SF_SMOKE)
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    assert total_events == load_events(spark, SF_SMOKE).count()
+    assert u.ev == total_events
+
+
+def test_udtf_plan_partitions_by_user(spark):
+    """The TABLE(...) PARTITION BY clause must compile to one hash
+    exchange on user_id — same shuffle shape as the native operator."""
+    df = registry.QUERIES["sessions_udtf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark aliases the PARTITION BY expression as partition_by_0 before
+    # the exchange; the UDTF evaluates after one hash exchange + sort
+    assert "BatchEvalPythonUDTF" in plan
+    assert "Exchange hashpartitioning(partition_by_0" in plan
+    assert plan.count("Exchange") == 1
