@@ -214,3 +214,127 @@ def q_sessions_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# -- XML codec (S1/S5 sibling of the JSON wire path) -----------------------
+
+_XML_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       max(epoch_ms(ts)) AS max_ms
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_xml_roundtrip", _XML_SQL)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → per-row XML document (``to_xml``) → parse back
+    (``from_xml``) → typed aggregation. The XML sibling of
+    ``wire_json_roundtrip`` (S1/S5 parse-chain parity): the oracle sees
+    only the final aggregates, so it passes ONLY if the codec
+    round-trips every row faithfully — types, nulls, and all. Spark 4
+    ships the XML codec natively (no spark-xml package)."""
+    ev = load_events(spark, sf_dir)
+    doc = ev.select(
+        F.to_xml(
+            F.struct(
+                F.col("event_id").cast("string").alias("id"),
+                F.col("event_type").alias("type"),
+                F.col("value").alias("value"),
+                F.unix_millis("event_time").alias("ts_ms"),
+            )
+        ).alias("xml")
+    )
+    parsed = doc.select(
+        F.from_xml(
+            "xml", "id STRING, type STRING, value DOUBLE, ts_ms BIGINT"
+        ).alias("e")
+    )
+    return (
+        parsed.groupBy(F.col("e.type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("e.value"), 6).alias("sum_value"),
+            F.max("e.ts_ms").alias("max_ms"),
+        )
+    )
+
+
+# -- LATERAL join ----------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.price_cents
+FROM customer c
+CROSS JOIN LATERAL (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 3
+) t
+WHERE c.c_custkey % 7 = 0
+"""
+
+
+@register("orders_lateral_top3", _LATERAL_SQL)
+def q_lateral_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-3 orders by price per sampled
+    customer. Catalyst rewrites the correlation into a join +
+    per-key window limit (no per-row re-execution — ``DomainJoin``
+    decorrelation), so the plan scales like the window-rank idiom while
+    the SQL stays the lateral shape a Postgres/DuckDB user writes.
+    Price ties are broken by o_orderkey so both engines rank
+    identically."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        FROM lat_customer c
+        JOIN LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_custkey % 7 = 0
+        """
+    )
+
+
+# -- SQL pipe syntax -------------------------------------------------------
+
+_PIPE_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("sql_pipe_demo", _PIPE_SQL)
+def q_sql_pipe_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.1 ``|>`` operators): the linear
+    FROM → WHERE → AGGREGATE form compiles to the identical logical
+    plan as the nested SELECT the oracle runs — pure surface, zero
+    plan cost, and the shape incremental query builders emit."""
+    load_events(spark, sf_dir).createOrReplaceTempView("pipe_events")
+    return spark.sql(
+        """
+        FROM pipe_events
+        |> WHERE value IS NOT NULL
+        |> AGGREGATE count(*) AS n_events,
+                     count(DISTINCT user_id) AS n_users
+           GROUP BY event_type
+        |> SELECT event_type, n_events, n_users
+        """
+    )

@@ -74,3 +74,41 @@ def test_udtf_plan_partitions_by_user(spark):
     assert "BatchEvalPythonUDTF" in plan
     assert "Exchange hashpartitioning(partition_by_0" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_lateral_join_is_decorrelated(spark):
+    """The correlated LATERAL subquery must compile to a join +
+    per-key limit — never a per-outer-row re-execution (no
+    CartesianProduct / BroadcastNestedLoopJoin in the plan)."""
+    df = registry.QUERIES["orders_lateral_top3"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_pipe_syntax_matches_standard_sql_results(spark):
+    """|> pipeline and the equivalent nested SELECT agree row-for-row."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    piped = registry.QUERIES["sql_pipe_demo"](spark, SF_SMOKE)
+    ev = load_events(spark, SF_SMOKE).where(F.col("value").isNotNull())
+    std = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    assert sorted(map(tuple, piped.collect())) == sorted(
+        map(tuple, std.collect())
+    )
+
+
+def test_xml_roundtrip_preserves_nulls(spark):
+    """A null value column must survive to_xml -> from_xml."""
+    df = spark.createDataFrame(
+        [("a", 1.5), ("b", None)], "id string, value double"
+    )
+    back = df.select(
+        F.from_xml(
+            F.to_xml(F.struct("id", "value")), "id STRING, value DOUBLE"
+        ).alias("e")
+    ).select("e.id", "e.value")
+    assert sorted(map(tuple, back.collect())) == [("a", 1.5), ("b", None)]
