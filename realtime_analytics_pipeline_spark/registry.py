@@ -434,6 +434,11 @@ _VERIFY_WINDOW = [
     # tpch_q16_supplier_cnt, tpch_q20_excess_stock,
     # orders_rolling_median_7d, plus the displaced
     # customer_supplier_union, doc_length_zscores, sample_docs_hash;
+    # the fifth-continuation additions orders_snapshot_diff,
+    # orders_monthly_spine_recursive, events_props_variant,
+    # sessions_udtf, events_xml_roundtrip, orders_lateral_top3,
+    # sql_pipe_demo, plus the displaced sim_cosine_topk_blas,
+    # dedup_embedding_cosine_blas;
     # and from earlier continuations notably
     # streaming_sliding_window_5m1m, events_sliding_window_paned,
     # events_forget_users, streaming_stateful_totals_final,

@@ -54,6 +54,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -391,6 +392,66 @@ class FeedStreamWriter(DataSourceStreamArrowWriter):
                 os.remove(m.staged)
 
 
+class FeedBatchWriter(DataSourceArrowWriter):
+    """Batch twin of the stream writer: same stage-then-publish protocol.
+
+    Executors stage part files; the driver's ``commit`` publishes ONE
+    manifest for the whole job (epoch name ``batch-<uuid>``), after
+    first retiring every previous manifest when the save mode is
+    overwrite. Readers going through ``read_committed`` therefore see
+    the old state or the new state, never a mix — the snapshot
+    semantics a lakehouse table format provides, reduced to its
+    two-phase core.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._overwrite = overwrite
+
+    def write(self, iterator: Iterator[pa.RecordBatch]) -> _StagedFile:
+        staging = os.path.join(self._path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        batches = list(iterator)
+        if not batches:
+            return _StagedFile(staged="", rows=0)
+        name = os.path.join(staging, f"{uuid.uuid4().hex}.parquet")
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, name)
+        return _StagedFile(staged=name, rows=table.num_rows)
+
+    def commit(self, messages: List[_StagedFile]) -> None:
+        commits = os.path.join(self._path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        epoch = f"batch-{uuid.uuid4().hex}"
+        retired: List[str] = []
+        if self._overwrite:
+            for mf in sorted(os.listdir(commits)):
+                if mf.endswith(".json"):
+                    with open(os.path.join(commits, mf)) as fh:
+                        retired.extend(json.load(fh)["files"])
+                    os.remove(os.path.join(commits, mf))
+        finals, rows = [], 0
+        staged = [m for m in messages if m is not None and m.staged]
+        for i, m in enumerate(staged):
+            final = os.path.join(self._path, f"part-{epoch}-{i:04d}.parquet")
+            os.replace(m.staged, final)
+            finals.append(os.path.basename(final))
+            rows += m.rows
+        fd, tmp = tempfile.mkstemp(dir=commits, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"epoch": epoch, "files": finals, "rows": rows}, fh)
+        os.replace(tmp, os.path.join(commits, f"{epoch}.json"))
+        for f in retired:  # old data invisible already; reclaim space
+            p = os.path.join(self._path, f)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def abort(self, messages: List[_StagedFile]) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 def read_committed(spark, path: str):
     """Read only epoch-committed files (uncommitted stragglers invisible)."""
     commits = os.path.join(path, "_commits")
@@ -426,6 +487,9 @@ class EventFeedDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> FeedStreamReader:
         return FeedStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> FeedBatchWriter:
+        return FeedBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> FeedStreamWriter:
         return FeedStreamWriter(self.options)

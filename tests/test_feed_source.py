@@ -254,3 +254,36 @@ def test_epoch_commit_idempotent_replay(tmp_path):
     assert not os.path.exists(os.path.join(sink, "_commits", "8.json"))
     assert not os.listdir(os.path.join(sink, "_staging"))
     assert isinstance(m3, _StagedFile)
+
+
+def test_batch_writer_snapshot_semantics(feed, tmp_path):
+    """write -> read_committed roundtrip; overwrite retires the old
+    snapshot atomically (manifest swap), append adds a second epoch."""
+    sink = str(tmp_path / "table")
+    src = feed.read.parquet(EVENTS_SMOKE)
+
+    src.write.format("rtap_feed").option("path", sink).mode("append").save()
+    assert read_committed(feed, sink).count() == 1000
+
+    # append: second epoch, both visible
+    src.limit(100).write.format("rtap_feed").option("path", sink).mode(
+        "append"
+    ).save()
+    assert read_committed(feed, sink).count() == 1100
+
+    # overwrite: old manifests retired, only the new snapshot visible
+    src.limit(7).write.format("rtap_feed").option("path", sink).mode(
+        "overwrite"
+    ).save()
+    got = read_committed(feed, sink)
+    assert got.count() == 7
+    # retired data files were reclaimed; no stragglers outside manifests
+    import os as _os
+
+    parts = [f for f in _os.listdir(sink) if f.endswith(".parquet")]
+    manifest_files = set()
+    commits = _os.path.join(sink, "_commits")
+    for mf in _os.listdir(commits):
+        if mf.endswith(".json"):
+            manifest_files.update(json.load(open(_os.path.join(commits, mf)))["files"])
+    assert set(parts) == manifest_files
