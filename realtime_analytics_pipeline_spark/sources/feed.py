@@ -452,17 +452,31 @@ class FeedBatchWriter(DataSourceArrowWriter):
                 os.remove(m.staged)
 
 
-def read_committed(spark, path: str):
-    """Read only epoch-committed files (uncommitted stragglers invisible)."""
+def read_committed(spark, path: str, as_of_epoch: int | None = None):
+    """Read only epoch-committed files (uncommitted stragglers invisible).
+
+    ``as_of_epoch`` time-travels a STREAMING table: only manifests with
+    a numeric epoch ≤ the bound are read — the snapshot the table held
+    after that micro-batch committed. Batch-writer manifests
+    (``batch-<uuid>``) have no order and are always included; mixing
+    the two styles in one table isn't supported for time travel.
+    """
     commits = os.path.join(path, "_commits")
     files: List[str] = []
     if os.path.isdir(commits):
         for mf in sorted(os.listdir(commits)):
-            if mf.endswith(".json"):
-                with open(os.path.join(commits, mf)) as fh:
-                    files.extend(
-                        os.path.join(path, f) for f in json.load(fh)["files"]
-                    )
+            if not mf.endswith(".json"):
+                continue
+            with open(os.path.join(commits, mf)) as fh:
+                manifest = json.load(fh)
+            epoch = manifest.get("epoch")
+            if (
+                as_of_epoch is not None
+                and isinstance(epoch, int)
+                and epoch > as_of_epoch
+            ):
+                continue
+            files.extend(os.path.join(path, f) for f in manifest["files"])
     if not files:
         raise FileNotFoundError(f"no committed epochs under {path}")
     return spark.read.parquet(*files)

@@ -287,3 +287,22 @@ def test_batch_writer_snapshot_semantics(feed, tmp_path):
         if mf.endswith(".json"):
             manifest_files.update(json.load(open(_os.path.join(commits, mf)))["files"])
     assert set(parts) == manifest_files
+
+
+def test_time_travel_reads_epoch_bounded_snapshot(feed, tmp_path):
+    """as_of_epoch replays the table state after that micro-batch."""
+    import pyarrow as pa
+
+    sink = str(tmp_path / "tt")
+    os.makedirs(sink)
+    w = FeedStreamWriter({"path": sink})
+    for epoch, vals in enumerate(([1, 2], [3], [4, 5, 6])):
+        m = w.write(iter([pa.record_batch({"x": pa.array(vals)})]))
+        w.commit([m], batchId=epoch)
+
+    assert read_committed(feed, sink).count() == 6
+    assert read_committed(feed, sink, as_of_epoch=0).count() == 2
+    assert read_committed(feed, sink, as_of_epoch=1).count() == 3
+    assert sorted(
+        r.x for r in read_committed(feed, sink, as_of_epoch=1).collect()
+    ) == [1, 2, 3]
