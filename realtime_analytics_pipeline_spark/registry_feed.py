@@ -106,3 +106,81 @@ def q_streaming_pyds_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(600)
     q.stop()
     return spark.table(name)
+
+
+_FEED_WINDOWS_SQL = """
+WITH em AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           (epoch_ms(ts) // 60000) * 60000 + 60000 AS window_end_ms,
+           event_type,
+           count(*) AS event_count
+    FROM events
+    GROUP BY 1, 2, 3
+)
+SELECT * FROM em
+WHERE window_end_ms <= (SELECT max(epoch_ms(ts)) FROM events) - 10000
+"""
+
+
+@register("streaming_feed_windows", _FEED_WINDOWS_SQL)
+def q_streaming_feed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom source under the W1-W5 watermark discipline: feed
+    stream → normalize → 10 s watermark → tumbling 60 s counts,
+    APPEND mode. The log drains in one micro-batch; the NO-DATA batch
+    that follows advances the watermark to max event time and the
+    single stateful aggregation finalizes every window with
+    window_end ≤ max − delay (the empirically pinned single-agg
+    emission law, registry_streaming.py) — exactly the oracle's
+    cutoff. AvailableNow falls back to single-batch execution for
+    Python stream sources and terminates BEFORE any no-data batch, so
+    this query runs a processingTime trigger and stops after the
+    finalization batch lands (emission is wholesale: during the data
+    batch the watermark is still at its old value, so every finalized
+    window appears together in the first no-data batch)."""
+    import time
+
+    from realtime_analytics_pipeline_spark.schema import (
+        normalize_testdata_events,
+    )
+
+    register_feed_source(spark)
+    raw = (
+        spark.readStream.format("rtap_feed")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    events = normalize_testdata_events(raw).withWatermark(
+        "event_time", "10 seconds"
+    )
+    agg = (
+        events.groupBy(
+            F.window("event_time", "60 seconds"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            F.unix_millis("window.end").alias("window_end_ms"),
+            "event_type",
+            "event_count",
+        )
+    )
+    name = f"feed_windows_{next(_counter)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if spark.table(name).limit(1).count() > 0:
+                break
+            time.sleep(0.5)
+        # one extra progress round so the finalization batch commits
+        # fully before we stop (emission is single-batch, see above)
+        time.sleep(1.0)
+    finally:
+        q.stop()
+    return spark.table(name)
