@@ -2135,3 +2135,92 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         (F.round(F.sum(js), 6) + F.lit(0.0)).alias("js_div")
     )
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition metrics (Gopher §A1 repetition signals).
+# --------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws
+    FROM documents
+),
+base AS (
+    SELECT doc_id, ws,
+           len(ws) AS n_words,
+           len(list_distinct(ws)) AS n_distinct_words,
+           list_transform(range(1, len(ws) - 1),
+               g -> ws[g] || ' ' || ws[g + 1] || ' ' || ws[g + 2]) AS tg
+    FROM w
+    WHERE len(ws) >= 3
+)
+SELECT doc_id,
+       n_words,
+       round(1.0 - n_distinct_words * 1.0 / n_words, 6) + 0.0
+           AS dup_word_frac,
+       len(tg) AS n_trigrams,
+       round(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 6) + 0.0
+           AS dup_trigram_frac,
+       round(list_max(list_transform(list_distinct(ws),
+               u -> len(list_filter(ws, x -> x = u)))) * 1.0 / n_words, 6)
+           + 0.0 AS top_word_frac
+FROM base
+"""
+
+
+@register("text_repetition_metrics", _REPETITION_SQL)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021 §A1): duplicate-word fraction,
+    duplicate-word-trigram fraction, and the mass of the single most
+    frequent word. Entirely higher-order Column functions over the
+    in-row token array — transform/slice/array_distinct/filter — so
+    the pass is MAP-ONLY (no explode, no shuffle): per-doc state never
+    leaves its row, which is what makes this metric free at 100 TB.
+    Both engines compute the same lambda pipeline (DuckDB
+    list_transform/list_filter mirror Spark's transform/filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " g -> concat_ws(' ', slice(split(text, ' '), g + 1, 3)))"
+        ).alias("tg"),
+    ).where(F.col("n_words") >= 3)
+    return base.select(
+        "doc_id",
+        "n_words",
+        (
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_words") / F.col("n_words"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_word_frac"),
+        F.size("tg").alias("n_trigrams"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("tg")) / F.size("tg"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_trigram_frac"),
+        (
+            F.round(
+                F.expr(
+                    "array_max(transform(array_distinct(ws),"
+                    " u -> size(filter(ws, x -> x = u))))"
+                )
+                / F.col("n_words"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("top_word_frac"),
+    )

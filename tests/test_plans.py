@@ -412,3 +412,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_repetition_metrics_map_only(spark):
+    """Within-doc repetition metrics keep all per-doc state in-row
+    (higher-order functions, no explode): NO Exchange in the plan."""
+    from realtime_analytics_pipeline_spark import registry
+
+    plan = plan_of(registry.QUERIES["text_repetition_metrics"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode: row count never amplifies
