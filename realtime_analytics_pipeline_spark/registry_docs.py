@@ -2224,3 +2224,116 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("top_word_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Truncated-embedding retrieval quality (Matryoshka-style evaluation).
+# --------------------------------------------------------------------------
+
+_TRUNC_RECALL_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 50
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+scored AS (
+    SELECT d, query_id, vec_id AS neighbor_id,
+           round(list_cosine_similarity(qv[1:d], v[1:d]), 6) AS cos
+    FROM q, c, dims WHERE vec_id != query_id
+),
+ranked AS (
+    SELECT d, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY d, query_id
+            ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+    WHERE rnk <= 5
+),
+full_rank AS (SELECT query_id, neighbor_id FROM ranked WHERE d = 64)
+SELECT r.d AS dim_prefix, r.query_id,
+       CAST(count(f.neighbor_id) AS BIGINT) AS overlap5
+FROM ranked r
+LEFT JOIN full_rank f
+  ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
+WHERE r.d < 64
+GROUP BY r.d, r.query_id
+"""
+
+
+@register("emb_truncated_recall", _TRUNC_RECALL_SQL)
+def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style evaluation: how much of the exact top-5
+    neighborhood survives when vectors are truncated to their first
+    8/16/32 dimensions? Per (prefix, query) overlap@5 against the
+    full-dimension ranking. One pass: the 50-query set is broadcast,
+    the corpus never shuffles, and every prefix scores in the same
+    pair row (explode over dims multiplies candidate rows 4x, never
+    the corpus scan). Deterministic ranking: round-6 cosine with
+    neighbor-id tiebreak — the same discipline as sim_cosine_topk.
+    At 100 TB the answer decides whether the ANN index stores 8 or 64
+    floats per vector — a 8x memory/bandwidth lever."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            "v",
+            F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias(
+                "d"
+            ),
+        )
+    )
+    scored = pairs.select(
+        "d",
+        "query_id",
+        "neighbor_id",
+        F.round(
+            V.cosine(
+                F.slice("qv", 1, F.col("d")), F.slice("v", 1, F.col("d"))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("d", "query_id", "neighbor_id")
+    )
+    full = (
+        ranked.where(F.col("d") == 64)
+        .select(
+            F.col("query_id").alias("f_query"),
+            F.col("neighbor_id").alias("f_neighbor"),
+        )
+        .alias("f")
+    )
+    trunc = ranked.where(F.col("d") < 64).alias("r")
+    return (
+        trunc.join(
+            full,
+            (F.col("r.query_id") == F.col("f.f_query"))
+            & (F.col("r.neighbor_id") == F.col("f.f_neighbor")),
+            "left",
+        )
+        .groupBy(
+            F.col("r.d").alias("dim_prefix"),
+            F.col("r.query_id").alias("query_id"),
+        )
+        .agg(F.count("f.f_neighbor").alias("overlap5"))
+    )
