@@ -2387,3 +2387,107 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series similarity search (EDBT'19 family): most-similar user
+# pairs by cosine over their daily activity series.
+# --------------------------------------------------------------------------
+
+_TS_SIM_SQL = """
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS d,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+norms AS (
+    SELECT user_id, sum(c * c) AS s2, count(*) AS n_days
+    FROM daily GROUP BY user_id),
+pair_dot AS (
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           sum(a.c * b.c) AS dot,
+           count(*) AS shared_days
+    FROM daily a JOIN daily b ON a.d = b.d AND a.user_id < b.user_id
+    GROUP BY 1, 2)
+SELECT CAST(u1 AS BIGINT) AS u1, CAST(u2 AS BIGINT) AS u2,
+       round(dot / sqrt(n1.s2 * n2.s2), 6) + 0.0 AS cos_sim,
+       shared_days
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY dot / sqrt(n1s2 * n2s2) DESC, u1, u2) AS rnk
+    FROM (
+        SELECT p.*, n1.s2 AS n1s2, n2.s2 AS n2s2
+        FROM pair_dot p
+        JOIN norms n1 ON p.u1 = n1.user_id
+        JOIN norms n2 ON p.u2 = n2.user_id))
+JOIN norms n1 ON u1 = n1.user_id
+JOIN norms n2 ON u2 = n2.user_id
+WHERE rnk <= 10
+"""
+
+
+@register("users_activity_similarity", _TS_SIM_SQL)
+def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: top-10 most-similar user pairs by
+    cosine over each user's daily event-count series. Sparse identity:
+    with zero-filled days contributing nothing to dot products or
+    norms, NO date-grid alignment is needed — pairs meet through the
+    per-day inverted index (self-join on day), so the candidate space
+    is Σ_day active² rather than users², the same index-bucket bound
+    as the shingle and LSH joins. Integer dot/norm sums keep both
+    engines exact up to the single final division, ranked on the RAW
+    ratio with (u1, u2) tiebreak before any display rounding."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            # canonical user_id is STRING; pair ordering must be
+            # numeric or (14, 4) sorts differently than in the oracle
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_trunc("day", "event_time").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    norms = daily.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.count("*").alias("shared_days"),
+        )
+    )
+    n1 = norms.select(
+        F.col("user_id").alias("u1"), F.col("s2").alias("s2_1")
+    )
+    n2 = norms.select(
+        F.col("user_id").alias("u2"), F.col("s2").alias("s2_2")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        pair.join(n1, "u1")
+        .join(n2, "u2")
+        .withColumn(
+            "raw", F.col("dot") / F.sqrt(F.col("s2_1") * F.col("s2_2"))
+        )
+    )
+    w = Window.orderBy(F.col("raw").desc(), F.col("u1"), F.col("u2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            F.col("u1").cast("bigint").alias("u1"),
+            F.col("u2").cast("bigint").alias("u2"),
+            (F.round("raw", 6) + F.lit(0.0)).alias("cos_sim"),
+            "shared_days",
+        )
+    )
