@@ -2491,3 +2491,46 @@ def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_days",
         )
     )
+
+
+@register("ts_dtw_pairs")  # rows-only: DP not expressible in ANSI SQL
+def q_ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Dynamic Time Warping between every pair of event-type
+    daily-count series — the "needs a UDF" operator run entirely as
+    Catalyst higher-order folds (operators/timeseries.py::dtw_distance;
+    DP row as array accumulator, no Python execution). Alignment-
+    tolerant complement to users_activity_similarity's lockstep
+    cosine. Verified against a Python reference DP in pytest
+    (tests/test_timeseries.py) — both on fixed shapes and on the real
+    testdata series — plus Hypothesis random-series equality."""
+    from realtime_analytics_pipeline_spark.operators.timeseries import (
+        dtw_distance,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "event_time").alias("d")
+        )
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, c))), p -> p.c)"
+        ).alias("ys")
+    )
+    a = series.select(
+        F.col("event_type").alias("t1"), F.col("ys").alias("xs")
+    )
+    b = series.select(
+        F.col("event_type").alias("t2"), F.col("ys").alias("ys")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("t1") < F.col("t2"))
+    return pairs.select(
+        "t1",
+        "t2",
+        F.size("xs").alias("len1"),
+        F.size("ys").alias("len2"),
+        (F.round(dtw_distance("xs", "ys"), 6) + F.lit(0.0)).alias("dtw"),
+    ).orderBy("t1", "t2")
