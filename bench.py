@@ -103,6 +103,11 @@ HEADLINE = [
     # custom Python Data Source: pushed-filter scan through the
     # Arrow-batched Python reader (connector-boundary cost made visible)
     "pyds_feed_scan",
+    # fifth-continuation analytics
+    "text_repetition_metrics",  # map-only higher-order repetition pass
+    "users_activity_similarity",  # day-bucket inverted-index TS cosine
+    "emb_truncated_recall",  # Matryoshka overlap@5, broadcast queries
+    "orders_holt_forecast",  # sequential fold per series
 ]
 
 

@@ -24,6 +24,17 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 # flagship set: one per operator family, cheap enough to run at sf0.01
 QUERIES = [
+    # fifth continuation
+    "pyds_feed_scan",
+    "text_repetition_metrics",
+    "users_activity_similarity",
+    "emb_truncated_recall",
+    "orders_holt_forecast",
+    "ts_dtw_pairs",
+    "orders_snapshot_diff",
+    "orders_monthly_spine_recursive",
+    "events_props_variant",
+    "orders_lateral_top3",
     "tpch_q2_min_cost_supplier",
     "tpch_q21_sole_blamed_supplier",
     "value_p95_sketch_rollup_1h",
