@@ -2534,3 +2534,86 @@ def q_ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ys").alias("len2"),
         (F.round(dtw_distance("xs", "ys"), 6) + F.lit(0.0)).alias("dtw"),
     ).orderBy("t1", "t2")
+
+
+# --------------------------------------------------------------------------
+# CEP-lite: regex pattern matching over per-user event sequences
+# (the MATCH_RECOGNIZE / FlinkCEP analog, SURVEY §2.9 extension).
+# --------------------------------------------------------------------------
+
+_CEP_SQL = """
+WITH seq AS (
+    SELECT user_id,
+           string_agg(CASE event_type
+               WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               ELSE 'x' END, '' ORDER BY ts, event_id) AS s,
+           count(*) AS n_events
+    FROM events GROUP BY user_id),
+m AS (
+    SELECT user_id, n_events, s,
+           regexp_extract_all(s, 'vc*p') AS hits
+    FROM seq)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       n_events,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(list_max(list_transform(hits, h -> len(h))) AS BIGINT)
+           AS longest_match
+FROM m WHERE len(hits) > 0
+"""
+
+
+@register("events_cep_pattern", _CEP_SQL)
+def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection — the
+    MATCH_RECOGNIZE / FlinkCEP capability Spark SQL lacks — reduced to
+    leftmost non-overlapping REGEX matching over each user's ordered
+    event-type sequence: view (click)* purchase. One shuffle builds
+    the per-user sequence string (bounded by events-per-user); the
+    regex pass is map-only. Both engines see the byte-identical
+    sequence (ordered by ts then event_id) and both use leftmost
+    non-overlapping match semantics, so match counts and lengths are
+    deterministic. At 100 TB, per-user sequences are the same state a
+    sessionizer carries — this composes with the session splitter to
+    bound string length when users are unbounded."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    chr_col = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+    )
+    seq = (
+        ev.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.struct(
+                F.unix_millis("event_time").alias("ts_ms"),
+                F.col("event_id").cast("bigint").alias("eid"),
+                chr_col.alias("ch"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(e)),"
+                " p -> p.ch), '')"
+            ).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    m = seq.select(
+        "user_id",
+        "n_events",
+        F.expr("regexp_extract_all(s, 'vc*p', 0)").alias("hits"),
+    )
+    return m.where(F.size("hits") > 0).select(
+        "user_id",
+        "n_events",
+        F.size("hits").cast("bigint").alias("n_matches"),
+        F.expr("array_max(transform(hits, h -> length(h)))")
+        .cast("bigint")
+        .alias("longest_match"),
+    )
