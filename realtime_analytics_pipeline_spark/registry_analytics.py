@@ -2617,3 +2617,96 @@ def q_events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_match"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-engine semantics anchors: ANSI null handling + DECIMAL money.
+# --------------------------------------------------------------------------
+
+_NULL_AUDIT_SQL = """
+WITH e AS (
+    SELECT nullif(event_type, 'error') AS type_key,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+    FROM events)
+SELECT type_key,
+       count(*) AS n_rows,
+       count(v) AS n_value,
+       count(DISTINCT v) AS n_distinct_value,
+       round(coalesce(sum(v), 0.0), 6) + 0.0 AS sum_value,
+       round(coalesce(avg(v), -1.0), 6) + 0.0 AS avg_value,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null_value,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_case
+FROM e
+GROUP BY 1
+"""
+
+
+@register("events_null_semantics", _NULL_AUDIT_SQL)
+def q_events_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI null-semantics audit, pinned cross-engine: NULL grouping
+    keys form their own group (NULLIF-derived), count(*) vs
+    count(col) vs count(DISTINCT col) disagree exactly by the null
+    rows, aggregate functions skip nulls (sum of all-null is NULL —
+    coalesced identically on both sides). A switching user's silent-
+    corruption checklist as one oracle row set."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_key"),
+        # the driver data has no null values; inject deterministic
+        # nulls (event_id % 7) so every null-handling leg is live
+        F.when(F.col("event_id").cast("bigint") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return (
+        ev.groupBy("type_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_value"),
+            F.countDistinct("v").alias("n_distinct_value"),
+            (F.round(F.coalesce(F.sum("v"), F.lit(0.0)), 6) + F.lit(0.0))
+            .alias("sum_value"),
+            (F.round(F.coalesce(F.avg("v"), F.lit(-1.0)), 6) + F.lit(0.0))
+            .alias("avg_value"),
+            (F.count("*") - F.count("v"))
+            .cast("bigint")
+            .alias("n_null_value"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null_case"),
+        )
+    )
+
+
+_DECIMAL_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+           AS total_decimal,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS min_p,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS max_p,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("orders_decimal_money", _DECIMAL_SQL)
+def q_orders_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money arithmetic through DECIMAL(18,2): sums accumulate in
+    decimal (no float drift — the alternative to this repo's
+    integer-cents discipline), surfaced as DOUBLE only at the edge for
+    the cross-engine hash. A double-typed sum of the same column
+    drifts in the low decimals at scale; the decimal path must not."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(dec).cast("double").alias("total_decimal"),
+            F.min(dec).cast("double").alias("min_p"),
+            F.max(dec).cast("double").alias("max_p"),
+            F.count("*").alias("n"),
+        )
+    )
