@@ -898,3 +898,78 @@ def q_streaming_error_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAMING_FULL_JOIN_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+m AS (
+    SELECT p.event_id AS pid, p.user_id AS pu, p.ts AS pts,
+           v.event_id AS vid, v.user_id AS vu, v.ts AS vts
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+),
+mx AS (SELECT max(epoch_us(ts)) AS mu FROM events)
+SELECT CAST(pid AS VARCHAR) AS purchase_id,
+       CAST(pu AS VARCHAR) AS p_user,
+       epoch_us(pts) AS p_us,
+       CAST(vid AS VARCHAR) AS view_id,
+       CAST(vu AS VARCHAR) AS v_user,
+       epoch_us(vts) AS v_us
+FROM m
+UNION ALL
+SELECT CAST(p.event_id AS VARCHAR), CAST(p.user_id AS VARCHAR),
+       epoch_us(p.ts),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM p, mx
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.pid = p.event_id)
+  AND epoch_us(p.ts) <= mu - 10000000
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       CAST(v.event_id AS VARCHAR), CAST(v.user_id AS VARCHAR),
+       epoch_us(v.ts)
+FROM v, mx
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.vid = v.event_id)
+  AND epoch_us(v.ts) <= mu - 10000000 - 3600000000
+"""
+
+
+@register("streaming_interval_join_full", _STREAMING_FULL_JOIN_SQL)
+def q_streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join as a real streaming
+    query — the last join shape in the streaming matrix. Matched rows
+    emit in-batch; unmatched purchases null-pad at watermark > p_time
+    (as in the left-outer twin); unmatched VIEWS null-pad only at
+    watermark > v_time + 1 h lookback — their state must outlive the
+    whole match window, so the view-side finalized set is
+    v_us ≤ max_us − delay − lookback. The oracle encodes both
+    eviction laws; row-exactness at both SFs is the empirical proof
+    of the cutoffs."""
+    from realtime_analytics_pipeline_spark.streaming.joins import (
+        stream_attribution_join_full_outer,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        joined = stream_attribution_join_full_outer(stream).select(
+            "purchase_id",
+            "p_user",
+            F.unix_micros("p_time").alias("p_us"),
+            "view_id",
+            "v_user",
+            F.unix_micros("v_time").alias("v_us"),
+        )
+        table = f"stream_full_join_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(joined, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

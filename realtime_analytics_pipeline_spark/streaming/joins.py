@@ -95,3 +95,42 @@ def stream_attribution_join_outer(
         ),
         "leftOuter",
     ).select("purchase_id", "p_user", "p_time", "view_id", "v_time")
+
+
+def stream_attribution_join_full_outer(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    hit_type: str = "purchase",
+    source_type: str = "view",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: matched pairs emit when
+    both sides meet; an unmatched purchase null-pads once the watermark
+    passes p_time (no view with v_time ≤ p_time can arrive); an
+    unmatched VIEW null-pads once the watermark passes v_time +
+    lookback (no purchase with p_time ≤ v_time + lookback can arrive)
+    — the view side waits a full lookback longer, which is exactly its
+    state lifetime. Both sides' state stays watermark-bounded.
+    """
+    views = events.where(F.col("event_type") == source_type).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_time").alias("v_time"),
+        F.col("event_id").alias("view_id"),
+    )
+    hits = events.where(F.col("event_type") == hit_type).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_time").alias("p_time"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return hits.join(
+        views,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            v_time <= p_time AND
+            v_time >= p_time - INTERVAL {lookback}
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id", "p_user", "p_time", "view_id", "v_user", "v_time"
+    )
