@@ -2710,3 +2710,145 @@ def q_orders_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Changepoint detection: CUSUM argmax in exact integer arithmetic.
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           date_trunc('day', o_orderdate) AS d,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+    FROM orders GROUP BY 1, 2),
+walked AS (
+    SELECT priority, d, y,
+           sum(y) OVER (PARTITION BY priority ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           row_number() OVER (PARTITION BY priority ORDER BY d) AS k,
+           sum(y) OVER (PARTITION BY priority) AS total,
+           count(*) OVER (PARTITION BY priority) AS n
+    FROM daily),
+scored AS (
+    SELECT priority, d, n,
+           CAST(n * cum - k * total AS BIGINT) AS scaled_cusum
+    FROM walked)
+SELECT priority,
+       epoch_ms(d) AS change_day_ms,
+       scaled_cusum,
+       CAST(n AS BIGINT) AS n_days
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY priority
+        ORDER BY abs(scaled_cusum) DESC, d) AS rnk
+    FROM scored)
+WHERE rnk = 1
+"""
+
+
+@register("orders_changepoint_cusum", _CUSUM_SQL)
+def q_orders_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on each priority's daily revenue:
+    the day k maximizing |Σ_{i≤k}(y_i − ȳ)| is the most likely level
+    shift. Multiplying through by N keeps the statistic in EXACT
+    integer arithmetic (N·cum_k − k·total) — no float mean enters the
+    argmax, so both engines rank identically with a date tiebreak.
+    One aggregation plus one window pass per series; the complement
+    to the distribution-drift monitors (value_drift_daily is
+    scale-free z-scores, this detects sustained level shifts)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("y")
+        )
+    )
+    wseq = Window.partitionBy("priority").orderBy("d")
+    wall = Window.partitionBy("priority")
+    walked = daily.select(
+        "priority",
+        "d",
+        F.sum("y").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(wseq).alias("k"),
+        F.sum("y").over(wall).alias("total"),
+        F.count("*").over(wall).alias("n"),
+    )
+    scored = walked.select(
+        "priority",
+        "d",
+        "n",
+        (F.col("n") * F.col("cum") - F.col("k") * F.col("total"))
+        .cast("bigint")
+        .alias("scaled_cusum"),
+    )
+    wr = Window.partitionBy("priority").orderBy(
+        F.abs("scaled_cusum").desc(), F.col("d")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") == 1)
+        .select(
+            "priority",
+            F.unix_millis("d").alias("change_day_ms"),
+            "scaled_cusum",
+            F.col("n").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+_BENFORD_SQL = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders WHERE o_totalprice >= 1),
+counts AS (
+    SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+tot AS (SELECT sum(n) AS t FROM counts)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / t, 6) + 0.0 AS observed,
+       round(log10(1.0 + 1.0 / digit), 6) + 0.0 AS benford,
+       round(abs(n * 1.0 / t - log10(1.0 + 1.0 / digit)), 6) + 0.0
+           AS abs_dev
+FROM counts, tot
+"""
+
+
+@register("orders_benford_check", _BENFORD_SQL)
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic data-quality screen (fabricated or capped monetary data
+    departs from log10(1 + 1/d)). Map-side digit extraction, one
+    9-row aggregation, exact integer counts with a single final
+    division. Deviations here flag generator artifacts the
+    distribution monitors (drift, KS) are blind to because they
+    compare only against the data itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.col("n") / F.col("t"), 6) + F.lit(0.0)).alias("observed"),
+        (F.round(benford, 6) + F.lit(0.0)).alias("benford"),
+        (
+            F.round(F.abs(F.col("n") / F.col("t") - benford), 6)
+            + F.lit(0.0)
+        ).alias("abs_dev"),
+    )
