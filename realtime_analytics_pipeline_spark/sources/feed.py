@@ -514,3 +514,27 @@ def register_feed_source(spark) -> None:
     # Python-source filter pushdown is gated off by default (4.1)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EventFeedDataSource)
+
+
+def compact_feed_table(spark, path: str) -> int:
+    """Compact a feed table's accumulated epochs into one snapshot.
+
+    Streaming sinks accrete one manifest + N part files per epoch; at
+    100 TB that is the classic small-file problem. Compaction here is
+    just a batch overwrite THROUGH the same two-phase writer: read the
+    committed snapshot, write it back with mode("overwrite") — the new
+    manifest publishes atomically and every prior epoch (manifests and
+    data files) is retired in the same commit, so concurrent
+    ``read_committed`` readers see the old snapshot or the new one,
+    never a mix and never a partial table. Returns the row count of
+    the compacted snapshot.
+    """
+    snapshot = read_committed(spark, path)
+    n = snapshot.count()
+    (
+        snapshot.write.format(FEED_FORMAT)
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    return n
