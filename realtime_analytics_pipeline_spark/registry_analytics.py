@@ -2909,3 +2909,83 @@ def q_rollup_incremental_refresh(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@register("users_activity_similarity_lsh")  # rows-only: approximate
+def q_users_activity_similarity_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCALE PATH for users_activity_similarity (measured alpha=1.26
+    in SCALING.md): densify each user's daily series onto the global
+    day grid, hyperplane-hash it (6 md5-derived planes, 64 buckets),
+    and compare only same-bucket pairs — the pair space drops from
+    Σ_day active² to Σ_bucket users², tunable by bits, with recall
+    traded per bit. Exact cosine re-scores candidates, so shared pairs
+    carry identical scores to the exact twin (subset property + recall
+    floor pinned in tests/test_timeseries.py)."""
+    from realtime_analytics_pipeline_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_expr,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_trunc("day", "event_time").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min(F.unix_date(F.to_date("d"))).alias("lo"),
+        F.max(F.unix_date(F.to_date("d"))).alias("hi"),
+    ).collect()[0]
+    n_days = int(bounds.hi - bounds.lo + 1)
+    vecs = (
+        daily.select(
+            "user_id",
+            (F.unix_date(F.to_date("d")) - F.lit(int(bounds.lo)))
+            .cast("int")
+            .alias("idx"),
+            F.col("c").cast("double").alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("idx", "c"))).alias(
+                "m"
+            )
+        )
+        .select(
+            "user_id",
+            F.expr(
+                f"transform(sequence(0, {n_days - 1}),"
+                " i -> coalesce(element_at(m, i), 0.0d))"
+            ).alias("v"),
+        )
+    )
+    planes = _hyperplanes(n_days, 6)
+    bucketed = vecs.withColumn("bucket", lsh_bucket_expr("v", planes))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        cosine,
+    )
+
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    ).select(
+        F.col("a.user_id").alias("u1"),
+        F.col("b.user_id").alias("u2"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("u1"), F.col("u2"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("u1", "u2", "cos_sim", "rnk")
+    )
