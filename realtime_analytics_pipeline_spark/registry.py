@@ -437,8 +437,13 @@ _VERIFY_WINDOW = [
     # the fifth-continuation additions orders_snapshot_diff,
     # orders_monthly_spine_recursive, events_props_variant,
     # sessions_udtf, events_xml_roundtrip, orders_lateral_top3,
-    # sql_pipe_demo, plus the displaced sim_cosine_topk_blas,
-    # dedup_embedding_cosine_blas;
+    # sql_pipe_demo, streaming_feed_windows, text_repetition_metrics,
+    # emb_truncated_recall, orders_holt_forecast,
+    # users_activity_similarity, events_cep_pattern,
+    # streaming_interval_join_full, events_null_semantics,
+    # orders_decimal_money, orders_changepoint_cusum,
+    # orders_benford_check, rollup_incremental_refresh, plus the
+    # displaced sim_cosine_topk_blas, dedup_embedding_cosine_blas;
     # and from earlier continuations notably
     # streaming_sliding_window_5m1m, events_sliding_window_paned,
     # events_forget_users, streaming_stateful_totals_final,
