@@ -2989,3 +2989,100 @@ def q_users_activity_similarity_lsh(
         .where(F.col("rnk") <= 10)
         .select("u1", "u2", "cos_sim", "rnk")
     )
+
+
+_SESSION_CEP_SQL = """
+WITH ordered AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+           CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                ELSE 'x' END AS ch,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                  OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+grouped AS (
+    SELECT user_id, ts_ms, event_id, ch,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+    FROM ordered),
+sessions AS (
+    SELECT user_id, grp,
+           min(ts_ms) AS session_start_ms,
+           string_agg(ch, '' ORDER BY ts_ms, event_id) AS seq
+    FROM grouped GROUP BY user_id, grp)
+SELECT CAST(session_start_ms // 86400000 AS BIGINT) AS day_idx,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN regexp_matches(seq, 'vc*p') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       round(sum(CASE WHEN regexp_matches(seq, 'vc*p') THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) + 0.0 AS conversion_rate
+FROM sessions
+GROUP BY 1
+"""
+
+
+@register("sessions_cep_conversion", _SESSION_CEP_SQL)
+def q_sessions_cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: sessionization (30-min gaps-and-islands)
+    scoping the CEP pattern match — a session converts iff
+    view (click)* purchase occurs INSIDE it — rolled up to daily
+    conversion rates. Two window passes + one regex per session; the
+    pattern can never leak across a session boundary, which is the
+    semantic difference from the per-user-lifetime events_cep_pattern.
+    Day bucket is an integer epoch-day of the session START (a session
+    belongs to the day it began, the standard product-metric rule)."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_millis("event_time").alias("ts_ms"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+        .alias("ch"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > 1800000),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = marked.groupBy("user_id", "grp").agg(
+        F.min("ts_ms").alias("session_start_ms"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(ts_ms, event_id, ch))), p -> p.ch), '')"
+        ).alias("seq"),
+    )
+    converted = F.when(
+        F.col("seq").rlike("vc*p"), 1
+    ).otherwise(0)
+    return (
+        sessions.groupBy(
+            (F.col("session_start_ms") / F.lit(86400000))
+            .cast("bigint")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(converted).cast("bigint").alias("n_converted"),
+            (
+                F.round(F.sum(converted) / F.count("*"), 6) + F.lit(0.0)
+            ).alias("conversion_rate"),
+        )
+    )
