@@ -112,3 +112,40 @@ def test_xml_roundtrip_preserves_nulls(spark):
         ).alias("e")
     ).select("e.id", "e.value")
     assert sorted(map(tuple, back.collect())) == [("a", 1.5), ("b", None)]
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _type_seq(draw):
+    return "".join(
+        draw(
+            st.lists(
+                st.sampled_from("vcpsx"), min_size=0, max_size=40
+            )
+        )
+    )
+
+
+@given(seqs=st.lists(_type_seq(), min_size=1, max_size=8))
+@settings(max_examples=20, deadline=None)
+def test_cep_regex_semantics_match_python_re(spark, seqs):
+    """The CEP queries assume Spark's (Java) regexp_extract_all and the
+    oracle's (RE2) regexp_extract_all agree on leftmost non-overlapping
+    matching for 'vc*p'. Pin Spark against Python re (also leftmost
+    non-overlapping) on random sequences."""
+    import re as _re
+
+    df = spark.createDataFrame([(s,) for s in seqs], "s string")
+    got = [
+        (r.n, r.hits)
+        for r in df.select(
+            F.size(F.expr("regexp_extract_all(s, 'vc*p', 0)")).alias("n"),
+            F.expr("regexp_extract_all(s, 'vc*p', 0)").alias("hits"),
+        ).collect()
+    ]
+    want = [_re.findall("vc*p", s) for s in seqs]
+    assert [h for _, h in got] == want
+    assert [n for n, _ in got] == [len(w) for w in want]
