@@ -3086,3 +3086,74 @@ def q_sessions_cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+_ENTROPY_RATE_SQL = """
+WITH seq AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ) AS dst
+    FROM events),
+pairs AS (
+    SELECT src, dst, count(*) AS n_ij FROM seq
+    WHERE dst IS NOT NULL GROUP BY src, dst),
+rows_i AS (SELECT src, sum(n_ij) AS n_i FROM pairs GROUP BY src),
+tot AS (SELECT sum(n_ij) AS n FROM pairs)
+SELECT p.src AS event_type,
+       CAST(r.n_i AS BIGINT) AS n_transitions,
+       round(r.n_i * 1.0 / t.n, 6) + 0.0 AS pi,
+       round(-sum((p.n_ij * 1.0 / r.n_i)
+                  * ln(p.n_ij * 1.0 / r.n_i)), 6) + 0.0 AS h_row,
+       round((r.n_i * 1.0 / t.n)
+             * -sum((p.n_ij * 1.0 / r.n_i)
+                    * ln(p.n_ij * 1.0 / r.n_i)), 6) + 0.0 AS rate_contrib
+FROM pairs p JOIN rows_i r ON p.src = r.src CROSS JOIN tot t
+GROUP BY p.src, r.n_i, t.n
+"""
+
+
+@register("events_markov_entropy_rate", _ENTROPY_RATE_SQL)
+def q_events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov entropy rate of the per-user event process: per source
+    state, the row entropy of its empirical transition distribution
+    and its π-weighted contribution to the chain's entropy rate
+    H = −Σ_i π_i Σ_j P_ij ln P_ij (summing rate_contrib gives the
+    rate). Transition counts stay exact integers; every ratio divides
+    once before the log. Information-theoretic companion to
+    events_user_paths (the transition matrix) and events_user_entropy
+    (the state-marginal entropy): high rate = unpredictable
+    navigation, near-zero = deterministic funnels."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("event_time"), F.col("event_id").cast("bigint")
+    )
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n_ij"))
+    rows_i = pairs.groupBy("src").agg(F.sum("n_ij").alias("n_i"))
+    tot = pairs.agg(F.sum("n_ij").alias("n"))
+    p_ij = F.col("n_ij") / F.col("n_i")
+    joined = pairs.join(rows_i, "src").crossJoin(F.broadcast(tot))
+    return joined.groupBy(
+        F.col("src").alias("event_type"), "n_i", "n"
+    ).agg(
+        (-F.sum(p_ij * F.log(p_ij))).alias("h_raw"),
+    ).select(
+        "event_type",
+        F.col("n_i").cast("bigint").alias("n_transitions"),
+        (F.round(F.col("n_i") / F.col("n"), 6) + F.lit(0.0)).alias("pi"),
+        (F.round("h_raw", 6) + F.lit(0.0)).alias("h_row"),
+        (
+            F.round((F.col("n_i") / F.col("n")) * F.col("h_raw"), 6)
+            + F.lit(0.0)
+        ).alias("rate_contrib"),
+    )
