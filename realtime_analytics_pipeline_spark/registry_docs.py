@@ -2337,3 +2337,124 @@ def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("f.f_neighbor").alias("overlap5"))
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword/phrase extraction (Rose et al. 2010).
+# --------------------------------------------------------------------------
+
+_RAKE_SQL = """
+WITH words AS (
+    SELECT doc_id, w.pos AS pos, w.word AS w,
+           CASE WHEN w.word IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+    FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                         generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) w),
+runs_all AS (
+    -- window FIRST, filter AFTER: WHERE is evaluated before window
+    -- functions, so filtering stopwords in the same block would erase
+    -- every run boundary (one giant phrase per doc)
+    SELECT doc_id, pos, w, is_stop,
+           sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM words),
+runs AS (
+    SELECT doc_id, pos, w, run_id FROM runs_all WHERE is_stop = 0),
+phrases AS (
+    SELECT doc_id, run_id,
+           string_agg(w, ' ' ORDER BY pos) AS phrase,
+           count(*) AS n_words
+    FROM runs GROUP BY doc_id, run_id),
+word_stats AS (
+    SELECT r.w,
+           count(*) AS freq,
+           sum(p.n_words) AS degree
+    FROM runs r JOIN phrases p
+      ON r.doc_id = p.doc_id AND r.run_id = p.run_id
+    GROUP BY r.w),
+scored AS (
+    SELECT p.doc_id, p.run_id, p.phrase, p.n_words,
+           sum((s.degree * 1000000) // s.freq) AS score_micro
+    FROM runs r
+    JOIN phrases p ON r.doc_id = p.doc_id AND r.run_id = p.run_id
+    JOIN word_stats s ON r.w = s.w
+    GROUP BY p.doc_id, p.run_id, p.phrase, p.n_words)
+SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM scored
+GROUP BY phrase, n_words, score_micro
+ORDER BY score_micro DESC, phrase
+LIMIT 20
+"""
+
+
+@register("docs_rake_phrases", _RAKE_SQL)
+def q_docs_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free runs; each word scores degree/freq over
+    the whole corpus (degree = summed length of phrases containing
+    it); a phrase scores the sum of its words. Scores are computed in
+    MICRO-UNITS with integer floor-division — float addition is
+    non-associative and a distributed sum of degree/freq doubles
+    would hash differently run to run; integer micro-scores are
+    order-independent and exact on both engines. Two window passes +
+    three aggregations, all on (doc, run) keys."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).withColumn(
+        "is_stop", F.when(F.col("w").isin("a", "the"), 1).otherwise(0)
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        words.withColumn(
+            "run_id",
+            F.sum("is_stop").over(
+                wrun.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "w", "run_id")
+    )
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(pos, w))), p -> p.w), ' ')"
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    word_stats = (
+        runs.join(phrases, ["doc_id", "run_id"])
+        .groupBy("w")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("n_words").alias("degree"),
+        )
+    )
+    scored = (
+        runs.join(phrases, ["doc_id", "run_id"])
+        .join(word_stats, "w")
+        .groupBy("doc_id", "run_id", "phrase", "n_words")
+        .agg(
+            F.sum(F.expr("(degree * 1000000L) div freq")).alias(
+                "score_micro"
+            )
+        )
+    )
+    return (
+        scored.groupBy("phrase", "n_words", "score_micro")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .select(
+            "phrase",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            "n_occurrences",
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(20)
+    )
