@@ -2458,3 +2458,94 @@ def q_docs_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram language model (contextual quality scoring).
+# --------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+    FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+doc_bg AS (
+    SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+corpus_bg AS (
+    SELECT w1, w2, sum(c) AS c12 FROM doc_bg GROUP BY w1, w2),
+uni AS (
+    SELECT w, sum(c) AS cw FROM (
+        SELECT doc_id, unnest(ws) AS w, 1 AS c FROM toks)
+    GROUP BY w),
+tot AS (SELECT sum(cw) AS n FROM uni),
+scored AS (
+    SELECT d.doc_id, d.c,
+           -ln(0.5 * b.c12 / u1.cw + 0.5 * u2.cw / t.n) AS nll
+    FROM doc_bg d
+    JOIN corpus_bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN uni u1 ON d.w1 = u1.w
+    JOIN uni u2 ON d.w2 = u2.w
+    CROSS JOIN tot t)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(sum(c * nll) / sum(c), 6) + 0.0 AS avg_neg_logprob,
+       round(exp(round(sum(c * nll) / sum(c), 6)), 6) + 0.0 AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_logprob", _BIGRAM_LM_SQL)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scoring — the contextual upgrade
+    of text_unigram_logprob: P(w2|w1) = 0.5·c12/c(w1) + 0.5·c(w2)/N
+    (dyadic interpolation weight, corpus-trained). A doc scores its
+    mean bigram negative log-prob and perplexity. The model is two
+    small count tables (vocabulary² upper bound) joined back AQE-sized;
+    per-doc sums run over the distinct-bigram rows (bounded by the
+    31-word vocabulary), so round-6 absorbs float-order noise exactly
+    as in the unigram twin. Docs whose bigrams are individually common
+    but contextually unusual score worse here than under the unigram
+    model — the signal n-gram quality filters actually use."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    corpus_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uni = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot = uni.agg(F.sum("cw").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    scored = (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "nll",
+            -F.log(
+                F.lit(0.5) * F.col("c12") / F.col("cw1")
+                + F.lit(0.5) * F.col("cw2") / F.col("n")
+            ),
+        )
+    )
+    avg = F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6)
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        (avg + F.lit(0.0)).alias("avg_neg_logprob"),
+        (F.round(F.exp(avg), 6) + F.lit(0.0)).alias("ppl"),
+    )
