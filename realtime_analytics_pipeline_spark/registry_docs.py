@@ -2549,3 +2549,24 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (avg + F.lit(0.0)).alias("avg_neg_logprob"),
         (F.round(F.exp(avg), 6) + F.lit(0.0)).alias("ppl"),
     )
+
+
+@register("bpe_train_merges")  # rows-only: iterative, not SQL-expressible
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus-scale word-frequency aggregation, then 8 iterations of
+    weighted pair counting (DataFrame agg) + non-overlapping merge
+    (pure Column fold). Only the winning pair row is collected per
+    iteration. Merge-for-merge equality with a Python reference BPE is
+    pinned in tests/test_bpe.py, as is the tokenize-apply path."""
+    from realtime_analytics_pipeline_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(load_table(spark, sf_dir, "documents"), 8)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+            for m in merges
+        ],
+        "rank bigint, left string, right string, merged string,"
+        " pair_freq bigint",
+    )
