@@ -3157,3 +3157,94 @@ def q_events_markov_entropy_rate(
             + F.lit(0.0)
         ).alias("rate_contrib"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-test on conversion).
+# --------------------------------------------------------------------------
+
+_AB_TEST_SQL = """
+WITH users AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS arm,
+           max(CASE WHEN event_type = 'purchase' AND value > 90
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id),
+arms AS (
+    SELECT arm, count(*) AS n, sum(converted) AS conv
+    FROM users GROUP BY arm),
+wide AS (
+    SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+           max(CASE WHEN arm = 0 THEN conv END) AS c0,
+           max(CASE WHEN arm = 1 THEN n END) AS n1,
+           max(CASE WHEN arm = 1 THEN conv END) AS c1
+    FROM arms)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(c0 AS BIGINT) AS conv_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       CAST(c1 AS BIGINT) AS conv_treatment,
+       round(c0 * 1.0 / n0, 6) + 0.0 AS rate_control,
+       round(c1 * 1.0 / n1, 6) + 0.0 AS rate_treatment,
+       round(c1 * 1.0 / n1 - c0 * 1.0 / n0, 6) + 0.0 AS abs_lift,
+       round((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+             / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                    * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z_score
+FROM wide
+"""
+
+
+@register("events_ab_test_lift", _AB_TEST_SQL)
+def q_events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analysis: a deterministic user split
+    (user_id % 2 standing in for the assignment hash) compared on
+    per-user HIGH-VALUE purchase conversion (value > 90 — plain
+    purchase saturates at 100% for every user, degenerating the
+    pooled SE to zero) via the standard two-proportion
+    z-test (pooled standard error). Counts are exact integers through
+    the per-user reduction and the arm rollup; every rate divides
+    once at the end. The per-user MAX-conversion reduction is the
+    shape that keeps this one shuffle on user_id then a 2-row
+    aggregate — no event-grain data ever reaches the test."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    users = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    r0 = F.col("c0") / F.col("n0")
+    r1 = F.col("c1") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pooled * (F.lit(1) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        F.col("c1").cast("bigint").alias("conv_treatment"),
+        (F.round(r0, 6) + F.lit(0.0)).alias("rate_control"),
+        (F.round(r1, 6) + F.lit(0.0)).alias("rate_treatment"),
+        (F.round(r1 - r0, 6) + F.lit(0.0)).alias("abs_lift"),
+        (F.round((r1 - r0) / se, 6) + F.lit(0.0)).alias("z_score"),
+    )

@@ -1880,3 +1880,70 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o.n_orders") != F.col("n.n_orders"))
         | (F.col("o.spend_cents") != F.col("n.spend_cents"))
     )
+
+
+# --------------------------------------------------------------------------
+# Safety blocklist filtering (substring match against a phrase list).
+# --------------------------------------------------------------------------
+
+_BLOCKLIST_SQL = """
+WITH bl(phrase) AS (
+    VALUES ('slow scan'), ('dup line'), ('big spark table'),
+           ('merge the row'), ('fast hash join')),
+hits AS (
+    SELECT d.doc_id, d.source, count(*) AS n_hits
+    FROM documents d JOIN bl ON d.text LIKE '%' || bl.phrase || '%'
+    GROUP BY d.doc_id, d.source)
+SELECT s.source,
+       count(*) AS n_docs,
+       CAST(count(h.doc_id) AS BIGINT) AS n_flagged,
+       round(count(h.doc_id) * 1.0 / count(*), 6) + 0.0 AS flag_rate,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS total_hits
+FROM documents s LEFT JOIN hits h ON s.doc_id = h.doc_id
+GROUP BY s.source
+"""
+
+
+@register("docs_blocklist_filter", _BLOCKLIST_SQL)
+def q_docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist screening: per-source rate of documents
+    containing any banned phrase (exact substring). The phrase list is
+    broadcast and each (doc, phrase) test is a JVM `contains` — fine
+    for list sizes in the thousands; at blocklists of 10^5+ the scale
+    move is a token-indexed prefilter (join docs' token sets to
+    phrases' first tokens, verify contains only on candidates — the
+    same inverted-index bound as the n-gram dedup family). Counted per
+    (doc, phrase) so multi-phrase hits are visible, rolled up per
+    source."""
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [
+            ("slow scan",),
+            ("dup line",),
+            ("big spark table",),
+            ("merge the row",),
+            ("fast hash join",),
+        ],
+        "phrase string",
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(phrases))
+        .where(F.col("text").contains(F.col("phrase")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_hits").cast("bigint").alias("n_flagged"),
+            (
+                F.round(F.count("n_hits") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+            F.coalesce(F.sum("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits"),
+        )
+    )
