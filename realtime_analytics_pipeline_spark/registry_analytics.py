@@ -3342,3 +3342,153 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.var_samp("y_raw"), 6) + F.lit(0.0)).alias("var_raw"),
         (F.round(F.var_samp("y_adj"), 6) + F.lit(0.0)).alias("var_cuped"),
     )
+
+
+_BACKTEST_SQL = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           date_trunc('day', o_orderdate) AS d,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+    FROM orders GROUP BY 1, 2),
+folds AS (
+    SELECT priority, d, y,
+           avg(y * 1.0) OVER (PARTITION BY priority ORDER BY d
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS yhat,
+           count(*) OVER (PARTITION BY priority ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS n_hist
+    FROM daily)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_folds,
+       round(avg(abs(y - yhat)) / 100.0, 6) + 0.0 AS mae_dollars,
+       round(avg(abs(y - yhat) / y), 6) + 0.0 AS mape,
+       round(avg(CASE WHEN y > yhat THEN 1.0 ELSE 0.0 END), 6) + 0.0
+           AS frac_underforecast
+FROM folds WHERE n_hist = 7
+GROUP BY priority
+"""
+
+
+@register("orders_forecast_backtest", _BACKTEST_SQL)
+def q_orders_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling-origin backtest of the trailing-7-day-mean forecaster:
+    each day is a fold whose prediction uses only its preceding 7 days
+    (the window frame ends at 1 PRECEDING — no leakage by
+    construction); folds without a full history are excluded. Reports
+    MAE, MAPE and the under-forecast fraction per series — the
+    evaluation loop any production forecaster needs, as one window
+    pass + one aggregation over integer-cents dailies."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("d").rowsBetween(-7, -1)
+    folds = daily.select(
+        "priority",
+        "y",
+        F.avg(F.col("y") * 1.0).over(w).alias("yhat"),
+        F.count("*").over(w).alias("n_hist"),
+    ).where(F.col("n_hist") == 7)
+    return folds.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+        (
+            F.round(F.avg(F.abs(F.col("y") - F.col("yhat"))) / 100.0, 6)
+            + F.lit(0.0)
+        ).alias("mae_dollars"),
+        (
+            F.round(F.avg(F.abs(F.col("y") - F.col("yhat")) / F.col("y")), 6)
+            + F.lit(0.0)
+        ).alias("mape"),
+        (
+            F.round(
+                F.avg(
+                    F.when(F.col("y") > F.col("yhat"), 1.0).otherwise(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("frac_underforecast"),
+    )
+
+
+_MWU_SQL = """
+WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+           round(avg(value), 6) AS metric
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    GROUP BY user_id),
+ranked AS (
+    SELECT arm, metric,
+           avg(rn) OVER (PARTITION BY metric) AS r
+    FROM (SELECT arm, metric,
+                 row_number() OVER (ORDER BY metric, user_id) * 1.0 AS rn
+          FROM u)),
+sums AS (
+    SELECT sum(CASE WHEN arm = 1 THEN r END) AS r1,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+    FROM ranked)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       round(r1 - n1 * (n1 + 1) / 2.0, 6) + 0.0 AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2.0) / (n0 * n1), 6) + 0.0
+           AS auc_effect
+FROM sums
+"""
+
+
+@register("events_mann_whitney", _MWU_SQL)
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B comparison: the Mann-Whitney U statistic on
+    per-user mean purchase value between the deterministic arms. Ranks
+    come from one global sort with AVERAGE ranks on ties (mean of
+    row_numbers per tied metric value — the tie rule both engines
+    compute identically since the metric is pre-rounded to 6); the
+    U→AUC normalization U/(n0·n1) is the probability a random
+    treatment user outranks a random control user — the effect size
+    robust to the heavy-tailed values that break the t-test. Rank
+    arithmetic is exact (integers and .5 halves)."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    u = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.round(F.avg("value"), 6).alias("metric"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    wr = Window.orderBy("metric", "user_id")
+    wt = Window.partitionBy("metric")
+    ranked = u.withColumn(
+        "rn", F.row_number().over(wr) * F.lit(1.0)
+    ).withColumn("r", F.avg("rn").over(wt))
+    sums = ranked.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("r"))).alias("r1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    u_stat = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    return sums.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        (F.round(u_stat, 6) + F.lit(0.0)).alias("u_stat"),
+        (F.round(u_stat / (F.col("n0") * F.col("n1")), 6) + F.lit(0.0))
+        .alias("auc_effect"),
+    )
