@@ -3492,3 +3492,48 @@ def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(u_stat / (F.col("n0") * F.col("n1")), 6) + F.lit(0.0))
         .alias("auc_effect"),
     )
+
+
+_SRM_SQL = """
+WITH u AS (
+    SELECT DISTINCT user_id, CAST(user_id % 2 AS BIGINT) AS arm
+    FROM events),
+counts AS (
+    SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+    FROM u)
+SELECT CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treatment,
+       round((n0 + n1) / 2.0, 6) + 0.0 AS expected_each,
+       round(power(n0 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0)
+             + power(n1 - (n0 + n1) / 2.0, 2) / ((n0 + n1) / 2.0), 6)
+           + 0.0 AS chi2
+FROM counts
+"""
+
+
+@register("events_ab_srm_check", _SRM_SQL)
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: before reading any experiment
+    result, check the observed arm sizes against the designed 50/50
+    split (chi-square with 1 df; > 3.84 means the assignment itself is
+    broken and every downstream metric is invalid). One distinct-user
+    pass, exact integer counts, one 1-row statistic."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    u = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id")
+    ).distinct().withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    counts = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    e = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = F.pow(F.col("n0") - e, 2) / e + F.pow(F.col("n1") - e, 2) / e
+    return counts.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treatment"),
+        (F.round(e, 6) + F.lit(0.0)).alias("expected_each"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+    )

@@ -2570,3 +2570,56 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank bigint, left string, right string, merged string,"
         " pair_freq bigint",
     )
+
+
+_JACCARD_SWEEP_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS j
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+th(t) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+SELECT round(t, 6) + 0.0 AS threshold,
+       CAST(sum(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_pairs
+FROM pairs, th
+GROUP BY t
+"""
+
+
+@register("dedup_threshold_sweep", _JACCARD_SWEEP_SQL)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity of near-dup detection: duplicate-pair
+    counts at Jaccard cutoffs 0.5-0.9 from ONE pair-scoring pass
+    (pairs are scored once; the threshold sweep is a broadcast of five
+    constants, not five re-scans) — the curve that picks the
+    production dedup cutoff. Inherits the documented O(n²)-in-
+    cooccurring-docs bound of the exact verifier; the LSH family is
+    the scale path once the cutoff is chosen."""
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
+    ).select("jaccard")
+    th = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "t double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy((F.round("t", 6) + F.lit(0.0)).alias("threshold"))
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("t"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_pairs")
+        )
+    )
