@@ -3537,3 +3537,112 @@ def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(e, 6) + F.lit(0.0)).alias("expected_each"),
         (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
     )
+
+
+_DID_SQL = """
+WITH cell AS (
+    SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+           CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+           user_id,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS spend_cents
+    FROM events GROUP BY 1, 2, 3),
+means AS (
+    SELECT arm, post,
+           count(*) AS n_users,
+           sum(spend_cents) AS total_cents
+    FROM cell GROUP BY arm, post),
+wide AS (
+    SELECT max(CASE WHEN arm = 0 AND post = 0
+                    THEN total_cents * 1.0 / n_users END) AS c_pre,
+           max(CASE WHEN arm = 0 AND post = 1
+                    THEN total_cents * 1.0 / n_users END) AS c_post,
+           max(CASE WHEN arm = 1 AND post = 0
+                    THEN total_cents * 1.0 / n_users END) AS t_pre,
+           max(CASE WHEN arm = 1 AND post = 1
+                    THEN total_cents * 1.0 / n_users END) AS t_post
+    FROM means)
+SELECT round(c_pre / 100, 6) + 0.0 AS control_pre,
+       round(c_post / 100, 6) + 0.0 AS control_post,
+       round(t_pre / 100, 6) + 0.0 AS treatment_pre,
+       round(t_post / 100, 6) + 0.0 AS treatment_post,
+       round(((t_post - t_pre) - (c_post - c_pre)) / 100, 6) + 0.0
+           AS did_estimate
+FROM wide
+"""
+
+
+@register("events_ab_did", _DID_SQL)
+def q_events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: per-user purchase spend in the 2x2
+    (arm x pre/post) design; the DiD estimate nets out both the
+    between-arm baseline gap and the common time trend. Integer-cents
+    totals per cell divide exactly once into per-user means — four
+    rationals and one subtraction chain, no distributed float sums."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cell = (
+        ev.groupBy(
+            (F.col("user_id").cast("bigint") % 2).alias("arm"),
+            F.when(F.col("event_time") >= cut, 1).otherwise(0).alias(
+                "post"
+            ),
+            F.col("user_id").cast("bigint").alias("user_id"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("spend_cents")
+        )
+    )
+    means = cell.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("spend_cents").alias("total_cents"),
+    )
+
+    def m(a, p):
+        return F.max(
+            F.when(
+                (F.col("arm") == a) & (F.col("post") == p),
+                F.col("total_cents") * 1.0 / F.col("n_users"),
+            )
+        )
+
+    wide = means.agg(
+        m(0, 0).alias("c_pre"),
+        m(0, 1).alias("c_post"),
+        m(1, 0).alias("t_pre"),
+        m(1, 1).alias("t_post"),
+    )
+    return wide.select(
+        (F.round(F.col("c_pre") / 100, 6) + F.lit(0.0)).alias(
+            "control_pre"
+        ),
+        (F.round(F.col("c_post") / 100, 6) + F.lit(0.0)).alias(
+            "control_post"
+        ),
+        (F.round(F.col("t_pre") / 100, 6) + F.lit(0.0)).alias(
+            "treatment_pre"
+        ),
+        (F.round(F.col("t_post") / 100, 6) + F.lit(0.0)).alias(
+            "treatment_post"
+        ),
+        (
+            F.round(
+                (
+                    (F.col("t_post") - F.col("t_pre"))
+                    - (F.col("c_post") - F.col("c_pre"))
+                )
+                / 100,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("did_estimate"),
+    )
