@@ -3646,3 +3646,80 @@ def q_events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("did_estimate"),
     )
+
+
+_POWER_SQL = """
+WITH u AS (
+    SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+           max(CASE WHEN event_type = 'purchase' AND value > 90
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id),
+obs AS (
+    SELECT sum(CASE WHEN arm = 0 THEN converted END) * 1.0
+               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p0,
+           count(*) AS n_total
+    FROM u)
+SELECT round(p0, 6) + 0.0 AS rate_control,
+       0.05 + 0.0 AS mde_abs,
+       CAST(ceil(2.0 * ((p0 + 0.025) * (1 - (p0 + 0.025)))
+                 * power(1.959964 + 0.841621, 2) / power(0.05, 2))
+            AS BIGINT) AS n_required_per_arm,
+       CAST(n_total AS BIGINT) AS n_available,
+       CAST(CASE WHEN n_total / 2.0 >= ceil(2.0
+                * ((p0 + 0.025) * (1 - (p0 + 0.025)))
+                * power(1.959964 + 0.841621, 2) / power(0.05, 2))
+            THEN 1 ELSE 0 END AS BIGINT) AS is_powered
+FROM obs
+"""
+
+
+@register("events_ab_power", _POWER_SQL)
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis guardrail: per-arm sample size required to
+    detect a 5-point absolute lift at alpha=0.05 / power=0.80
+    (two-proportion formula, variance at the midpoint rate), against
+    the users actually available — the pre-registration check that
+    stops underpowered experiments from being read at all. The z
+    quantiles are fixed 6-decimal literals so both engines compute
+    the identical closed form."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    u = (
+        ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 90),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    obs = u.agg(
+        (
+            F.sum(F.when(F.col("arm") == 0, F.col("converted")))
+            * 1.0
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("p0"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    mid = F.col("p0") + F.lit(0.025)
+    n_req = F.ceil(
+        F.lit(2.0)
+        * (mid * (F.lit(1) - mid))
+        * F.pow(F.lit(1.959964) + F.lit(0.841621), 2)
+        / F.pow(F.lit(0.05), 2)
+    )
+    return obs.select(
+        (F.round("p0", 6) + F.lit(0.0)).alias("rate_control"),
+        (F.lit(0.05) + F.lit(0.0)).alias("mde_abs"),
+        n_req.cast("bigint").alias("n_required_per_arm"),
+        F.col("n_total").cast("bigint").alias("n_available"),
+        F.when(F.col("n_total") / 2.0 >= n_req, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_powered"),
+    )
