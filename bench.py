@@ -108,6 +108,10 @@ HEADLINE = [
     "users_activity_similarity",  # day-bucket inverted-index TS cosine
     "emb_truncated_recall",  # Matryoshka overlap@5, broadcast queries
     "orders_holt_forecast",  # sequential fold per series
+    "events_cep_pattern",  # sequence-regex CEP
+    "text_bigram_logprob",  # contextual LM scoring
+    "docs_rake_phrases",  # phrase extraction, integer scoring
+    "events_ab_cuped",  # experimentation: variance-reduced readout
 ]
 
 

@@ -3660,7 +3660,7 @@ obs AS (
            count(*) AS n_total
     FROM u)
 SELECT round(p0, 6) + 0.0 AS rate_control,
-       0.05 + 0.0 AS mde_abs,
+       CAST(0.05 AS DOUBLE) AS mde_abs,
        CAST(ceil(2.0 * ((p0 + 0.025) * (1 - (p0 + 0.025)))
                  * power(1.959964 + 0.841621, 2) / power(0.05, 2))
             AS BIGINT) AS n_required_per_arm,

@@ -2589,7 +2589,7 @@ pairs AS (
     JOIN sizes sb ON sb.doc_id = doc_b
 ),
 th(t) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
-SELECT round(t, 6) + 0.0 AS threshold,
+SELECT CAST(round(t, 6) AS DOUBLE) + 0.0 AS threshold,
        CAST(sum(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dup_pairs
 FROM pairs, th
