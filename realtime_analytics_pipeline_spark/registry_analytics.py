@@ -3723,3 +3723,74 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_powered"),
     )
+
+
+_STL_LITE_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h,
+           extract(hour FROM ts) AS hod,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2),
+seasonal AS (
+    SELECT hod, median(y) AS s FROM hourly GROUP BY hod),
+resid AS (
+    SELECT h.h, h.hod, h.y, s.s, h.y - s.s AS r
+    FROM hourly h JOIN seasonal s ON h.hod = s.hod),
+fences AS (
+    SELECT median(r) AS m,
+           median(abs(r - (SELECT median(r) FROM resid))) AS mad
+    FROM resid)
+SELECT epoch_ms(r.h) AS hour_ms,
+       CAST(r.hod AS BIGINT) AS hour_of_day,
+       CAST(r.y AS BIGINT) AS n_events,
+       round(r.s, 6) + 0.0 AS seasonal_baseline,
+       round(r.r, 6) + 0.0 AS residual,
+       round((r.r - f.m) / (1.4826 * f.mad), 6) + 0.0 AS robust_z
+FROM resid r, fences f
+WHERE abs((r.r - f.m) / (1.4826 * f.mad)) > 3.5
+"""
+
+
+@register("events_hourly_anomaly_stl", _STL_LITE_SQL)
+def q_events_hourly_anomaly_stl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STL-lite anomaly detection: remove the hour-of-day seasonal
+    component (per-slot MEDIAN — robust to the anomalies being
+    hunted), then flag hours whose residual exceeds 3.5 robust-z
+    (MAD-scaled). Composition of the seasonality and robust-fence
+    operators into the shape production monitors actually run: an
+    hourly spike only alerts if it is anomalous FOR THAT HOUR OF DAY.
+    Exact medians on both engines (Spark median == DuckDB median on
+    integer-valued doubles); one rollup + two tiny broadcast joins."""
+    hourly = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "event_time").alias("h"),
+            F.hour("event_time").alias("hod"),
+        )
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    seasonal = hourly.groupBy("hod").agg(F.median("y").alias("s"))
+    resid = hourly.join(F.broadcast(seasonal), "hod").withColumn(
+        "r", F.col("y") - F.col("s")
+    )
+    # two-step MAD: median first, then median absolute deviation
+    m_val = resid.agg(F.median("r").alias("m"))
+    resid_m = resid.crossJoin(F.broadcast(m_val))
+    mad_val = resid_m.agg(
+        F.median(F.abs(F.col("r") - F.col("m"))).alias("mad"),
+        F.first("m").alias("m"),
+    )
+    scored = resid.crossJoin(F.broadcast(mad_val)).withColumn(
+        "robust_z",
+        (F.col("r") - F.col("m")) / (F.lit(1.4826) * F.col("mad")),
+    )
+    return scored.where(F.abs("robust_z") > 3.5).select(
+        F.unix_millis("h").alias("hour_ms"),
+        F.col("hod").cast("bigint").alias("hour_of_day"),
+        F.col("y").cast("bigint").alias("n_events"),
+        (F.round("s", 6) + F.lit(0.0)).alias("seasonal_baseline"),
+        (F.round("r", 6) + F.lit(0.0)).alias("residual"),
+        (F.round("robust_z", 6) + F.lit(0.0)).alias("robust_z"),
+    )
