@@ -4,6 +4,7 @@ ops, rollup, sliding windows, as-of join) over the TPC-H-ish tables."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.operators import relational as R
 from realtime_analytics_pipeline_spark.registry import register
@@ -1673,3 +1674,68 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier) — the classic research operator, as one
+# sorted window pass instead of the naive O(n²) dominance join.
+# --------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH parts AS (
+    SELECT l_partkey,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_partkey),
+walked AS (
+    SELECT l_partkey, price_cents, qty,
+           max(qty) OVER (ORDER BY price_cents
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_cheaper,
+           max(qty) OVER (PARTITION BY price_cents) AS best_same_price
+    FROM parts)
+SELECT l_partkey, price_cents, qty
+FROM walked
+WHERE qty = best_same_price
+  AND (best_cheaper IS NULL OR qty > best_cheaper)
+"""
+
+
+@register("parts_skyline_price_qty", _SKYLINE_SQL)
+def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (lower unit
+    price, higher available quantity). The naive operator is an O(n²)
+    dominance self-join; sorted by price, it collapses to ONE window
+    pass — a point survives iff it beats the best quantity among all
+    STRICTLY cheaper points (RANGE frame to 1 PRECEDING on integer
+    cents makes "strictly cheaper" exact) and tops its own price tie
+    group. Ties on both dimensions are mutually non-dominating and all
+    retained, which the two-guard rule gets right by construction."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy("l_partkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "price_cents"
+        ),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    walked = parts.select(
+        "l_partkey",
+        "price_cents",
+        "qty",
+        F.max("qty").over(w_cheaper).alias("best_cheaper"),
+        F.max("qty").over(w_same).alias("best_same_price"),
+    )
+    return walked.where(
+        (F.col("qty") == F.col("best_same_price"))
+        & (
+            F.col("best_cheaper").isNull()
+            | (F.col("qty") > F.col("best_cheaper"))
+        )
+    ).select("l_partkey", "price_cents", "qty")
