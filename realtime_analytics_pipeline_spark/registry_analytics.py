@@ -3794,3 +3794,128 @@ def q_events_hourly_anomaly_stl(
         (F.round("r", 6) + F.lit(0.0)).alias("residual"),
         (F.round("robust_z", 6) + F.lit(0.0)).alias("robust_z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: resampling inference at scale, deterministically.
+# --------------------------------------------------------------------------
+
+def _boot_sql() -> str:
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        md5_bucket_sql,
+    )
+
+    u = md5_bucket_sql(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", "boot"
+    )
+    return f"""
+WITH x AS (
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+rep AS (
+    SELECT x.event_id, x.cents, t.b, {u} AS u
+    FROM x, (SELECT unnest(range(50)) AS b) t),
+weighted AS (
+    SELECT b, cents,
+           CASE WHEN u < 24109 THEN 0
+                WHEN u < 48219 THEN 1
+                WHEN u < 60274 THEN 2
+                WHEN u < 64292 THEN 3
+                ELSE 4 END AS w
+    FROM rep),
+means AS (
+    SELECT b, sum(w * cents) * 1.0 / sum(w) AS m
+    FROM weighted GROUP BY b),
+obs AS (SELECT avg(cents * 1.0) AS om, count(*) AS n FROM x)
+SELECT CAST(o.n AS BIGINT) AS n_purchases,
+       round(o.om / 100, 6) + 0.0 AS observed_mean,
+       round(stddev_samp(m.m) / 100, 6) + 0.0 AS boot_se,
+       round((o.om - 1.959964 * stddev_samp(m.m)) / 100, 6) + 0.0 AS ci_lo,
+       round((o.om + 1.959964 * stddev_samp(m.m)) / 100, 6) + 0.0 AS ci_hi
+FROM means m, obs o
+GROUP BY o.n, o.om
+"""
+
+
+@register("events_bootstrap_ci", _boot_sql())
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the at-scale resampling method: weight each
+    row ~Poisson(1) per replicate instead of materializing resamples)
+    with DETERMINISTIC weights — the md5-uniform of (event_id,
+    replicate) cut at the Poisson(1) pmf thresholds (24109/48219/
+    60274/64292 of 65536; tail mass folded into w=4). 50 replicate
+    means of integer-cents purchase value are each one exact-integer
+    ratio; their sample stddev is the bootstrap SE and the normal-
+    interval CI follows. Cost: one 50x row fan-out of the purchase
+    subset, no data movement per replicate — the property that makes
+    bootstrap viable at 100 TB."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    x = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    rep = x.crossJoin(
+        F.broadcast(
+            spark.range(50).select(F.col("id").cast("int").alias("b"))
+        )
+    ).withColumn(
+        "u",
+        hash_bucket(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            "boot",
+        ),
+    )
+    w = (
+        F.when(F.col("u") < 24109, 0)
+        .when(F.col("u") < 48219, 1)
+        .when(F.col("u") < 60274, 2)
+        .when(F.col("u") < 64292, 3)
+        .otherwise(4)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents"))
+                * 1.0
+                / F.sum("w")
+            ).alias("m")
+        )
+    )
+    obs = x.agg(
+        F.avg(F.col("cents") * 1.0).alias("om"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.lit(1.959964)
+    return (
+        means.crossJoin(F.broadcast(obs))
+        .groupBy("n", "om")
+        .agg(F.stddev_samp("m").alias("se"))
+        .select(
+            F.col("n").cast("bigint").alias("n_purchases"),
+            (F.round(F.col("om") / 100, 6) + F.lit(0.0)).alias(
+                "observed_mean"
+            ),
+            (F.round(F.col("se") / 100, 6) + F.lit(0.0)).alias("boot_se"),
+            (
+                F.round((F.col("om") - z * F.col("se")) / 100, 6)
+                + F.lit(0.0)
+            ).alias("ci_lo"),
+            (
+                F.round((F.col("om") + z * F.col("se")) / 100, 6)
+                + F.lit(0.0)
+            ).alias("ci_hi"),
+        )
+    )
