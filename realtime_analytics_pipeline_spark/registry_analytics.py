@@ -3919,3 +3919,98 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+_OLS_SQL = """
+WITH daily AS (
+    SELECT o_orderpriority AS priority,
+           CAST(epoch_ms(date_trunc('day', o_orderdate)) // 86400000
+                AS BIGINT) AS day_idx,
+           sum(CAST(round(o_totalprice) AS BIGINT)) AS y
+    FROM orders GROUP BY 1, 2),
+moments AS (
+    SELECT priority,
+           count(*) AS n,
+           sum(day_idx) AS sx, sum(y) AS sy,
+           sum(day_idx * y) AS sxy, sum(day_idx * day_idx) AS sxx,
+           sum(y * y) AS syy
+    FROM daily GROUP BY priority)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+           + 0.0 AS slope_dollars_per_day,
+       round(sy * 1.0 / n - (n * sxy - sx * sy) * 1.0
+              / (n * sxx - sx * sx) * sx / n, 6) + 0.0
+           AS intercept_dollars,
+       round(power(n * sxy - sx * sy, 2)
+             / (((n * sxx - sx * sx) * 1.0) * ((n * syy - sy * sy) * 1.0)),
+             6) + 0.0 AS r_squared
+FROM moments
+"""
+
+
+@register("orders_revenue_trend_ols", _OLS_SQL)
+def q_orders_revenue_trend_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OLS revenue trend per priority via the normal equations on raw
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) — all integer-exact over
+    epoch-day indexes and integer DOLLARS (cents-scale second moments
+    overflow BIGINT: sy² at 1e8-cents magnitude exceeds 2^63 — found
+    by ANSI overflow checking, fixed by dropping two exact decimal
+    digits the regression never needed), so slope, intercept, and R²
+    each reduce to a couple of exact-integer expressions divided once.
+    This moment-sketch shape is why linear models ARE aggregations at
+    100 TB: one partial-aggregated pass, six numbers per group, model
+    on the driver side of the decimal point."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                F.unix_millis(F.date_trunc("day", "o_orderdate"))
+                / F.lit(86400000)
+            )
+            .cast("bigint")
+            .alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice")).cast("bigint"))
+            .alias("y")
+        )
+    )
+    m = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day_idx").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("day_idx") * F.col("y")).alias("sxy"),
+        F.sum(F.col("day_idx") * F.col("day_idx")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    slope = num * 1.0 / den
+    return m.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.round(slope, 6) + F.lit(0.0)).alias(
+            "slope_dollars_per_day"
+        ),
+        (
+            F.round(
+                m["sy"] * 1.0 / m["n"] - slope * m["sx"] / m["n"], 6
+            )
+            + F.lit(0.0)
+        ).alias("intercept_dollars"),
+        (
+            F.round(
+                F.pow(num, 2)
+                / (
+                    (den * 1.0)
+                    * ((m["n"] * m["syy"] - m["sy"] * m["sy"]) * 1.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r_squared"),
+    )
