@@ -432,3 +432,46 @@ def ivfpq_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_pq", "rnk")
     )
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iter: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree ≥ k. Iterative peeling — drop nodes under degree k,
+    recompute degrees on the induced subgraph, repeat to fixpoint.
+    Each round is one symmetric-edge aggregation + two semi joins;
+    ``localCheckpoint`` truncates lineage (same discipline as
+    connected_components). Converges in ≤ diameter-ish rounds; the
+    loop exits as soon as no node was removed.
+
+    ``edges`` needs columns (src, dst), one row per undirected edge.
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("src")
+        n_before = deg.count()
+        n_after = keep.count()
+        if n_after == n_before:
+            return deg.where(F.col("deg") >= k).select(
+                F.col("src").alias("node"), "deg"
+            )
+        if n_after == 0:
+            return deg.where(F.lit(False)).select(
+                F.col("src").alias("node"), "deg"
+            )
+        keep_dst = keep.select(F.col("src").alias("dst"))
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep_dst, "dst", "left_semi")
+            .localCheckpoint()
+        )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.where(F.col("deg") >= k).select(
+        F.col("src").alias("node"), "deg"
+    )

@@ -1947,3 +1947,37 @@ def q_docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_hits"),
         )
     )
+
+
+@register("basket_graph_kcore")  # rows-only: iterative peeling
+def q_basket_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (parts co-occurring in an
+    order): the dense backbone that survives after iteratively peeling
+    low-degree parts — the community-detection preprocessing step that
+    removes noise edges PageRank and triangle counts are sensitive to.
+    operators/clustering.py::k_core runs the peeling loop
+    (semi-join-induced subgraphs, localCheckpoint per round); peel
+    equality with a Python reference is pinned in
+    tests/test_clustering_extra.py."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        k_core,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3).orderBy("node")
