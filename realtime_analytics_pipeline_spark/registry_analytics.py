@@ -4014,3 +4014,118 @@ def q_orders_revenue_trend_ols(
             + F.lit(0.0)
         ).alias("r_squared"),
     )
+
+
+_TIMED_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, event_id AS vid, epoch_us(ts) AS vus
+    FROM events WHERE event_type = 'view'),
+c AS (
+    SELECT user_id, epoch_us(ts) AS cus
+    FROM events WHERE event_type = 'click'),
+p AS (
+    SELECT user_id, epoch_us(ts) AS pus
+    FROM events WHERE event_type = 'purchase'),
+first_click AS (
+    SELECT v.user_id, v.vid, v.vus, min(c.cus) AS cus
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND c.cus > v.vus AND c.cus <= v.vus + 600000000
+    GROUP BY v.user_id, v.vid, v.vus),
+completed AS (
+    SELECT f.vid, min(p.pus) AS pus
+    FROM first_click f JOIN p ON f.user_id = p.user_id
+     AND p.pus > f.cus AND p.pus <= f.cus + 1800000000
+    GROUP BY f.vid)
+SELECT CAST(v.vus // 86400000000 AS BIGINT) AS day_idx,
+       count(*) AS n_views,
+       CAST(count(f.vid) AS BIGINT) AS n_clicked_10m,
+       CAST(count(cp.vid) AS BIGINT) AS n_completed_30m,
+       round(count(cp.vid) * 1.0 / count(*), 6) + 0.0 AS completion_rate
+FROM v
+LEFT JOIN first_click f ON v.vid = f.vid
+LEFT JOIN completed cp ON v.vid = cp.vid
+GROUP BY 1
+"""
+
+
+@register("funnel_time_constrained", _TIMED_FUNNEL_SQL)
+def q_funnel_time_constrained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-constrained conversion funnel: view → FIRST click within
+    10 minutes → FIRST purchase within 30 minutes of that click, per
+    view, rolled up to daily completion rates. Unlike the
+    order-only funnel (funnel_view_click_purchase) and the
+    session-scoped CEP, each step here carries its own deadline — the
+    product definition growth teams actually use. Two cascaded
+    windowed as-of joins (user-equi + range, min-aggregated to the
+    first qualifying event), then one left-join rollup."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+
+    def typed(t, cols):
+        return ev.where(F.col("event_type") == t).select(*cols)
+
+    v = typed(
+        "view",
+        [
+            F.col("user_id"),
+            F.col("event_id").alias("vid"),
+            F.unix_micros("event_time").alias("vus"),
+        ],
+    )
+    c = typed(
+        "click",
+        [
+            F.col("user_id").alias("c_user"),
+            F.unix_micros("event_time").alias("cus"),
+        ],
+    )
+    p = typed(
+        "purchase",
+        [
+            F.col("user_id").alias("p_user"),
+            F.unix_micros("event_time").alias("pus"),
+        ],
+    )
+    first_click = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("cus") > F.col("vus"))
+            & (F.col("cus") <= F.col("vus") + 600000000),
+        )
+        .groupBy("user_id", "vid", "vus")
+        .agg(F.min("cus").alias("cus"))
+    )
+    completed = (
+        first_click.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pus") > F.col("cus"))
+            & (F.col("pus") <= F.col("cus") + 1800000000),
+        )
+        .groupBy("vid")
+        .agg(F.min("pus").alias("pus"))
+    )
+    fc = first_click.select(F.col("vid").alias("f_vid"))
+    cp = completed.select(F.col("vid").alias("c_vid"))
+    return (
+        v.join(fc, v["vid"] == fc["f_vid"], "left")
+        .join(cp, v["vid"] == cp["c_vid"], "left")
+        .groupBy(
+            (F.col("vus") / F.lit(86400000000))
+            .cast("bigint")
+            .alias("day_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("f_vid").cast("bigint").alias("n_clicked_10m"),
+            F.count("c_vid").cast("bigint").alias("n_completed_30m"),
+            (
+                F.round(F.count("c_vid") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("completion_rate"),
+        )
+    )
