@@ -4129,3 +4129,79 @@ def q_funnel_time_constrained(
             ).alias("completion_rate"),
         )
     )
+
+
+_HBOS_SQL = """
+WITH e AS (
+    SELECT event_id, value,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+           CAST(least(floor(value / 10.0), 9) AS BIGINT) AS vbin
+    FROM events WHERE value IS NOT NULL AND value >= 0),
+tot AS (SELECT count(*) AS n FROM e),
+hv AS (SELECT vbin, count(*) AS c FROM e GROUP BY vbin),
+hh AS (SELECT hod, count(*) AS c FROM e GROUP BY hod),
+scored AS (
+    SELECT e.event_id, e.vbin, e.hod,
+           -ln(hv.c * 1.0 / t.n) - ln(hh.c * 1.0 / t.n) AS hbos
+    FROM e
+    JOIN hv ON e.vbin = hv.vbin
+    JOIN hh ON e.hod = hh.hod
+    CROSS JOIN tot t)
+SELECT event_id, vbin, hod, round(hbos, 6) + 0.0 AS hbos
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY hbos DESC, event_id) AS rnk
+    FROM scored)
+WHERE rnk <= 50
+"""
+
+
+@register("events_hbos_outliers", _HBOS_SQL)
+def q_events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012): per
+    feature (value decile bin, hour of day), an independent histogram;
+    an event's score is the summed negative log density of its bins —
+    rare feature COMBINATIONS via rare marginals, no pairwise
+    covariance, no iterations. The density-estimation complement to
+    the z-score/MAD fences: two tiny broadcast histograms scored
+    against the full stream in one map pass, then a global top-50.
+    Integer bin counts divide once before the log; event-id tiebreak
+    pins the ranking."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    e = ev.where(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    ).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.hour("event_time").cast("bigint").alias("hod"),
+        F.least(F.floor(F.col("value") / 10.0), F.lit(9))
+        .cast("bigint")
+        .alias("vbin"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    hv = e.groupBy("vbin").agg(F.count(F.lit(1)).alias("cv"))
+    hh = e.groupBy("hod").agg(F.count(F.lit(1)).alias("ch"))
+    scored = (
+        e.join(F.broadcast(hv), "vbin")
+        .join(F.broadcast(hh), "hod")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "hbos",
+            -F.log(F.col("cv") * 1.0 / F.col("n"))
+            - F.log(F.col("ch") * 1.0 / F.col("n")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("hbos").desc(), F.col("event_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+        .select(
+            "event_id",
+            "vbin",
+            "hod",
+            (F.round("hbos", 6) + F.lit(0.0)).alias("hbos"),
+        )
+    )
