@@ -4205,3 +4205,116 @@ def q_events_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("hbos", 6) + F.lit(0.0)).alias("hbos"),
         )
     )
+
+
+_ABC_XYZ_SQL = """
+WITH monthly AS (
+    SELECT l.l_partkey,
+           date_trunc('month', o.o_orderdate) AS m,
+           sum(CAST(round(l.l_extendedprice) AS BIGINT)) AS rev,
+           sum(CAST(l.l_quantity AS BIGINT)) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2),
+parts AS (
+    SELECT l_partkey,
+           sum(rev) AS total_rev,
+           count(*) AS n_months,
+           sum(qty) AS sq,
+           sum(qty * qty) AS sqq
+    FROM monthly GROUP BY l_partkey),
+cv AS (
+    SELECT l_partkey, total_rev,
+           round(sqrt((sqq * 1.0 / n_months)
+                      - (sq * 1.0 / n_months) * (sq * 1.0 / n_months))
+                 / (sq * 1.0 / n_months), 6) AS cv
+    FROM parts WHERE n_months >= 3 AND sq > 0),
+ranked AS (
+    SELECT l_partkey, cv,
+           sum(total_rev) OVER (ORDER BY total_rev DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) * 1.0
+               / sum(total_rev) OVER () AS cum_share
+    FROM cv),
+classed AS (
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+           CASE WHEN cv < 0.5 THEN 'X'
+                WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz,
+           cv
+    FROM ranked)
+SELECT abc, xyz,
+       count(*) AS n_parts,
+       round(avg(cv), 6) + 0.0 AS mean_cv
+FROM classed GROUP BY abc, xyz
+"""
+
+
+@register("parts_abc_xyz_matrix", _ABC_XYZ_SQL)
+def q_parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory matrix: revenue-concentration class (A/B/C by
+    cumulative 80/95% share, deterministic partkey tiebreak in the
+    running sum) crossed with demand-variability class (X/Y/Z by the
+    coefficient of variation of monthly quantity, computed from exact
+    integer moments and rounded BEFORE thresholding so both engines
+    class identically). The planning matrix behind stocking policy —
+    A-X (high value, stable) automates; C-Z (low value, erratic) gets
+    dropped. One join + two aggregations + one window pass."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(
+            F.sum(F.round("l_extendedprice").cast("bigint")).alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        )
+    )
+    parts = monthly.groupBy("l_partkey").agg(
+        F.sum("rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("qty").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sqq"),
+    )
+    mean_q = F.col("sq") * 1.0 / F.col("n_months")
+    cv = parts.where(
+        (F.col("n_months") >= 3) & (F.col("sq") > 0)
+    ).select(
+        "l_partkey",
+        "total_rev",
+        F.round(
+            F.sqrt(F.col("sqq") * 1.0 / F.col("n_months") - mean_q * mean_q)
+            / mean_q,
+            6,
+        ).alias("cv"),
+    )
+    w = Window.orderBy(F.col("total_rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = cv.select(
+        "cv",
+        (
+            F.sum("total_rev").over(w)
+            * 1.0
+            / F.sum("total_rev").over(
+                Window.partitionBy()
+            )
+        ).alias("cum_share"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "cv",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.round(F.avg("cv"), 6) + F.lit(0.0)).alias("mean_cv"),
+    )
