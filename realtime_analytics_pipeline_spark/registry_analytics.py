@@ -4318,3 +4318,161 @@ def q_parts_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         (F.round(F.avg("cv"), 6) + F.lit(0.0)).alias("mean_cv"),
     )
+
+
+_MI_SQL = """
+WITH joint AS (
+    SELECT event_type AS t, CAST(extract(hour FROM ts) AS BIGINT) AS h,
+           count(*) AS c
+    FROM events GROUP BY 1, 2),
+mt AS (SELECT t, sum(c) AS ct FROM joint GROUP BY t),
+mh AS (SELECT h, sum(c) AS ch FROM joint GROUP BY h),
+n AS (SELECT sum(c) AS n FROM joint)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((j.c * 1.0 / n.n)
+                 * ln((j.c * 1.0 / n.n)
+                      / ((mt.ct * 1.0 / n.n) * (mh.ch * 1.0 / n.n)))), 6)
+           + 0.0 AS mutual_information,
+       round(-sum(CASE WHEN rn = 1
+                       THEN (mt.ct * 1.0 / n.n) * ln(mt.ct * 1.0 / n.n)
+                       ELSE 0 END), 6) + 0.0 AS type_entropy
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+    FROM joint) j
+JOIN mt ON j.t = mt.t
+JOIN mh ON j.h = mh.h
+CROSS JOIN n
+"""
+
+
+@register("events_type_hour_mi", _MI_SQL)
+def q_events_type_hour_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour of day — the
+    categorical-association test (MI = 0 iff independent): do types
+    have time-of-day structure, and how much of the type entropy does
+    the hour explain? All probabilities come from one joint count
+    table and its two marginals (exact integers, one division per
+    term); the type-entropy term sums each type once via an rn=1
+    guard so both engines add identical term sets."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    joint = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("event_time").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mt = joint.groupBy("t").agg(F.sum("c").alias("ct"))
+    mh = joint.groupBy("h").agg(F.sum("c").alias("ch"))
+    n = joint.agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("t").orderBy("h")
+    j = joint.withColumn("rn", F.row_number().over(w))
+    pxy = F.col("c") * 1.0 / F.col("n")
+    px = F.col("ct") * 1.0 / F.col("n")
+    py = F.col("ch") * 1.0 / F.col("n")
+    return (
+        j.join(F.broadcast(mt), "t")
+        .join(F.broadcast(mh), "h")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            (
+                F.round(F.sum(pxy * F.log(pxy / (px * py))), 6)
+                + F.lit(0.0)
+            ).alias("mutual_information"),
+            (
+                F.round(
+                    -F.sum(
+                        F.when(F.col("rn") == 1, px * F.log(px)).otherwise(
+                            0.0
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("type_entropy"),
+        )
+    )
+
+
+_ACF_SQL = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2),
+lagged AS (
+    SELECT event_type, d, y,
+           lag(y, 1) OVER w AS y1,
+           lag(y, 2) OVER w AS y2,
+           lag(y, 7) OVER w AS y7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+stats AS (
+    SELECT event_type,
+           count(*) AS n, sum(y) AS sy, sum(y * y) AS syy,
+           sum(y * y1) AS p1, count(y1) AS n1, sum(y1) AS s1,
+           sum(y * y2) AS p2, count(y2) AS n2, sum(y2) AS s2,
+           sum(y * y7) AS p7, count(y7) AS n7, sum(y7) AS s7
+    FROM lagged GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       round((p1 - sy * s1 / n) / (syy - sy * sy / n), 6) + 0.0 AS acf_1,
+       round((p2 - sy * s2 / n) / (syy - sy * sy / n), 6) + 0.0 AS acf_2,
+       round((p7 - sy * s7 / n) / (syy - sy * sy / n), 6) + 0.0 AS acf_7
+FROM stats
+"""
+
+
+@register("events_daily_acf", _ACF_SQL)
+def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event counts at lags 1, 2, and 7 —
+    the series-memory diagnostic (a strong lag-7 reveals weekly
+    seasonality; near-zero everywhere says the gap-fill/forecast
+    queries face noise). Standard large-n ACF normalization: lagged
+    cross-moments over the full-series variance, every sum an exact
+    integer-valued double, one window pass + one aggregation."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "event_time").alias("d")
+    ).agg(F.count("*").cast("double").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+        F.lag("y", 7).over(w).alias("y7"),
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("y") * F.col("y1")).alias("p1"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("y") * F.col("y2")).alias("p2"),
+        F.sum("y2").alias("s2"),
+        F.sum(F.col("y") * F.col("y7")).alias("p7"),
+        F.sum("y7").alias("s7"),
+    )
+    den = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+
+    def acf(p, sl):
+        return (
+            F.round(
+                (F.col(p) - F.col("sy") * F.col(sl) / F.col("n")) / den, 6
+            )
+            + F.lit(0.0)
+        )
+
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        acf("p1", "s1").alias("acf_1"),
+        acf("p2", "s2").alias("acf_2"),
+        acf("p7", "s7").alias("acf_7"),
+    )
