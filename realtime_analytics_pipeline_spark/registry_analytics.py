@@ -4476,3 +4476,162 @@ def q_events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         acf("p2", "s2").alias("acf_2"),
         acf("p7", "s7").alias("acf_7"),
     )
+
+
+_BULLWHIP_SQL = """
+WITH m_orders AS (
+    SELECT date_trunc('month', o_orderdate) AS m,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM orders GROUP BY 1),
+m_demand AS (
+    SELECT date_trunc('month', o.o_orderdate) AS m,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS y
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1),
+vo AS (
+    SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS ss FROM m_orders),
+vd AS (
+    SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS ss FROM m_demand)
+SELECT CAST(vo.n AS BIGINT) AS n_months,
+       round((vo.ss / vo.n - (vo.s / vo.n) * (vo.s / vo.n))
+             / ((vo.s / vo.n) * (vo.s / vo.n)), 6) + 0.0
+           AS cv2_orders,
+       round((vd.ss / vd.n - (vd.s / vd.n) * (vd.s / vd.n))
+             / ((vd.s / vd.n) * (vd.s / vd.n)), 6) + 0.0
+           AS cv2_demand,
+       round(((vo.ss / vo.n - (vo.s / vo.n) * (vo.s / vo.n))
+              / ((vo.s / vo.n) * (vo.s / vo.n)))
+             / ((vd.ss / vd.n - (vd.s / vd.n) * (vd.s / vd.n))
+                / ((vd.s / vd.n) * (vd.s / vd.n))), 6) + 0.0
+           AS bullwhip_ratio
+FROM vo, vd
+"""
+
+
+@register("orders_bullwhip_ratio", _BULLWHIP_SQL)
+def q_orders_bullwhip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip measurement (Lee et al. 1997): squared coefficient of
+    variation of the monthly ORDER stream over that of the underlying
+    monthly DEMAND (summed line quantities) — ratio > 1 means order
+    batching amplifies variability upstream. Two tiny moment
+    aggregations (exact integer-valued sums, divisions at the end),
+    one broadcast cross."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    mo = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count("*").cast("double").alias("y"))
+    md = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum("l_quantity").cast("double").alias("y"))
+    )
+
+    def moments(df, pfx):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"{pfx}n"),
+            F.sum("y").alias(f"{pfx}s"),
+            F.sum(F.col("y") * F.col("y")).alias(f"{pfx}ss"),
+        )
+
+    vo = moments(mo, "o")
+    vd = moments(md, "d")
+
+    def cv2(pfx):
+        mean = F.col(f"{pfx}s") / F.col(f"{pfx}n")
+        var = F.col(f"{pfx}ss") / F.col(f"{pfx}n") - mean * mean
+        return var / (mean * mean)
+
+    return vo.crossJoin(F.broadcast(vd)).select(
+        F.col("on").cast("bigint").alias("n_months"),
+        (F.round(cv2("o"), 6) + F.lit(0.0)).alias("cv2_orders"),
+        (F.round(cv2("d"), 6) + F.lit(0.0)).alias("cv2_demand"),
+        (F.round(cv2("o") / cv2("d"), 6) + F.lit(0.0)).alias(
+            "bullwhip_ratio"
+        ),
+    )
+
+
+_CHURN_RISK_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           max(o_orderdate) AS last_order,
+           CAST(epoch_ms(max(o_orderdate)) - epoch_ms(min(o_orderdate))
+                AS BIGINT) AS span_ms
+    FROM orders GROUP BY o_custkey),
+cadence AS (
+    SELECT o_custkey, n_orders, last_order,
+           span_ms / (n_orders - 1) AS mean_gap_ms
+    FROM per_cust WHERE n_orders >= 3),
+now_ref AS (SELECT max(o_orderdate) AS now FROM orders),
+flags AS (
+    SELECT c.o_custkey, c.n_orders,
+           CAST(epoch_ms(r.now) - epoch_ms(c.last_order) AS BIGINT)
+               AS silence_ms,
+           c.mean_gap_ms,
+           CASE WHEN epoch_ms(r.now) - epoch_ms(c.last_order)
+                     > 2 * c.mean_gap_ms
+                THEN 1 ELSE 0 END AS at_risk
+    FROM cadence c, now_ref r)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(at_risk) AS BIGINT) AS n_at_risk,
+       round(sum(at_risk) * 1.0 / count(*), 6) + 0.0 AS at_risk_rate,
+       round(avg(silence_ms * 1.0 / mean_gap_ms), 6) + 0.0
+           AS mean_silence_ratio
+FROM flags
+"""
+
+
+@register("customers_churn_risk", _CHURN_RISK_SQL)
+def q_customers_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cadence-based churn risk: a repeat customer (≥3 orders) is
+    at-risk when their silence since the last order exceeds twice
+    their own mean inter-order gap — each customer judged against
+    their OWN rhythm, not a global cutoff. Integer epoch-ms
+    arithmetic throughout; "now" is the dataset's last order date so
+    the flag is reproducible. One aggregation + one broadcast scalar."""
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderdate").alias("last_order"),
+        (
+            F.unix_millis(F.max("o_orderdate"))
+            - F.unix_millis(F.min("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("span_ms"),
+    )
+    cadence = per.where(F.col("n_orders") >= 3).withColumn(
+        "mean_gap_ms", F.col("span_ms") / (F.col("n_orders") - 1)
+    )
+    now_ref = orders.agg(F.max("o_orderdate").alias("now"))
+    flags = cadence.crossJoin(F.broadcast(now_ref)).select(
+        "n_orders",
+        (
+            F.unix_millis("now") - F.unix_millis("last_order")
+        )
+        .cast("bigint")
+        .alias("silence_ms"),
+        "mean_gap_ms",
+    ).withColumn(
+        "at_risk",
+        F.when(
+            F.col("silence_ms") > 2 * F.col("mean_gap_ms"), 1
+        ).otherwise(0),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("at_risk").cast("bigint").alias("n_at_risk"),
+        (
+            F.round(F.sum("at_risk") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("at_risk_rate"),
+        (
+            F.round(
+                F.avg(F.col("silence_ms") * 1.0 / F.col("mean_gap_ms")), 6
+            )
+            + F.lit(0.0)
+        ).alias("mean_silence_ratio"),
+    )
