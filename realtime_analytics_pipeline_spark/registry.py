@@ -442,7 +442,19 @@ _VERIFY_WINDOW = [
     # users_activity_similarity, events_cep_pattern,
     # streaming_interval_join_full, events_null_semantics,
     # orders_decimal_money, orders_changepoint_cusum,
-    # orders_benford_check, rollup_incremental_refresh, plus the
+    # orders_benford_check, rollup_incremental_refresh,
+    # sessions_cep_conversion, events_markov_entropy_rate,
+    # docs_rake_phrases, text_bigram_logprob, docs_blocklist_filter,
+    # events_ab_test_lift, events_ab_cuped, events_mann_whitney,
+    # events_ab_srm_check, events_ab_did, events_ab_power,
+    # events_bootstrap_ci, orders_forecast_backtest,
+    # orders_revenue_trend_ols, dedup_threshold_sweep,
+    # events_hourly_anomaly_stl, parts_skyline_price_qty,
+    # funnel_time_constrained, events_hbos_outliers,
+    # parts_abc_xyz_matrix, events_type_hour_mi, events_daily_acf,
+    # orders_bullwhip_ratio, customers_churn_risk,
+    # users_activity_similarity_lsh (rows-only), bpe_train_merges
+    # (rows-only), basket_graph_kcore (rows-only), plus the
     # displaced sim_cosine_topk_blas, dedup_embedding_cosine_blas;
     # and from earlier continuations notably
     # streaming_sliding_window_5m1m, events_sliding_window_paned,
