@@ -2623,3 +2623,80 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_pairs")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect correction).
+# --------------------------------------------------------------------------
+
+_QNORM_SQL = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS r,
+           count(*) OVER (PARTITION BY source) AS ns
+    FROM documents),
+pooled AS (
+    SELECT n_chars AS pooled_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS pr
+    FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+mapped AS (
+    SELECT doc_id, source, n_chars,
+           least(((2 * r - 1) * n.n) // (2 * ns) + 1, n.n) AS idx
+    FROM ranked, n)
+SELECT m.doc_id, m.source, m.n_chars,
+       p.pooled_chars AS norm_chars
+FROM mapped m JOIN pooled p ON m.idx = p.pr
+"""
+
+
+@register("docs_quantile_normalize", _QNORM_SQL)
+def q_docs_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization: each document's length is replaced by
+    the POOLED distribution's value at the same within-source quantile
+    — the batch-effect correction that makes per-source length
+    distributions identical before cross-source comparisons (the
+    microarray classic, equally at home fixing crawler-specific
+    truncation artifacts). The quantile→pooled-rank map is PURE
+    integer arithmetic (idx = ((2r−1)·N) div (2·n_s) + 1): no float
+    quantile ever computed, so both engines land on identical pooled
+    rows even at ties (doc_id tiebreak in both rankings). Two window
+    passes + one join on the derived rank."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        )
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("ns"),
+    )
+    pooled = docs.select(
+        F.col("n_chars").alias("pooled_chars"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("pr"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    mapped = ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least(
+            F.expr("((2 * r - 1) * n) div (2 * ns)") + 1,
+            F.col("n").cast("bigint"),
+        ).alias("idx"),
+    )
+    return mapped.join(pooled, mapped["idx"] == pooled["pr"]).select(
+        "doc_id", "source", "n_chars", F.col("pooled_chars").alias("norm_chars")
+    )
