@@ -2700,3 +2700,89 @@ def q_docs_quantile_normalize(
     return mapped.join(pooled, mapped["idx"] == pooled["pr"]).select(
         "doc_id", "source", "n_chars", F.col("pooled_chars").alias("norm_chars")
     )
+
+
+_CCNET_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(c) AS cf FROM tf GROUP BY tok),
+tot AS (SELECT sum(cf) AS tot FROM vocab),
+scored AS (
+    SELECT tf.doc_id,
+           round(sum(tf.c * -ln(vocab.cf * 1.0 / tot.tot))
+                 / sum(tf.c), 6) AS nll
+    FROM tf JOIN vocab USING (tok), tot
+    GROUP BY tf.doc_id),
+ranked AS (
+    SELECT d.source, s.doc_id, s.nll,
+           row_number() OVER (ORDER BY s.nll, s.doc_id) AS r,
+           count(*) OVER () AS n
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+bucketed AS (
+    SELECT source,
+           CASE WHEN 3 * r <= n THEN 'head'
+                WHEN 3 * r <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           nll
+    FROM ranked)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nll), 6) + 0.0 AS mean_nll
+FROM bucketed GROUP BY source, bucket
+"""
+
+
+@register("docs_ccnet_ppl_buckets", _CCNET_SQL)
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    document by LM negative log-likelihood and cut the corpus into
+    head/middle/tail TERCILES — the partition CCNet uses to keep
+    'head' for training and discard or down-weight 'tail'. Tercile
+    membership is pure integer rank arithmetic (3r ≤ n), never a
+    float quantile, with doc_id tiebreaks, so both engines cut
+    identically; per-source bucket counts expose which crawls
+    contribute clean vs noisy text."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("tok").agg(F.sum("c").alias("cf"))
+    tot = vocab.agg(F.sum("cf").alias("tot"))
+    scored = (
+        tf.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("c")
+                    * -F.log(F.col("cf") * 1.0 / F.col("tot"))
+                )
+                / F.sum("c"),
+                6,
+            ).alias("nll")
+        )
+    )
+    ranked = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy("nll", "doc_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    bucketed = ranked.select(
+        "source",
+        F.when(3 * F.col("r") <= F.col("n"), "head")
+        .when(3 * F.col("r") <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "nll",
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.round(F.avg("nll"), 6) + F.lit(0.0)).alias("mean_nll"),
+    )
