@@ -4635,3 +4635,71 @@ def q_customers_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_silence_ratio"),
     )
+
+
+_AGING_SQL = """
+WITH now_ref AS (SELECT max(o_orderdate) AS now FROM orders),
+open_orders AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST((epoch_ms(r.now) - epoch_ms(o.o_orderdate)) // 86400000
+                AS BIGINT) AS age_days,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o, now_ref r
+    WHERE o.o_orderstatus = 'O'),
+bucketed AS (
+    SELECT priority,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           cents
+    FROM open_orders)
+SELECT priority, age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS open_value_cents
+FROM bucketed GROUP BY priority, age_bucket
+"""
+
+
+@register("orders_open_aging", _AGING_SQL)
+def q_orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still in status 'O', bucketed
+    by days outstanding (against the dataset's last order date, so the
+    report is reproducible) with the capital tied up in each bucket —
+    the operations view behind fulfillment SLAs and working-capital
+    analysis. Pushed status filter, integer day/cents arithmetic, one
+    aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    now_ref = orders.agg(F.max("o_orderdate").alias("now"))
+    open_orders = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(now_ref))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (
+                (
+                    F.unix_millis("now")
+                    - F.unix_millis("o_orderdate")
+                )
+                / F.lit(86400000)
+            )
+            .cast("bigint")
+            .alias("age_days"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    bucketed = open_orders.select(
+        "priority",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+        .alias("age_bucket"),
+        "cents",
+    )
+    return bucketed.groupBy("priority", "age_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_value_cents"),
+    )
