@@ -4703,3 +4703,74 @@ def q_orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("open_value_cents"),
     )
+
+
+_SUPPLIER_RETURNS_SQL = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           count(*) AS n_lines,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+    FROM lineitem GROUP BY l_suppkey),
+g AS (
+    SELECT sum(n_returned) * 1.0 / sum(n_lines) AS p0 FROM per_supp)
+SELECT l_suppkey,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_returned AS BIGINT) AS n_returned,
+       round(n_returned * 1.0 / n_lines, 6) + 0.0 AS return_rate,
+       round((n_returned * 1.0 / n_lines - p0)
+             / sqrt(p0 * (1 - p0) / n_lines), 6) + 0.0 AS z_vs_global
+FROM (
+    SELECT s.*, g.p0,
+           row_number() OVER (
+               ORDER BY (s.n_returned * 1.0 / s.n_lines - g.p0)
+                        / sqrt(g.p0 * (1 - g.p0) / s.n_lines) DESC,
+                        s.l_suppkey) AS rnk
+    FROM per_supp s, g
+    WHERE s.n_lines >= 20)
+WHERE rnk <= 10
+"""
+
+
+@register("suppliers_return_outliers", _SUPPLIER_RETURNS_SQL)
+def q_suppliers_return_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier quality scorecard: suppliers whose return rate exceeds
+    the corpus rate by the most binomial standard errors — top-10
+    worst offenders (volume gate keeps tiny suppliers from alerting on
+    one return) — the proportion-test screen procurement teams run.
+    Exact integer counts everywhere; one aggregation + a broadcast
+    global rate + one rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+    )
+    g = per.agg(
+        (F.sum("n_returned") * 1.0 / F.sum("n_lines")).alias("p0")
+    )
+    rate = F.col("n_returned") * 1.0 / F.col("n_lines")
+    z = (rate - F.col("p0")) / F.sqrt(
+        F.col("p0") * (1 - F.col("p0")) / F.col("n_lines")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        per.crossJoin(F.broadcast(g))
+        .where(F.col("n_lines") >= 20)
+        .withColumn("z", z)
+    )
+    w = Window.orderBy(F.col("z").desc(), F.col("l_suppkey"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "l_suppkey",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_returned").cast("bigint").alias("n_returned"),
+            (F.round(rate, 6) + F.lit(0.0)).alias("return_rate"),
+            (F.round("z", 6) + F.lit(0.0)).alias("z_vs_global"),
+        )
+    )
