@@ -4774,3 +4774,68 @@ def q_suppliers_return_outliers(
             (F.round("z", 6) + F.lit(0.0)).alias("z_vs_global"),
         )
     )
+
+
+_DECILE_MIGRATION_SQL = """
+WITH halves AS (
+    SELECT o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '1998-06-01' THEN 0 ELSE 1 END
+               AS half,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1, 2),
+decile AS (
+    SELECT o_custkey, half,
+           ntile(10) OVER (PARTITION BY half
+                           ORDER BY cents DESC, o_custkey) AS dec
+    FROM halves),
+paired AS (
+    SELECT a.dec AS dec_h1, b.dec AS dec_h2
+    FROM decile a JOIN decile b
+      ON a.o_custkey = b.o_custkey AND a.half = 0 AND b.half = 1)
+SELECT CAST(dec_h1 AS BIGINT) AS dec_h1,
+       CAST(dec_h2 AS BIGINT) AS dec_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM paired GROUP BY dec_h1, dec_h2
+"""
+
+
+@register("customers_decile_migration", _DECILE_MIGRATION_SQL)
+def q_customers_decile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue-decile migration matrix: customers ranked into spend
+    deciles in each half of the history (ntile with custkey tiebreak,
+    so both engines cut identically), then the 10x10 transition counts
+    for customers present in both — the retention-marketing staple
+    showing whether top-decile customers stay on the diagonal or bleed
+    down. Two window passes + one self-join on customer."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    halves = orders.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < cut, 0).otherwise(1).alias("half"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    dec = halves.withColumn("dec", F.ntile(10).over(w))
+    a = dec.where(F.col("half") == 0).select(
+        F.col("o_custkey").alias("ck"), F.col("dec").alias("dec_h1")
+    )
+    b = dec.where(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck"), F.col("dec").alias("dec_h2")
+    )
+    return (
+        a.join(b, "ck")
+        .groupBy(
+            F.col("dec_h1").cast("bigint").alias("dec_h1"),
+            F.col("dec_h2").cast("bigint").alias("dec_h2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -1739,3 +1739,97 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("qty") > F.col("best_cheaper"))
         )
     ).select("l_partkey", "price_cents", "qty")
+
+
+_TRADE_BALANCE_SQL = """
+WITH flows AS (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS flow_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    WHERE nc.n_nationkey != ns.n_nationkey
+    GROUP BY 1, 2),
+outflow AS (
+    SELECT supp_nation AS nation, sum(flow_cents) AS exports
+    FROM flows GROUP BY 1),
+inflow AS (
+    SELECT cust_nation AS nation, sum(flow_cents) AS imports
+    FROM flows GROUP BY 1)
+SELECT coalesce(o.nation, i.nation) AS nation,
+       CAST(coalesce(o.exports, 0) AS BIGINT) AS exports_cents,
+       CAST(coalesce(i.imports, 0) AS BIGINT) AS imports_cents,
+       CAST(coalesce(o.exports, 0) - coalesce(i.imports, 0) AS BIGINT)
+           AS balance_cents
+FROM outflow o FULL OUTER JOIN inflow i ON o.nation = i.nation
+"""
+
+
+@register("nations_trade_balance", _TRADE_BALANCE_SQL)
+def q_nations_trade_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-nation trade balance: discounted revenue flowing from
+    each supplier nation to each (different) customer nation, netted
+    into per-nation exports, imports, and balance — the flow-matrix
+    rollup generalizing TPC-H Q7's two-nation volume. Five joins with
+    two broadcast nation dims, integer-cents flows, one full-outer
+    reconciliation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nc), customer["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(ns), supplier["s_nationkey"] == F.col("s_nk"))
+        .where(F.col("c_nk") != F.col("s_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            ).alias("flow_cents")
+        )
+    )
+    out = flows.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.sum("flow_cents").alias("exports")
+    )
+    inn = flows.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.sum("flow_cents").alias("imports")
+    )
+    o = out.alias("o")
+    i = inn.alias("i")
+    return o.join(
+        i, F.col("o.nation") == F.col("i.nation"), "full_outer"
+    ).select(
+        F.coalesce("o.nation", "i.nation").alias("nation"),
+        F.coalesce("o.exports", F.lit(0)).cast("bigint").alias(
+            "exports_cents"
+        ),
+        F.coalesce("i.imports", F.lit(0)).cast("bigint").alias(
+            "imports_cents"
+        ),
+        (
+            F.coalesce("o.exports", F.lit(0))
+            - F.coalesce("i.imports", F.lit(0))
+        )
+        .cast("bigint")
+        .alias("balance_cents"),
+    )
