@@ -4839,3 +4839,86 @@ def q_customers_decile_migration(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+_VELOCITY_SQL = """
+WITH now_ref AS (SELECT max(ts) AS now FROM events),
+feats AS (
+    SELECT e.user_id,
+           count(*) AS n_30d,
+           sum(CASE WHEN e.ts >= r.now - INTERVAL 7 DAY
+                    THEN 1 ELSE 0 END) AS n_7d,
+           sum(CASE WHEN e.ts >= r.now - INTERVAL 1 DAY
+                    THEN 1 ELSE 0 END) AS n_1d,
+           sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_buy_30d
+    FROM events e, now_ref r
+    WHERE e.ts >= r.now - INTERVAL 30 DAY
+    GROUP BY e.user_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_30d AS BIGINT) AS n_30d,
+       CAST(n_7d AS BIGINT) AS n_7d,
+       CAST(n_1d AS BIGINT) AS n_1d,
+       CAST(n_buy_30d AS BIGINT) AS n_buy_30d,
+       round(n_7d * 1.0 / n_30d, 6) + 0.0 AS recency_ratio_7_30,
+       round(n_buy_30d * 1.0 / n_30d, 6) + 0.0 AS buy_ratio_30d
+FROM feats
+"""
+
+
+@register("users_velocity_features", _VELOCITY_SQL)
+def q_users_velocity_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature-store snapshot: per-user activity velocity at 1/7/30-day
+    horizons plus purchase intensity, anchored at the dataset's last
+    event (reproducible "now") — the multi-horizon conditional-count
+    pattern behind churn/propensity features, computed in ONE pass
+    (each horizon is a CASE inside the same aggregation, not a
+    separate scan). Exact integer counts with two edge divisions."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    now_ref = ev.agg(F.max("event_time").alias("now"))
+    day_us = 86400 * 1000000
+    feats = (
+        ev.crossJoin(F.broadcast(now_ref))
+        .where(
+            F.unix_micros("event_time")
+            >= F.unix_micros("now") - 30 * day_us
+        )
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_30d"),
+            F.sum(
+                F.when(
+                    F.unix_micros("event_time")
+                    >= F.unix_micros("now") - 7 * day_us,
+                    1,
+                ).otherwise(0)
+            ).alias("n_7d"),
+            F.sum(
+                F.when(
+                    F.unix_micros("event_time")
+                    >= F.unix_micros("now") - day_us,
+                    1,
+                ).otherwise(0)
+            ).alias("n_1d"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_buy_30d"),
+        )
+    )
+    return feats.select(
+        "user_id",
+        F.col("n_30d").cast("bigint").alias("n_30d"),
+        F.col("n_7d").cast("bigint").alias("n_7d"),
+        F.col("n_1d").cast("bigint").alias("n_1d"),
+        F.col("n_buy_30d").cast("bigint").alias("n_buy_30d"),
+        (
+            F.round(F.col("n_7d") / F.col("n_30d"), 6) + F.lit(0.0)
+        ).alias("recency_ratio_7_30"),
+        (
+            F.round(F.col("n_buy_30d") / F.col("n_30d"), 6) + F.lit(0.0)
+        ).alias("buy_ratio_30d"),
+    )
