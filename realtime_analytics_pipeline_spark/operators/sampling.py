@@ -181,3 +181,57 @@ def source_mixing_weights(
         F.round(target, 6).alias("target_share"),
         F.round(target / actual, 6).alias("mix_weight"),
     ).orderBy(strata)
+
+
+def greedy_coverage_selection(
+    docs, k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Greedy max-coverage subset selection (submodular facility-
+    location-lite): pick ``k`` documents maximizing the vocabulary
+    they jointly cover. Each round scores every candidate by its
+    MARGINAL new-token count against the covered set (one distributed
+    aggregation over an exploded token view with an anti-join on
+    covered tokens), takes the argmax (doc_id tiebreak), and adds its
+    tokens — the classic 1-1/e-approximate algorithm, with only the
+    single winning row collected per round. The data-pruning
+    literature's coverage-selection baseline, at corpus scale.
+    """
+    from pyspark.sql import functions as F
+
+    toks = (
+        docs.select(
+            F.col(id_col).alias("did"),
+            F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+        .localCheckpoint()
+    )
+    spark = docs.sparkSession
+    covered = spark.createDataFrame([], "tok string")
+    picked: list[tuple] = []
+    for rank in range(k):
+        marginal = (
+            toks.join(covered, "tok", "left_anti")
+            .groupBy("did")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("did"))
+            .limit(1)
+            .collect()
+        )
+        if not marginal or marginal[0].gain == 0:
+            break
+        did, gain = marginal[0].did, int(marginal[0].gain)
+        picked.append((rank, did, gain))
+        covered = (
+            covered.unionByName(
+                toks.where(F.col("did") == did).select("tok")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    total = covered.count()
+    return spark.createDataFrame(
+        [(r, d, g, total) for r, d, g in picked],
+        "rank bigint, doc_id bigint, marginal_gain bigint,"
+        " total_covered bigint",
+    )

@@ -2786,3 +2786,19 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (F.round(F.avg("nll"), 6) + F.lit(0.0)).alias("mean_nll"),
     )
+
+
+@register("docs_coverage_selection")  # rows-only: greedy, iterative
+def q_docs_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage selection of 10 documents (submodular
+    1-1/e baseline for diverse-subset data pruning): see
+    operators/sampling.py::greedy_coverage_selection. Pick-for-pick
+    equality with a Python reference greedy is pinned in
+    tests/test_sampling_extra.py."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        greedy_coverage_selection,
+    )
+
+    return greedy_coverage_selection(
+        load_table(spark, sf_dir, "documents"), k=10
+    )
