@@ -4922,3 +4922,92 @@ def q_users_velocity_features(
             F.round(F.col("n_buy_30d") / F.col("n_30d"), 6) + F.lit(0.0)
         ).alias("buy_ratio_30d"),
     )
+
+
+_DUP_INVOICE_SQL = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           epoch_ms(o_orderdate) AS ms
+    FROM orders)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS diff_cents,
+       CAST(abs(b.ms - a.ms) // 86400000 AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND abs(a.cents - b.cents) <= 100000
+ AND abs(b.ms - a.ms) <= CAST(90 AS BIGINT) * 86400000
+"""
+
+
+@register("orders_duplicate_invoices", _DUP_INVOICE_SQL)
+def q_orders_duplicate_invoices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Similar-invoice audit: pairs of orders from the same customer
+    with totals within $1000 and dates within 90 days — the AP
+    double-billing screen (exact-equality matching finds nothing on
+    continuous synthetic totals, so the tolerance form is the
+    informative one). SCALE SHAPE: the probe side fans out to three
+    adjacent $1000 amount bands so the join stays EQUI on (customer,
+    band) — banding is complete because band width equals the
+    tolerance — and the exact |diff| filter verifies after; a naive
+    inequality self-join would be per-customer quadratic with no
+    equi key. Ordered keys + distinct keep each pair once."""
+    orders = load_table(spark, sf_dir, "orders")
+    tol = 100000  # $1000 in cents; also the band width (complete)
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.unix_millis("o_orderdate").alias("ms"),
+    ).withColumn("bucket", (F.col("cents") / F.lit(tol)).cast("bigint"))
+    # probe side fans out to the 3 adjacent amount bands so the join
+    # is EQUI on (custkey, band) — any pair within tol shares one of
+    # them (banding complete because band width == tolerance)
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_custkey").alias("a_cust"),
+        F.col("cents").alias("a_cents"),
+        F.col("ms").alias("a_ms"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("band"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_custkey").alias("b_cust"),
+        F.col("cents").alias("b_cents"),
+        F.col("ms").alias("b_ms"),
+        F.col("bucket").alias("b_band"),
+    )
+    day_ms = 86400000
+    return (
+        a.join(
+            b,
+            (F.col("a_cust") == F.col("b_cust"))
+            & (F.col("band") == F.col("b_band"))
+            & (F.col("a_key") < F.col("b_key")),
+        )
+        .where(
+            (F.abs(F.col("a_cents") - F.col("b_cents")) <= tol)
+            & (F.abs(F.col("b_ms") - F.col("a_ms")) <= 90 * day_ms)
+        )
+        .select(
+            F.col("a_cust").alias("custkey"),
+            F.col("a_key").alias("order_a"),
+            F.col("b_key").alias("order_b"),
+            F.abs(F.col("a_cents") - F.col("b_cents"))
+            .cast("bigint")
+            .alias("diff_cents"),
+            (F.abs(F.col("b_ms") - F.col("a_ms")) / F.lit(day_ms))
+            .cast("bigint")
+            .alias("days_apart"),
+        )
+        .distinct()
+    )
