@@ -5011,3 +5011,92 @@ def q_orders_duplicate_invoices(
         )
         .distinct()
     )
+
+
+_PRICE_INDEX_SQL = """
+WITH li AS (
+    SELECT l.l_partkey,
+           date_trunc('month', o.o_orderdate) AS m,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+           CAST(round(avg(l.l_extendedprice / l.l_quantity) * 100)
+                AS BIGINT) AS unit_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity > 0
+    GROUP BY 1, 2),
+base AS (
+    SELECT l_partkey,
+           sum(qty) AS q0,
+           CAST(round(sum(unit_cents * qty) * 1.0 / sum(qty)) AS BIGINT)
+               AS p0
+    FROM li WHERE m < TIMESTAMP '1996-01-01'
+    GROUP BY l_partkey),
+monthly AS (
+    SELECT li.m,
+           sum(li.unit_cents * b.q0) AS pt_q0,
+           sum(b.p0 * b.q0) AS p0_q0
+    FROM li JOIN base b ON li.l_partkey = b.l_partkey
+    WHERE li.m >= TIMESTAMP '1996-01-01'
+    GROUP BY li.m)
+SELECT epoch_ms(m) AS month_ms,
+       round(pt_q0 * 100.0 / p0_q0, 6) + 0.0 AS laspeyres_index
+FROM monthly
+"""
+
+
+@register("orders_price_index_laspeyres", _PRICE_INDEX_SQL)
+def q_orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index: monthly price level of the base-period
+    basket (1995 quantities at base prices = 100) — the fixed-basket
+    inflation measure, computed from integer unit-price cents and
+    integer base quantities so every month's index is a single exact
+    ratio. Parts unsold in a month simply drop from that month's
+    numerator (chained imputation is a modeling choice this query
+    deliberately avoids); the basket join broadcasts the base table."""
+    li_t = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        li_t.where(F.col("l_quantity") > 0)
+        .join(orders, li_t["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            "l_partkey", F.date_trunc("month", "o_orderdate").alias("m")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 100
+            )
+            .cast("bigint")
+            .alias("unit_cents"),
+        )
+    )
+    cut = F.lit("1996-01-01").cast("timestamp")
+    base = (
+        li.where(F.col("m") < cut)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("qty").alias("q0"),
+            F.round(
+                F.sum(F.col("unit_cents") * F.col("qty"))
+                * 1.0
+                / F.sum("qty")
+            )
+            .cast("bigint")
+            .alias("p0"),
+        )
+    )
+    monthly = (
+        li.where(F.col("m") >= cut)
+        .join(F.broadcast(base), "l_partkey")
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("unit_cents") * F.col("q0")).alias("pt_q0"),
+            F.sum(F.col("p0") * F.col("q0")).alias("p0_q0"),
+        )
+    )
+    return monthly.select(
+        F.unix_millis("m").alias("month_ms"),
+        (
+            F.round(F.col("pt_q0") * 100.0 / F.col("p0_q0"), 6)
+            + F.lit(0.0)
+        ).alias("laspeyres_index"),
+    )
