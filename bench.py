@@ -155,20 +155,25 @@ def main() -> None:
     events_per_sec = (
         round(n_events / stream_sec) if stream_sec else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "streaming_events_per_sec": events_per_sec,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "streaming_events_per_sec": events_per_sec,
+        "sf": sf,
+    }
+    # The driver tail-captures stdout and its buffer truncated the r03
+    # line (BENCH_r03.json parsed: null). Two defenses: the min/max
+    # spread detail lives only in BENCH_LOCAL.json (keeps the stdout
+    # line compact), and the full payload is also written to disk so a
+    # truncated capture can always be reconstructed.
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
+        json.dump({**payload, "spread": spread}, f)
+    sys.stdout.flush()
+    print(json.dumps(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -345,6 +345,7 @@ from realtime_analytics_pipeline_spark import registry_analytics  # noqa: E402,F
 from realtime_analytics_pipeline_spark import registry_curation  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_feed  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_sql_features  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_jdbc  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------
@@ -367,165 +368,95 @@ from realtime_analytics_pipeline_spark import registry_sql_features  # noqa: E40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # -- never driver-verified before round 3 (capability anchors) --
-    "orders_range_join_buckets",
-    "performance_by_device",
-    "session_metrics_devices",
-    "props_json_extraction",
-    "sql_interface_demo",
-    "nation_order_volume_outer",
-    "events_running_totals",
-    "event_counts_salted",
-    "value_stats_by_type",
-    "event_types_per_user",
-    "cascade_rollup_1m_to_1h",
-    "tpch_q17_small_quantity",
-    "latest_event_per_user",
-    "value_percentiles_by_type",
-    # -- new in round 3 --
-    "streaming_session_metrics",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # -- fifth continuation: custom Python Data Source (Spark 4 API) --
-    # hard driver evidence for a brand-new capability family (batch scan
-    # with pushFilters + streaming offset-range consumption through the
-    # same source). Displaced: sim_cosine_topk_blas and
-    # dedup_embedding_cosine_blas — their oracles are IDENTICAL to the
-    # r02-driver-green exact twins (sim_cosine_topk,
-    # dedup_embedding_cosine) and blas-vs-exact equality is
-    # pytest-pinned, so their marginal in-window value is the lowest.
-    "pyds_feed_scan",
-    "streaming_pyds_feed",
-    "dedup_semantic_clustered",
-    "multimodal_features",
-    "streaming_interval_join_outer",
-    "pack_token_budget",
-    "tpch_q4_order_priority",
-    "tpch_q19_discounted_revenue",
-    "events_daily_gapfill_ma7",
-    "value_window_ranks",
-    # -- new late in round 3 (never driver-verified) --
-    "tpch_q13_order_distribution",
-    "text_token_counts",
-    "tpch_q22_idle_customers",
-    "streaming_stateful_sessions",
-    "sample_docs_weighted",
-    "streaming_exact_dedup",
-    # -- new this session: completed TPC-H matrix + mergeable quantiles
-    # (Q2 = correlated min over region-qualified ps; Q21 = EXISTS +
-    # NOT-EXISTS pair — capability shapes no other in-window query
-    # carries; Q11/Q16/Q20 stay out, family-evidenced by these plus
-    # q17/q18/q22 and replica-green at both SFs).  Displaced:
-    # customer_supplier_union (set-op family green r01+r02 via
-    # EXCEPT/INTERSECT twins), doc_length_zscores (z-score family
-    # in-window via value_drift_daily), sample_docs_hash (sampling
-    # family in-window via sample_docs_weighted).
-    "tpch_q2_min_cost_supplier",
-    "tpch_q21_sole_blamed_supplier",
-    "value_p95_sketch_rollup_1h",
-    "decontaminate_eval_overlap",
-    "text_gopher_flags",
-    "emb_quantize_int8",
-    # NOTE for round 4: further continuation queries left OUT of this
-    # window (replica-green, never driver-verified) are listed by
-    # `python -c "...queries()[50:]"` — promote them next round by
-    # demoting whatever goes green in CORRECTNESS_r03: the
-    # fourth-continuation additions tpch_q11_important_stock,
-    # tpch_q16_supplier_cnt, tpch_q20_excess_stock,
-    # orders_rolling_median_7d, plus the displaced
-    # customer_supplier_union, doc_length_zscores, sample_docs_hash;
-    # the fifth-continuation additions orders_snapshot_diff,
-    # orders_monthly_spine_recursive, events_props_variant,
-    # sessions_udtf, events_xml_roundtrip, orders_lateral_top3,
-    # sql_pipe_demo, streaming_feed_windows, text_repetition_metrics,
-    # emb_truncated_recall, orders_holt_forecast,
-    # users_activity_similarity, events_cep_pattern,
-    # streaming_interval_join_full, events_null_semantics,
-    # orders_decimal_money, orders_changepoint_cusum,
-    # orders_benford_check, rollup_incremental_refresh,
-    # sessions_cep_conversion, events_markov_entropy_rate,
-    # docs_rake_phrases, text_bigram_logprob, docs_blocklist_filter,
-    # events_ab_test_lift, events_ab_cuped, events_mann_whitney,
-    # events_ab_srm_check, events_ab_did, events_ab_power,
-    # events_bootstrap_ci, orders_forecast_backtest,
-    # orders_revenue_trend_ols, dedup_threshold_sweep,
-    # events_hourly_anomaly_stl, parts_skyline_price_qty,
-    # funnel_time_constrained, events_hbos_outliers,
-    # parts_abc_xyz_matrix, events_type_hour_mi, events_daily_acf,
-    # orders_bullwhip_ratio, customers_churn_risk,
-    # users_activity_similarity_lsh (rows-only), bpe_train_merges
-    # (rows-only), basket_graph_kcore (rows-only), plus the
-    # displaced sim_cosine_topk_blas, dedup_embedding_cosine_blas;
-    # and from earlier continuations notably
-    # streaming_sliding_window_5m1m, events_sliding_window_paned,
-    # events_forget_users, streaming_stateful_totals_final,
-    # emb_random_projection, multimodal_chunks, events_value_winsorized,
-    # value_drift_trailing7, sample_docs_quota, value_trend_by_type,
-    # source_mixing_weights, pipeline_decontaminated_corpus,
-    # tpch_q15_top_supplier; and the third-continuation additions
-    # (all replica-green at sf0.001+sf0.01, never driver-verified):
-    # text_dup_ngram_fraction, text_boilerplate_chunks,
-    # text_unigram_logprob, text_normalize, sim_mmr_rerank,
-    # emb_pq_codes, docs_length_ks_by_source, dedup_modality_agreement,
-    # events_user_entropy, events_decayed_engagement,
-    # customers_gini_revenue, incremental_metric_merge,
-    # orders_monthly_growth, events_hourly_seasonality,
-    # events_grouping_sets, events_distinct_users_bitmap,
-    # sessions_max_concurrency_daily, basket_rules_lift,
-    # events_rate_limited, attribution_linear_credit,
-    # streaming_daily_users_bitmap, sample_docs_aes_weighted,
-    # customers_cdc_merge, events_nullsafe_bucket_join,
-    # customers_fuzzy_name_pairs, events_time_weighted_avg_daily,
-    # sessions_bounce_rate_daily, corpus_budget_selection,
-    # emb_contrastive_pairs, performance_daily_percentiles,
-    # text_sliding_chunks, emb_balanced_sample, events_ohlc_hourly,
-    # revenue_share_hierarchy, orders_rolling_aov_28d,
-    # basket_graph_triangles, orders_shipping_delay_stats,
-    # events_value_equidepth, orders_cohort_ltv,
-    # text_langid_confusion, pipeline_curation_full,
-    # events_error_slo_5m, events_new_vs_returning,
-    # orders_priority_mix_drift, docs_vocab_growth, docs_zipf_fit,
-    # events_user_streaks, dedup_cluster_sizes,
-    # events_weekly_engagement_histogram, orders_interpurchase_time,
-    # multimodal_dedup_digest, events_survival_curve,
-    # docs_pmi_collocations, emb_outlier_detection,
-    # orders_seasonal_index, suppliers_nation_hhi,
-    # attribution_latency_stats.
-    # -- new in the round-3 continuation (never driver-verified) --
-    "text_pii_redaction",
-    "text_tfidf_top_terms",
-    "dedup_canonical_docs",
-    "events_cohort_retention",
-    "events_value_mad_outliers",
-    "streaming_topk_per_window",
-    "funnel_view_click_purchase",
-    "customer_spend_scd2",
-    "dq_constraint_report",
-    "value_drift_daily",
-    "streaming_static_enrichment",
-    # demoted to make room for round-3 queries — all green in r01 AND
-    # r02, operator families still evidenced by in-window twins:
-    # serving_perf_pivot, serving_retention, serving_event_pivot,
-    # events_projection_filter, device_categorization, text_stats,
-    # events_sliding_window_5m1m, tpch_q6_forecast_revenue,
-    # top_customers_per_nation, multimodal_metadata (strict subset of
-    # in-window multimodal_features), sim_cosine_topk and
-    # dedup_embedding_cosine (same oracles as their in-window blas
-    # twins; exact-vs-blas parity is pytest-pinned),
-    # tpch_q10_returned_items (join family covered by q3/5/7/8/9/12);
-    # late round 3, to make room for the q13/q18/q22/stateful-session/
-    # weighted-sample promotions: tpch_q1/q3/q5/q7 (join+agg family
-    # covered in-window by q4/q8/q9/q12/q13/q14/q17/q18/q19/q22) and
-    # session_metrics (same operator driver-verified in-window through
-    # streaming_session_metrics + session_metrics_devices; equality to
-    # the lag twin is pytest-pinned); for the streaming-dedup/
-    # decontamination/gopher/quantization promotions: event_metrics_1m
-    # (entry() smoke-checks the same operator every round;
-    # cascade_rollup_1m_to_1h is its in-window rollup twin),
-    # performance_metrics_5m (performance_by_device in-window),
-    # dedup_exact (the in-window pipeline_quality_dedup_sample runs
-    # the exact-dedup stage), wire_json_roundtrip (parse chain pinned
-    # by tests/test_kafka_contract.py)
+    # ROUND 4 window: 50 queries, ZERO overlap with CORRECTNESS_r01/r02/
+    # r03 — every name below is replica-green at sf0.001+sf0.01 but has
+    # never had a driver row. Chosen per the promotion plan the round-3
+    # window carried (and VERDICT r03 item 1): capability shapes with no
+    # green driver row anywhere come first. The 50 r03-green queries are
+    # demoted to tier 2 (they keep their oracles; the driver simply
+    # checked them already).
+    #
+    # TPC-H matrix completion (q1-q22 now all driver-verified once
+    # these go green; q11/q16/q20 were named by the verdict):
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_volume",
+    "tpch_q20_excess_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    # SQL-surface capability anchors (each an engine feature no other
+    # green row exercises: recursive CTE, VARIANT, UDTF, LATERAL,
+    # SQL pipe syntax, XML, GROUPING SETS):
+    "orders_monthly_spine_recursive",
+    "events_props_variant",
+    "sessions_udtf",
+    "orders_lateral_top3",
+    "sql_pipe_demo",
+    "events_xml_roundtrip",
+    "events_grouping_sets",
+    # Real JDBC connector round trip (new in round 4 — VERDICT item 5:
+    # write through DataFrameWriter.jdbc into embedded Derby, read
+    # back with a range-partitioned JDBC scan, oracled against the
+    # direct computation). Takes the slot of customer_supplier_union,
+    # whose set-op family already carries driver evidence through the
+    # r01/r02-green EXCEPT/INTERSECT twins:
+    "jdbc_metrics_roundtrip",
+    # CEP + streaming shapes never driver-run (MATCH_RECOGNIZE-style
+    # sequence detection; full-outer interval join; custom feed-source
+    # windows; sliding panes; stateful running totals finalization):
+    "events_cep_pattern",
+    "sessions_cep_conversion",
+    "streaming_interval_join_full",
+    "streaming_feed_windows",
+    "streaming_sliding_window_5m1m",
+    "streaming_stateful_totals_final",
+    # Experimentation / statistics suite (verdict-named):
+    "events_ab_cuped",
+    "events_ab_did",
+    "events_mann_whitney",
+    "events_ab_srm_check",
+    "events_bootstrap_ci",
+    "orders_forecast_backtest",
+    "events_hourly_anomaly_stl",
+    "orders_holt_forecast",
+    # Analytics shapes (skyline, rolling median, HBOS outliers,
+    # DECIMAL money, CUSUM changepoint, snapshot diff, CDC merge,
+    # null-safe bucket join):
+    "parts_skyline_price_qty",
+    "orders_rolling_median_7d",
+    "events_hbos_outliers",
+    "orders_decimal_money",
+    "orders_changepoint_cusum",
+    "orders_snapshot_diff",
+    "customers_cdc_merge",
+    "events_nullsafe_bucket_join",
+    # Graph / dedup / embedding anchors (pagerank over dup graph,
+    # triangle counting, the now-capped exact activity-similarity,
+    # MMR rerank, PQ codes, Matryoshka truncation recall):
+    "dedup_graph_pagerank",
+    "basket_graph_triangles",
+    "users_activity_similarity",
+    "sim_mmr_rerank",
+    "emb_pq_codes",
+    "emb_truncated_recall",
+    # Text / docs / curation (the capstone pipeline + four distinct
+    # text-analysis operators):
+    "pipeline_curation_full",
+    "text_repetition_metrics",
+    "docs_rake_phrases",
+    "text_bigram_logprob",
+    "docs_blocklist_filter",
+    # Multimodal (chunking + digest-dedup; multimodal_features went
+    # green r03):
+    "multimodal_chunks",
+    "multimodal_dedup_digest",
+    # NOTE for round 5: still never-driver-verified replica-green
+    # queries to promote next (the remainder of the r03-window
+    # comment's list): tpch_q13 siblings are done; remaining pool ~109
+    # oracled names — print with
+    #   python -c "import __spark_entry__ as e, json; ..."
+    # minus the union of CORRECTNESS_r0{1,2,3,4}.json keys.
 ]
 
 
