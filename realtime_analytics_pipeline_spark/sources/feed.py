@@ -538,3 +538,64 @@ def compact_feed_table(spark, path: str) -> int:
         .save()
     )
     return n
+
+
+KEY_PARTITION_COL = "_feed_pid"
+
+
+def produce_keyed(
+    df,
+    path: str,
+    key_col: str,
+    seq_col: str,
+    num_partitions: int,
+    mode: str = "append",
+) -> None:
+    """Keyed produce: the Kafka producer's partitioning contract.
+
+    The reference's producer keys every message by ``user.id``
+    (services/ingestion/src/infrastructure/kafka/producer.py:40), so
+    Kafka guarantees (a) all of a key's messages land in ONE topic
+    partition — ``hash(key) % num_partitions`` — and (b) messages
+    within a partition are stored in produce order; consumers replaying
+    any partition therefore observe per-key total order, and no order
+    exists ACROSS partitions. This helper reproduces exactly that log
+    layout through the feed sink:
+
+    - every row gets a sticky partition id ``_feed_pid =
+      pmod(xxhash64(key), n)`` (key-deterministic: re-produces and
+      replays route identically, Kafka's murmur2-mod-n analog);
+    - rows are shuffled so a topic partition never straddles Spark
+      tasks, then sorted ``(_feed_pid, seq)`` within each task — the
+      staged part file IS the partition's log segment, rows in produce
+      order (``seq`` is the producer's send sequence);
+    - the two-phase manifest commit is unchanged, so keyed epochs keep
+      the exactly-once replay discipline.
+
+    The ``_feed_pid`` column is retained in the stored rows — the
+    analog of a Kafka record's partition metadata — so consumers and
+    tests can replay one partition's log in isolation.
+
+    Scale note: this is one hash shuffle of the produced micro-batch
+    (Kafka pays the same routing network hop); the within-task sort is
+    the only added cost and it spills, not OOMs, if an epoch is huge.
+    """
+    from pyspark.sql import functions as F
+
+    routed = (
+        df.withColumn(
+            KEY_PARTITION_COL,
+            F.pmod(
+                F.xxhash64(F.col(key_col).cast("string")),
+                F.lit(num_partitions),
+            ).cast("int"),
+        )
+        .repartition(num_partitions, F.col(KEY_PARTITION_COL))
+        .sortWithinPartitions(KEY_PARTITION_COL, seq_col)
+    )
+    (
+        routed.write.format(FEED_FORMAT)
+        .option("path", path)
+        .mode(mode)
+        .save()
+    )

@@ -374,3 +374,111 @@ def test_stream_offsets_surface_in_progress(feed, tmp_path):
         q.stop()
     key = os.path.join(src, "a.parquet") + "#0"
     assert end.get(key) == 1000
+
+
+# -- keyed produce (Kafka producer partitioning contract) ------------------
+
+
+def _partition_logs(path):
+    """Replay each committed part file in stored row order (the log)."""
+    import os
+
+    logs = {}
+    for mf in sorted(os.listdir(os.path.join(path, "_commits"))):
+        if not mf.endswith(".json"):
+            continue
+        with open(os.path.join(path, "_commits", mf)) as fh:
+            for fname in json.load(fh)["files"]:
+                t = pq.read_table(os.path.join(path, fname))
+                logs[fname] = t.to_pylist()
+    return logs
+
+
+def _keyed_input(spark, n_rows=400, n_users=23):
+    """Producer view: user-keyed messages with a send-sequence column."""
+    rows = [
+        (str(i % n_users), i, f"payload-{i}") for i in range(n_rows)
+    ]
+    return spark.createDataFrame(rows, "user_id string, seq long, body string")
+
+
+def test_keyed_produce_per_key_order_and_sticky_partitioning(feed, tmp_path):
+    """Kafka contract (producer.py:40 keys by user.id): every key lives
+    wholly inside one topic partition, and replaying any partition's
+    log yields that partition's rows in produce (seq) order — hence
+    per-key total order. No cross-partition order is asserted, because
+    Kafka offers none."""
+    from realtime_analytics_pipeline_spark.sources.feed import (
+        KEY_PARTITION_COL,
+        produce_keyed,
+    )
+
+    path = str(tmp_path / "keyed_feed")
+    df = _keyed_input(feed)
+    produce_keyed(df, path, key_col="user_id", seq_col="seq", num_partitions=4)
+
+    logs = _partition_logs(path)
+    key_home: dict[str, set] = {}
+    key_seqs: dict[str, list] = {}
+    pid_of_key: dict[str, int] = {}
+    for fname, rows in logs.items():
+        # within one log segment: pids are contiguous and seq strictly
+        # ascends per pid — the broker's storage order
+        for r in rows:
+            key_home.setdefault(r["user_id"], set()).add(fname)
+            key_seqs.setdefault(r["user_id"], []).append(r["seq"])
+            pid_of_key.setdefault(r["user_id"], r[KEY_PARTITION_COL])
+            assert r[KEY_PARTITION_COL] == pid_of_key[r["user_id"]]
+        per_pid_last: dict[int, int] = {}
+        for r in rows:
+            pid = r[KEY_PARTITION_COL]
+            assert per_pid_last.get(pid, -1) < r["seq"]
+            per_pid_last[pid] = r["seq"]
+    # (a) sticky partitioning: a key never straddles files
+    assert all(len(files) == 1 for files in key_home.values())
+    # (b) per-key order: replaying the key's partition yields seq order
+    for seqs in key_seqs.values():
+        assert seqs == sorted(seqs)
+    # (c) nothing lost or duplicated
+    assert sum(len(r) for r in logs.values()) == 400
+    # (d) keys actually spread across partitions (routing isn't degenerate)
+    both = read_committed(feed, path).collect()
+    assert len({r[KEY_PARTITION_COL] for r in both}) > 1
+
+
+def test_keyed_rebalance_replay_preserves_per_key_order(feed, tmp_path):
+    """Rebalance-like repartition replay: consume the committed keyed
+    log and re-produce it into a topic with a DIFFERENT partition
+    count (2 instead of 4 — the shrink a rebalance/migration does).
+    Keys re-route, but every key's seq sequence must survive byte-for-
+    byte: per-key order is the invariant Kafka preserves across any
+    rebalance, and the only one."""
+    from realtime_analytics_pipeline_spark.sources.feed import (
+        KEY_PARTITION_COL,
+        produce_keyed,
+    )
+
+    src = str(tmp_path / "keyed_src")
+    dst = str(tmp_path / "keyed_dst")
+    df = _keyed_input(feed)
+    produce_keyed(df, src, key_col="user_id", seq_col="seq", num_partitions=4)
+
+    replay = read_committed(feed, src).drop(KEY_PARTITION_COL)
+    produce_keyed(
+        replay, dst, key_col="user_id", seq_col="seq", num_partitions=2
+    )
+
+    logs = _partition_logs(dst)
+    key_seqs: dict[str, list] = {}
+    key_home: dict[str, set] = {}
+    for fname, rows in logs.items():
+        for r in rows:
+            key_seqs.setdefault(r["user_id"], []).append(r["seq"])
+            key_home.setdefault(r["user_id"], set()).add(fname)
+    expected = {}
+    for r in df.collect():
+        expected.setdefault(r["user_id"], []).append(r["seq"])
+    for k, seqs in expected.items():
+        assert key_seqs[k] == sorted(seqs), k
+        assert len(key_home[k]) == 1
+    assert sum(len(r) for r in logs.values()) == 400
