@@ -274,11 +274,39 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
 """
 
 
-@register("dedup_embedding_cosine", _EMB_DUP_SQL)
+_EMB_DUP_CAPPED_SQL = """
+WITH sample_vecs AS (
+    -- md5-ordered fixed cap, same flat-gate discipline as the other
+    -- exact verifiers; non-binding at every current SF (embeddings
+    -- tops out at 2000 rows at sf0.1)
+    SELECT * FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM sample_vecs)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_CAPPED_SQL)
 def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    """Exact all-pairs cosine verifier, gated on a deterministic
+    md5-ordered 2000-vector cap (flat gate cost by construction; the
+    cap binds nowhere at current SFs). D.embedding_dup_pairs stays the
+    uncapped library exact verifier; dedup_semantic_clustered and the
+    block-gemm twin are the registered scale paths."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(2000)
     )
+    capped = emb.join(F.broadcast(sample), "vec_id", "left_semi")
+    return D.embedding_dup_pairs(capped, threshold=0.3)
 
 
 _CC_SQL = f"""

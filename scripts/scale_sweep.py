@@ -1,9 +1,9 @@
-"""Measured scaling exponents across sf0.001 / sf0.01 / sf0.1 —
-empirical evidence for the "would this survive 100x?" question.
+"""Measured scaling exponents across sf0.001..sf1 — empirical evidence
+for the "would this survive 100x?" question.
 
 For each representative query (one per cost class) the sweep times the
-full materialization (noop sink) at all three scale factors and
-reports the implied exponent for the LAST step:
+full materialization (noop sink) at every scale factor it can reach and
+reports the implied exponent per decade:
 
     alpha = log(t_hi / t_lo) / log(data_hi / data_lo)
 
@@ -12,10 +12,21 @@ Interpretation discipline (written into SCALING.md):
 - alpha >> 1 : superlinear — a documented quadratic baseline (the
   exact-pair verifiers) or a problem.
 - Sub-second timings are fixed-overhead dominated; their alpha is an
-  UNDER-estimate of growth, so only the large-SF step is scored.
+  UNDER-estimate of growth, so only large-SF decades are scored.
 
-Data ratios differ per table (documents/embeddings are flat between
-sf0.001 and sf0.01), so each query carries its driving table.
+The driver's testdata tops out at sf0.1. `scripts/gen_scale_slices.py`
+extends `events` and `documents` one decade further (.scale/sf0.3,
+.scale/sf1 — same layout and marginal distributions, timing-fidelity
+only); queries driven by those two tables are swept across BOTH
+decades, which is what catches an alpha estimate flattered by
+overhead-bound sub-second rows. Queries driven by TPC-H tables stop at
+sf0.1 (no generator for those at higher SFs).
+
+The two capped gate queries (dedup_tokenset_jaccard,
+users_activity_similarity) are swept in both forms: the GATED form
+(md5-ordered fixed cap — must go FLAT once the cap binds above
+sf0.01) and the uncapped library exact verifier (documented
+super-linear; measured only to sf0.1 where it is already ~65 s).
 
 Usage: python scripts/scale_sweep.py   (writes SCALING.md)
 """
@@ -23,6 +34,7 @@ Usage: python scripts/scale_sweep.py   (writes SCALING.md)
 from __future__ import annotations
 
 import math
+import os
 import statistics
 import sys
 import time
@@ -32,79 +44,143 @@ sys.path.insert(0, ".")
 from realtime_analytics_pipeline_spark import registry  # noqa: E402
 from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
 
-SFS = ["0.001", "0.01", "0.1"]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STD_SFS = ["0.001", "0.01", "0.1"]
+EXT_SFS = ["0.3", "1"]
 
-# (query, driving table, reps at sf0.1, cost class)
+
+def sf_dir(sf: str) -> str:
+    if sf in STD_SFS:
+        return f"/root/testdata/sf{sf}"
+    return os.path.join(REPO, ".scale", f"sf{sf}")
+
+
+def _uncapped_jaccard(spark, d):
+    from realtime_analytics_pipeline_spark.operators import dedup as D
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    return D.jaccard_pairs(load_table(spark, d, "documents"), n=1, threshold=0.9)
+
+
+def _uncapped_activity(spark, d):
+    from realtime_analytics_pipeline_spark.registry_analytics import (
+        _users_activity_similarity,
+    )
+
+    return _users_activity_similarity(spark, d, user_cap=None)
+
+
+# (query, driving table, reps at the top SF, cost class, extend?)
 SWEEP = [
-    ("events_projection_filter", "events", 3, "map-only scan"),
-    ("event_metrics_1m", "events", 3, "hash aggregation"),
-    ("events_running_totals", "events", 3, "window function"),
-    ("tpch_q3_shipping_priority", "lineitem", 3, "broadcast-dim join"),
-    ("tpch_q18_large_volume", "lineitem", 3, "agg-of-agg semi join"),
-    ("asof_purchase_attribution", "events", 3, "as-of join"),
-    ("value_p95_sketch_rollup_1h", "events", 3, "mergeable sketch"),
-    ("users_activity_similarity", "events", 3, "pair join (day-bucketed)"),
-    ("dedup_minhash_lsh_3gram", "documents", 3, "LSH dedup (scale path)"),
-    ("dedup_tokenset_jaccard", "documents", 1, "EXACT pair verifier (documented O(n^2))"),
-    ("streaming_event_metrics", "events", 1, "streaming replay"),
+    ("events_projection_filter", "events", 3, "map-only scan", True),
+    ("event_metrics_1m", "events", 3, "hash aggregation", True),
+    ("events_running_totals", "events", 3, "window function", True),
+    ("tpch_q3_shipping_priority", "lineitem", 3, "broadcast-dim join", False),
+    ("tpch_q18_large_volume", "lineitem", 3, "agg-of-agg semi join", False),
+    ("asof_purchase_attribution", "events", 3, "as-of join", True),
+    ("value_p95_sketch_rollup_1h", "events", 3, "mergeable sketch", True),
+    ("users_activity_similarity", "events", 3, "pair join, GATED md5 cap 500", True),
+    ("dedup_minhash_lsh_3gram", "documents", 3, "LSH dedup (scale path)", True),
+    ("dedup_tokenset_jaccard", "documents", 3, "EXACT pair verifier, GATED md5 cap 1000", True),
+    ("streaming_event_metrics", "events", 1, "streaming replay", True),
+]
+
+# uncapped library exact verifiers: documented super-linear; sf<=0.1 only
+UNCAPPED = [
+    ("jaccard_pairs (uncapped)", _uncapped_jaccard, "documents",
+     "EXACT pair verifier (documented O(n^2))"),
+    ("activity_similarity (uncapped)", _uncapped_activity, "events",
+     "pair join (day-bucketed, documented alpha~1.26)"),
 ]
 
 
 def main() -> None:
     spark = get_spark("rtap-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up
     registry.QUERIES["event_metrics_1m"](
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
+    have_ext = all(
+        os.path.isdir(sf_dir(sf)) for sf in EXT_SFS
+    )
+    if not have_ext:
+        print("NOTE: .scale slices missing — run scripts/gen_scale_slices.py",
+              file=sys.stderr)
+
     counts: dict[str, dict[str, int]] = {}
-    for t in {t for _, t, _, _ in SWEEP}:
+    for t in {t for _, t, _, _, _ in SWEEP}:
+        sfs = STD_SFS + (EXT_SFS if have_ext and t in ("events", "documents") else [])
         counts[t] = {
-            sf: spark.read.parquet(f"/root/testdata/sf{sf}/{t}.parquet").count()
-            for sf in SFS
+            sf: spark.read.parquet(f"{sf_dir(sf)}/{t}.parquet").count()
+            for sf in sfs
         }
 
-    rows = []
-    for name, table, hi_reps, klass in SWEEP:
-        fn = registry.QUERIES[name]
+    def time_query(fn, sfs, hi_reps):
         med = {}
-        for sf in SFS:
-            reps = hi_reps if sf == "0.1" else 3
+        for sf in sfs:
+            reps = hi_reps if sf in (sfs[-1], "0.1") else 3
             runs = []
             for _ in range(reps):
                 t0 = time.time()
-                fn(spark, f"/root/testdata/sf{sf}").write.format("noop").mode(
+                fn(spark, sf_dir(sf)).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 runs.append(time.time() - t0)
             med[sf] = statistics.median(runs)
-            print(f"  {name} sf{sf}: {med[sf]:.2f}s", file=sys.stderr)
-        dr = counts[table]["0.1"] / counts[table]["0.01"]
-        tr = med["0.1"] / med["0.01"]
-        alpha = math.log(tr) / math.log(dr) if dr > 1 else float("nan")
-        rows.append((name, klass, table, med, dr, tr, alpha))
+            print(f"    sf{sf}: {med[sf]:.2f}s", file=sys.stderr)
+        return med
+
+    def alpha(med, cnt, lo, hi):
+        if lo not in med or hi not in med:
+            return None
+        dr = cnt[hi] / cnt[lo]
+        tr = med[hi] / med[lo]
+        return math.log(tr) / math.log(dr) if dr > 1 else float("nan")
+
+    rows = []
+    for name, table, hi_reps, klass, extend in SWEEP:
+        print(f"  {name}", file=sys.stderr)
+        sfs = STD_SFS + (EXT_SFS if have_ext and extend else [])
+        med = time_query(registry.QUERIES[name], sfs, hi_reps)
+        a1 = alpha(med, counts[table], "0.01", "0.1")
+        a2 = alpha(med, counts[table], "0.1", "1")
+        rows.append((name, klass, table, med, a1, a2))
+    for name, fn, table, klass in UNCAPPED:
+        print(f"  {name}", file=sys.stderr)
+        med = time_query(fn, STD_SFS, 1)
+        a1 = alpha(med, counts[table], "0.01", "0.1")
+        rows.append((name, klass, table, med, a1, None))
+
+    def cell(med, sf):
+        return f"{med[sf]:.2f}s" if sf in med else "—"
 
     lines = [
-        "# SCALING — measured growth across sf0.001 / sf0.01 / sf0.1",
+        "# SCALING — measured growth across sf0.001 .. sf1 (two decades)",
         "",
         "Generated by `python scripts/scale_sweep.py` (median wall times,",
-        "noop sink, local[32]). `alpha` is the implied exponent over the",
-        "sf0.01 -> sf0.1 step: `log(time ratio) / log(data ratio)`.",
-        "alpha <= ~1 scales (or is overhead-bound — sub-second rows",
-        "under-estimate); alpha >> 1 marks the documented exact-pair",
-        "verifiers whose scale path is the LSH/sketch sibling.",
+        "noop sink, local[32]). `alpha` is the implied exponent per decade:",
+        "`log(time ratio) / log(data ratio)`; `a(0.1->1)` uses the local",
+        "synthetic slices from `scripts/gen_scale_slices.py` (same layout +",
+        "marginal distributions as the driver tables; events 10^6 rows,",
+        "documents 5*10^4 at sf1). alpha <= ~1 scales (or is overhead-bound",
+        "— sub-second rows under-estimate); alpha >> 1 marks the documented",
+        "exact-pair verifiers whose scale path is the LSH/sketch sibling.",
+        "The GATED forms of the two capped verifiers must go flat (alpha ~ 0)",
+        "over the 0.1->1 decade: their md5-ordered input caps bind there.",
         "",
-        "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | data x | time x | alpha |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | t(0.3) | t(1) | a(0.01->0.1) | a(0.1->1) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for name, klass, table, med, dr, tr, alpha in rows:
+    for name, klass, table, med, a1, a2 in rows:
+        f1 = f"{a1:.2f}" if a1 is not None else "—"
+        f2 = f"{a2:.2f}" if a2 is not None else "—"
         lines.append(
-            f"| {name} | {klass} | {table} | {med['0.001']:.2f}s "
-            f"| {med['0.01']:.2f}s | {med['0.1']:.2f}s "
-            f"| {dr:.0f}x | {tr:.1f}x | {alpha:.2f} |"
+            f"| {name} | {klass} | {table} | {cell(med, '0.001')} "
+            f"| {cell(med, '0.01')} | {cell(med, '0.1')} | {cell(med, '0.3')} "
+            f"| {cell(med, '1')} | {f1} | {f2} |"
         )
-    with open("SCALING.md", "w") as fh:
+    with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote SCALING.md")
 
