@@ -451,12 +451,47 @@ _VERIFY_WINDOW = [
     # green r03):
     "multimodal_chunks",
     "multimodal_dedup_digest",
-    # NOTE for round 5: still never-driver-verified replica-green
-    # queries to promote next (the remainder of the r03-window
-    # comment's list): tpch_q13 siblings are done; remaining pool ~109
-    # oracled names — print with
-    #   python -c "import __spark_entry__ as e, json; ..."
-    # minus the union of CORRECTNESS_r0{1,2,3,4}.json keys.
+    # NOTE for round 5: promote from the remaining never-driver-
+    # verified replica-green pool (110 oracled names as of round 4,
+    # exact list below — demote whatever goes green in
+    # CORRECTNESS_r04; prefer capability diversity again):
+    # customers_fuzzy_name_pairs revenue_share_hierarchy orders_rolling_aov_28d
+    # orders_shipping_delay_stats orders_cohort_ltv orders_seasonal_index
+    # suppliers_nation_hhi customers_abc_classification parts_price_elasticity
+    # nations_trade_balance sample_docs_hash sample_docs_stratified
+    # train_eval_split pipeline_quality_dedup_sample source_mixing_weights
+    # pipeline_decontaminated_corpus text_dup_ngram_fraction text_boilerplate_chunks
+    # docs_length_ks_by_source text_unigram_logprob text_normalize
+    # dedup_modality_agreement corpus_budget_selection emb_contrastive_pairs
+    # text_sliding_chunks emb_balanced_sample text_langid_confusion
+    # docs_vocab_growth docs_zipf_fit dedup_cluster_sizes
+    # docs_pmi_collocations emb_outlier_detection text_token_burstiness
+    # docs_js_divergence_by_source dedup_threshold_sweep docs_quantile_normalize
+    # docs_ccnet_ppl_buckets streaming_interval_join streaming_value_outliers
+    # streaming_histogram_per_window streaming_daily_users_bitmap streaming_error_slo
+    # customer_supplier_union serving_unpivot events_cube_day_type
+    # doc_length_zscores value_trend_by_type events_user_entropy
+    # events_decayed_engagement customers_gini_revenue incremental_metric_merge
+    # orders_monthly_growth events_hourly_seasonality events_distinct_users_bitmap
+    # sessions_max_concurrency_daily events_rate_limited attribution_linear_credit
+    # events_time_weighted_avg_daily sessions_bounce_rate_daily performance_daily_percentiles
+    # events_ohlc_hourly events_value_equidepth events_error_slo_5m
+    # events_new_vs_returning orders_priority_mix_drift events_user_streaks
+    # events_weekly_engagement_histogram orders_interpurchase_time events_survival_curve
+    # attribution_latency_stats events_type_correlation events_null_semantics
+    # orders_benford_check rollup_incremental_refresh events_markov_entropy_rate
+    # events_ab_test_lift events_ab_power orders_revenue_trend_ols
+    # funnel_time_constrained parts_abc_xyz_matrix events_type_hour_mi
+    # events_daily_acf orders_bullwhip_ratio customers_churn_risk
+    # orders_open_aging suppliers_return_outliers customers_decile_migration
+    # users_velocity_features orders_duplicate_invoices orders_price_index_laspeyres
+    # value_drift_trailing7 sample_docs_quota events_value_winsorized
+    # events_sliding_window_paned events_forget_users emb_random_projection
+    # asof_forward_next_error lineitem_spend_point_in_time events_value_histogram
+    # dedup_impact_report orders_market_basket events_user_paths
+    # customers_rfm_segments events_dau_wau_mau events_interarrival_stats
+    # session_metrics_dynamic_gap customers_revenue_pareto sessions_conversion_by_depth
+    # basket_rules_lift sample_docs_aes_weighted
 ]
 
 
