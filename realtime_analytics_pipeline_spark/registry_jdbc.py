@@ -86,3 +86,79 @@ def q_jdbc_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_count").cast("bigint").alias("event_count"),
         F.col("user_count").cast("bigint").alias("user_count"),
     )
+
+
+_STREAM_JDBC_SQL = f"""
+WITH em AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS window_start_ms,
+           event_type,
+           count(*) AS event_count,
+           count(DISTINCT user_id) AS user_count
+    FROM events
+    WHERE event_type IN ({_ALLOWED_SQL})
+    GROUP BY 1, 2
+)
+SELECT * FROM em
+WHERE window_start_ms + 60000 <=
+      (SELECT max(epoch_ms(ts)) FROM events) - 70000
+"""
+
+
+@register("streaming_jdbc_upsert", _STREAM_JDBC_SQL)
+def q_streaming_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full write path under the oracle: a REAL
+    Structured Streaming job (file micro-batches → watermark → chained
+    stateful aggregation, append mode) delivering finalized windows
+    through the idempotent JDBC upsert sink
+    (sources/jdbc.py::foreach_batch_jdbc_upsert — the delete-then-
+    append discipline the reference's ClickHouse sink gets from
+    ReplacingMergeTree, ddl.py:11-35) into embedded Derby, read back
+    over JDBC. Oracle = the batch SQL restricted to the finalized set
+    (window_end ≤ max event time − 10 s watermark − 60 s window, the
+    empirically pinned chained-stateful emission law). Fresh database
+    + checkpoint per call keeps it deterministic and replayable."""
+    import os as _os
+
+    from realtime_analytics_pipeline_spark.operators.event_metrics import (
+        event_metrics_exact_streaming,
+    )
+    from realtime_analytics_pipeline_spark.sources.jdbc import (
+        foreach_batch_jdbc_upsert,
+    )
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        read_events_stream_from_dir,
+    )
+
+    work = tempfile.mkdtemp(prefix=f"rtap_sjdbc_{next(_call)}_")
+    url = derby_url(f"{work}/db")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, _os.path.join(sf_dir, "events.parquet")
+        )
+        em = event_metrics_exact_streaming(stream).select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            "event_type",
+            "event_count",
+            "user_count",
+        )
+        q = (
+            em.writeStream.outputMode("append")
+            .foreachBatch(
+                foreach_batch_jdbc_upsert(url, "event_metrics_live", "window_start_ms")
+            )
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = read_jdbc(spark, url, "event_metrics_live")
+    return back.select(
+        F.col("window_start_ms").cast("bigint").alias("window_start_ms"),
+        "event_type",
+        F.col("event_count").cast("bigint").alias("event_count"),
+        F.col("user_count").cast("bigint").alias("user_count"),
+    )
