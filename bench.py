@@ -112,6 +112,10 @@ HEADLINE = [
     "text_bigram_logprob",  # contextual LM scoring
     "docs_rake_phrases",  # phrase extraction, integer scoring
     "events_ab_cuped",  # experimentation: variance-reduced readout
+    # round-4 connector path (real JDBC hop; the streaming upsert and
+    # keyed feed roundtrips share the same boundary costs and are
+    # covered by the gate + their contract tests)
+    "jdbc_metrics_roundtrip",  # parallel JDBC write + partitioned read
 ]
 
 

@@ -184,3 +184,59 @@ def q_streaming_feed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+_KEYED_ROUNDTRIP_SQL = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       count(DISTINCT event_id) AS n_distinct_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("feed_keyed_roundtrip", _KEYED_ROUNDTRIP_SQL)
+def q_feed_keyed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed produce → committed log → custom-source scan, under the
+    oracle: the events table is produced into a fresh feed table with
+    Kafka's partitioning contract (produce_keyed: user-keyed sticky
+    routing, per-partition produce order — producer.py:40 parity),
+    then read back THROUGH the rtap_feed batch reader and aggregated
+    per (user, type). The oracle sees only the business columns: if
+    the keyed route/sort/stage/commit/scan chain drops, duplicates, or
+    mangles any row, counts or integer-cents sums diverge. Partition
+    assignment itself (engine-native xxhash64) is pinned by the
+    produce_keyed contract tests, not the oracle."""
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.sources.feed import (
+        KEY_PARTITION_COL,
+        produce_keyed,
+    )
+
+    register_feed_source(spark)
+    path = tempfile.mkdtemp(prefix=f"rtap_keyed_{next(_counter)}_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "_seq", F.col("event_id")
+    )
+    produce_keyed(
+        ev, path, key_col="user_id", seq_col="_seq", num_partitions=8
+    )
+    back = (
+        spark.read.format("rtap_feed").option("path", path).load()
+    )
+    return (
+        back.groupBy(
+            F.col("user_id").cast("bigint").alias("user_id"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_value_cents"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+        )
+    )
