@@ -87,6 +87,10 @@ QUERIES = [
     "events_user_paths",
     "emb_random_projection",
     "events_value_histogram",
+    # round 4: connector paths + capped verifiers
+    "jdbc_metrics_roundtrip",
+    "feed_keyed_roundtrip",
+    "dedup_tokenset_jaccard",
 ]
 
 
