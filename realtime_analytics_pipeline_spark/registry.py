@@ -346,6 +346,7 @@ from realtime_analytics_pipeline_spark import registry_curation  # noqa: E402,F4
 from realtime_analytics_pipeline_spark import registry_feed  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_sql_features  # noqa: E402,F401
 from realtime_analytics_pipeline_spark import registry_jdbc  # noqa: E402,F401
+from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------

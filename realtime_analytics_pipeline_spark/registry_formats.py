@@ -1,0 +1,110 @@
+"""Gated query: source/sink format coverage beyond parquet.
+
+The reference's storage formats are Kafka-JSON in flight and
+ClickHouse MergeTree at rest; a Spark engine at 100 TB additionally
+meets ORC lakes, CSV drops, and JSONL document dumps. This module
+gates the three built-in codecs in one query: the SAME events slice is
+written to ORC, CSV and JSONL, read back through each reader with an
+explicit schema (never inference — schema drift is the classic silent
+corruption at scale), and the three read-back aggregations are
+equi-joined on EVERY column. A single mangled value in any leg drops
+that row from the join and the driver's row-count/hash check goes red
+against the parquet-truth oracle.
+
+CSV notes (the treacherous leg): quoting covers the JSON-bearing
+`props` column; timestamps round-trip via an explicit ISO format with
+microseconds; doubles round-trip losslessly only because Spark writes
+them with full precision — the aggregation still reduces to integer
+cents per the repo's money discipline before comparison.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.registry import register
+
+_call = itertools.count()
+
+_FORMATS_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY 1
+"""
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register("events_formats_roundtrip", _FORMATS_SQL)
+def q_events_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix=f"rtap_fmt_{next(_call)}_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    schema = ev.schema
+
+    ev.write.mode("overwrite").orc(f"{base}/orc")
+    (
+        ev.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(f"{base}/csv")
+    )
+    ev.write.mode("overwrite").option("timestampFormat", _TS_FMT).json(
+        f"{base}/jsonl"
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias(f"n_events_{tag}"),
+            F.countDistinct("user_id").alias(f"n_users_{tag}"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias(f"cents_{tag}"),
+        )
+
+    orc = agg(spark.read.schema(schema).orc(f"{base}/orc"), "orc")
+    csv = agg(
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(f"{base}/csv"),
+        "csv",
+    )
+    jsonl = agg(
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .json(f"{base}/jsonl"),
+        "jsonl",
+    )
+
+    joined = orc.join(csv, "event_type").join(jsonl, "event_type")
+    # all three legs must agree cell-for-cell; a diverging leg drops
+    # its row here and the oracle row count catches it
+    agree = (
+        (F.col("n_events_orc") == F.col("n_events_csv"))
+        & (F.col("n_events_orc") == F.col("n_events_jsonl"))
+        & (F.col("n_users_orc") == F.col("n_users_csv"))
+        & (F.col("n_users_orc") == F.col("n_users_jsonl"))
+        & (F.col("cents_orc") == F.col("cents_csv"))
+        & (F.col("cents_orc") == F.col("cents_jsonl"))
+    )
+    return joined.where(agree).select(
+        "event_type",
+        F.col("n_events_orc").alias("n_events"),
+        F.col("n_users_orc").alias("n_users"),
+        F.col("cents_orc").alias("sum_value_cents"),
+    )
