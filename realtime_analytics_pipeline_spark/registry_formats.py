@@ -108,3 +108,49 @@ def q_events_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_users_orc").alias("n_users"),
         F.col("cents_orc").alias("sum_value_cents"),
     )
+
+
+_PARTITIONED_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+GROUP BY 1
+"""
+
+
+@register("events_partitioned_store", _PARTITIONED_SQL)
+def q_events_partitioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned store + partition pruning, end-to-end:
+    events are written partitioned by event date (the ClickHouse
+    `PARTITION BY toDate(window_start)` analog, ddl.py) and a 3-day
+    predicate reads back ONLY those directories — the read-side scan
+    carries PartitionFilters, so at 100 TB a day query touches 1/365th
+    of the store. The date predicate is applied on the PARTITION
+    column, and the oracle recomputes from raw events; a pruning bug
+    that drops or double-reads a partition shows as a row/hash
+    mismatch. The pruning itself is additionally plan-gated in
+    tests/test_formats_store.py."""
+    base = tempfile.mkdtemp(prefix=f"rtap_part_{next(_call)}_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "value",
+    )
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(f"{base}/store")
+    )
+    back = spark.read.parquet(f"{base}/store").where(
+        (F.col("event_date") >= F.lit("2024-01-10"))
+        & (F.col("event_date") < F.lit("2024-01-13"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
