@@ -4622,7 +4622,6 @@ def q_customers_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their OWN rhythm, not a global cutoff. Integer epoch-ms
     arithmetic throughout; "now" is the dataset's last order date so
     the flag is reproducible. One aggregation + one broadcast scalar."""
-    from pyspark.sql import functions as F2
 
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(

@@ -212,10 +212,7 @@ def q_feed_keyed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce_keyed contract tests, not the oracle."""
     import tempfile
 
-    from realtime_analytics_pipeline_spark.sources.feed import (
-        KEY_PARTITION_COL,
-        produce_keyed,
-    )
+    from realtime_analytics_pipeline_spark.sources.feed import produce_keyed
 
     register_feed_source(spark)
     path = tempfile.mkdtemp(prefix=f"rtap_keyed_{next(_counter)}_")

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.operators.clustering import (
     connected_components,

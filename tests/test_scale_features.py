@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import contextlib
 
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_CORRECTNESS

@@ -65,7 +65,6 @@ def test_stateful_sessionization_multibatch_matches_finalized_set(spark, tmp_pat
     union must equal the batch sessionization restricted to the
     watermark-finalized set (end + gap <= final watermark), each
     session exactly once."""
-    from pyspark.sql import Window
 
     from realtime_analytics_pipeline_spark.operators.session_metrics import (
         session_metrics_by_lag,

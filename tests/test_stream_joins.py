@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
 from realtime_analytics_pipeline_spark.streaming.jobs import (

@@ -237,7 +237,6 @@ def test_progress_metrics_trace(spark, tmp_path):
     """The metrics helper flattens a real streaming run's progress:
     input rows accounted, stateful-operator state visible, watermark
     populated after the terminal no-data batch."""
-    import os
 
     from realtime_analytics_pipeline_spark.operators.event_metrics import (
         event_metrics_exact_streaming,
