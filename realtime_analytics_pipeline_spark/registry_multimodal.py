@@ -130,3 +130,78 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.max("n_bytes").alias("n_bytes"),
     )
+
+
+_FRAMES_SQL = """
+WITH m AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+idx AS (
+    SELECT doc_id, text, n,
+           unnest(range(0, CAST(greatest(n // 64, 1) AS BIGINT), 4))
+               AS frame_idx
+    FROM m)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(octet_length(encode(
+           substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)))
+           AS BIGINT) AS n_frame_bytes,
+       md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+           AS frame_md5
+FROM idx
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_SQL)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing under the oracle: every 4th 64-byte
+    'frame' of each binary payload through the REAL mapInPandas
+    fan-out (binary_ops.sample_frames — the ffmpeg-sampler row shape),
+    checked frame-for-frame against a SQL recomputation of the chunk
+    hashes. ASCII corpus ⇒ byte offsets == char offsets, the same
+    identity multimodal_chunks relies on."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        sample_frames,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, every_k=4).select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("bigint").alias("n_frame_bytes"),
+        "frame_md5",
+    )
+
+
+_RESIZE_SQL = """
+WITH m AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       256 AS n_bytes,
+       md5(substr(repeat(text, CAST(256 // n + 2 AS BIGINT)), 1, 256))
+           AS resized_md5
+FROM m
+"""
+
+
+@register("multimodal_resize", _RESIZE_SQL)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under the oracle: the deterministic fake
+    resample (cycle payload bytes to target_w*target_h/64 = 256) runs
+    through the REAL binary->binary mapInPandas transform
+    (binary_ops.resize_media) and the oracle reproduces the cycled
+    prefix with repeat+substr — a byte-level pin on the Arrow binary
+    round trip."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        resize_media,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, target_w=128, target_h=128).select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("resized_md5"),
+    )
