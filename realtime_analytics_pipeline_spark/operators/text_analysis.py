@@ -286,3 +286,57 @@ def boilerplate_chunks(
         )
         .select("doc_id", "n_chunks", "n_kept", "text_clean")
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) as pure Column expressions:
+
+    1. polynomial ROLLING HASH over every k-char gram:
+       h_i = (Σ_j c_{i+j}·B^{k-1-j}) mod M — exact integer arithmetic,
+       identical in any engine (intermediates < 2^63);
+    2. WINNOWING: slide a w-hash window over the hash sequence and
+       select the RIGHTMOST minimum of each window; dedupe (pos, hash).
+
+    Guarantee: every window of w consecutive grams contributes ≥1
+    selected fingerprint, so any match of length ≥ w+k-1 chars between
+    two documents shares a fingerprint — the property that makes the
+    inverted-index overlap join complete for long matches.
+
+    Scale shape: map-only per document (O(n·k) hash work, O(n·w)
+    winnow scan as higher-order folds, no explode until the caller
+    unnests), then one shuffle on the 8-byte fingerprint hash for the
+    overlap join — the same index-bucket bound as the shingle family.
+    """
+    n_hash = f"(length(text) - {k} + 1)"
+    gram_hash = (
+        f"transform(sequence(1, greatest({n_hash}, 0)), i -> "
+        f"aggregate(sequence(0, {k - 1}), 0L, "
+        f"(acc, j) -> (acc * {base} + ascii(substr(text, i + j, 1))) % {mod}))"
+    )
+    # rightmost-min winnow: scan each w-window left->right, <= keeps
+    # the later (rightmost) equal hash
+    win = (
+        f"transform(sequence(1, greatest(size(H) - {window} + 1, 1)), p -> "
+        f"aggregate(sequence(p, least(p + {window} - 1, size(H))), "
+        f"named_struct('pos', -1, 'h', 9223372036854775807L), "
+        f"(acc, q) -> if(element_at(H, q) <= acc.h, "
+        f"named_struct('pos', q, 'h', element_at(H, q)), acc)))"
+    )
+    return (
+        documents.select("doc_id", F.expr(gram_hash).alias("H"))
+        .where(F.expr("size(H) > 0"))
+        .select("doc_id", F.explode(F.expr(win)).alias("fp"))
+        .select(
+            "doc_id",
+            F.col("fp.pos").alias("pos"),
+            F.col("fp.h").alias("fp_hash"),
+        )
+        .distinct()
+    )

@@ -2850,3 +2850,107 @@ def q_docs_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coverage_selection(
         load_table(spark, sf_dir, "documents"), k=10
     )
+
+
+_WINNOW_SQL = """
+WITH m AS (
+    SELECT doc_id, text,
+           greatest(length(text) - 5 + 1, 0) AS nh
+    FROM documents),
+h AS (
+    SELECT doc_id, nh, i AS pos,
+           (((((((CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) * 257
+              + ascii(substr(text, CAST(i + 1 AS INTEGER), 1))) % 1000000007) * 257
+              + ascii(substr(text, CAST(i + 2 AS INTEGER), 1))) % 1000000007) * 257
+              + ascii(substr(text, CAST(i + 3 AS INTEGER), 1))) % 1000000007) * 257
+              + ascii(substr(text, CAST(i + 4 AS INTEGER), 1))) % 1000000007 AS hv
+    FROM (SELECT doc_id, text, nh, unnest(range(1, nh + 1)) AS i FROM m)
+    WHERE nh > 0),
+wins AS (
+    SELECT doc_id, nh, unnest(range(1, greatest(nh - 4 + 1, 1) + 1)) AS p
+    FROM (SELECT DISTINCT doc_id, nh FROM h)),
+cand AS (
+    SELECT w.doc_id, w.p, h.pos, h.hv,
+           row_number() OVER (
+               PARTITION BY w.doc_id, w.p
+               ORDER BY h.hv ASC, h.pos DESC) AS rn
+    FROM wins w
+    JOIN h ON h.doc_id = w.doc_id
+          AND h.pos >= w.p AND h.pos <= least(w.p + 3, w.nh))
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(hv AS BIGINT) AS fp_hash
+FROM cand WHERE rn = 1
+"""
+
+
+@register("docs_winnowing_fingerprints", _WINNOW_SQL)
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al., SIGMOD'03): k=5
+    polynomial rolling hash + rightmost-min winnow over w=4 windows —
+    the brief's rolling-hash document fingerprint, fingerprint-for-
+    fingerprint against a row-wise SQL replay of the identical
+    integer arithmetic and tie rule."""
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("fp_hash").cast("bigint").alias("fp_hash"),
+    )
+
+
+_WINNOW_OVERLAP_SQL = f"""
+WITH fp0 AS ({_WINNOW_SQL}),
+fp1 AS (SELECT DISTINCT doc_id, fp_hash FROM fp0),
+rare AS (
+    SELECT fp_hash FROM fp1
+    GROUP BY 1 HAVING count(*) <= 20),
+fp AS (SELECT fp1.* FROM fp1 JOIN rare USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_fps
+FROM fp a JOIN fp b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+@register("docs_winnowing_overlap", _WINNOW_OVERLAP_SQL)
+def q_docs_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap candidate pairs through the inverted index
+    on the 8-byte winnow hash (the MOSS match step). Two disciplines
+    keep the join index-bucket-bounded at any corpus size: the winnow
+    guarantee makes the index complete for any shared run of
+    >= w+k-1 chars, and fingerprints occurring in more than 20 docs
+    are DROPPED before the self-join (MOSS's over-common-fingerprint
+    cull — hot buckets carry no discriminating signal and are exactly
+    the quadratic blowup at scale). >=3 surviving shared fingerprints
+    is the candidate floor."""
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+
+    fps = (
+        winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 20)
+        .select("fp_hash")
+    )
+    fps = fps.join(rare, "fp_hash")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 3)
+    )

@@ -84,3 +84,59 @@ def test_ks_bounds_and_zero_on_identical(spark, rows):
     df2 = spark.createDataFrame(mirrored, "g string, v long")
     for r in ks_drift_by_group(df2, "g", "v").collect():
         assert r["ks"] == 0.0
+
+
+def test_winnowing_coverage_guarantee_and_determinism(spark):
+    """Winnowing's defining property (Schleimer et al. §2): every
+    window of w consecutive k-gram hashes contributes at least one
+    selected fingerprint — so any match of length >= w+k-1 chars
+    shares a fingerprint. Verified against an independent pure-Python
+    reimplementation on real corpus docs, plus run-to-run determinism."""
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 40")
+    out = winnowing_fingerprints(docs).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp_hash))
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    K, W, B, M = 5, 4, 257, 1_000_000_007
+
+    def ref_winnow(text):
+        n = len(text) - K + 1
+        if n <= 0:
+            return set()
+        H = []
+        for i in range(n):
+            acc = 0
+            for ch in text[i : i + K]:
+                acc = (acc * B + ord(ch)) % M
+            H.append(acc)
+        sel = set()
+        for p in range(max(n - W + 1, 1)):
+            best = (-1, float("inf"))
+            for q in range(p, min(p + W, n)):
+                if H[q] <= best[1]:
+                    best = (q, H[q])
+            sel.add((best[0] + 1, best[1]))  # 1-based pos
+        return sel
+
+    for doc_id, text in texts.items():
+        assert got.get(doc_id, set()) == ref_winnow(text), doc_id
+    # coverage guarantee, asserted directly on the reference arrays
+    for doc_id, text in texts.items():
+        n = len(text) - K + 1
+        sel_pos = {p for p, _ in got.get(doc_id, set())}
+        for p in range(1, max(n - W + 1, 1) + 1):
+            assert any(p <= q <= p + W - 1 for q in sel_pos), (doc_id, p)
+    # determinism across a second run
+    out2 = winnowing_fingerprints(docs).collect()
+    assert {(r.doc_id, r.pos, r.fp_hash) for r in out2} == {
+        (r.doc_id, r.pos, r.fp_hash) for r in out
+    }
