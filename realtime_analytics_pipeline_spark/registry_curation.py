@@ -1981,3 +1981,62 @@ def q_basket_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(edges, k=3).orderBy("node")
+
+
+@register("docs_blocklist_indexed", _BLOCKLIST_SQL)
+def q_docs_blocklist_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE PATH for docs_blocklist_filter (same oracle, identical
+    result): instead of crossing every doc with every phrase, docs are
+    indexed by their distinct character 4-grams and phrases join on
+    their FIRST 4-gram — a guaranteed candidate superset (any
+    substring match must contain the phrase's first 4 chars as a
+    4-gram), then the exact `contains` verifies candidates only. Pair
+    work is bounded by index-bucket co-occurrence, so a 10^5-phrase
+    blocklist costs |docs' grams| + |candidates|, never
+    |docs| x |phrases|. Equality with the broadcast-cross form is
+    additionally pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [
+            ("slow scan",),
+            ("dup line",),
+            ("big spark table",),
+            ("merge the row",),
+            ("fast hash join",),
+        ],
+        "phrase string",
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 3, 1)),"
+                    " i -> substr(text, i, 4))"
+                )
+            )
+        ).alias("gram"),
+    )
+    keyed = phrases.select("phrase", F.substring("phrase", 1, 4).alias("gram"))
+    cand = grams.join(keyed, "gram").select("doc_id", "phrase").distinct()
+    hits = (
+        cand.join(docs.select("doc_id", "text"), "doc_id")
+        .where(F.col("text").contains(F.col("phrase")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_hits").cast("bigint").alias("n_flagged"),
+            (
+                F.round(F.count("n_hits") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("flag_rate"),
+            F.coalesce(F.sum("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits"),
+        )
+    )

@@ -368,3 +368,24 @@ def test_random_projection_properties(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_blocklist_indexed_equals_cross(spark):
+    """The 4-gram-indexed blocklist scale path must return exactly the
+    broadcast-cross form's rows — candidate generation is a guaranteed
+    superset and the verify step restores exactness."""
+    from realtime_analytics_pipeline_spark import registry
+
+    a = {
+        tuple(r)
+        for r in registry.QUERIES["docs_blocklist_filter"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in registry.QUERIES["docs_blocklist_indexed"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert a == b and a
