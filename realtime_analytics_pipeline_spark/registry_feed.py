@@ -237,3 +237,99 @@ def q_feed_keyed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_id").alias("n_distinct_events"),
         )
     )
+
+
+_HTTP_INGEST_SQL = """
+WITH sample_events AS (
+    SELECT * FROM events
+    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id LIMIT 500)
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM sample_events
+GROUP BY 1
+"""
+
+
+@register("http_ingestion_roundtrip", _HTTP_INGEST_SQL)
+def q_http_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE ingestion front door under the oracle:
+    a deterministic md5-ordered 500-event sample is POSTed as nested
+    AnalyticsEvent JSON to a live `/analytics/track` endpoint
+    (ingestion_api.IngestionHttpServer — validate → 202 → buffered
+    producer), flushed as one keyed epoch into a feed table
+    (produce_keyed, the Kafka producer contract), read back from the
+    committed log, parsed through the standard wire chain
+    (from_json + normalize_wire_events) and aggregated. Any event the
+    HTTP/validate/produce/commit/parse chain drops, duplicates, or
+    mangles diverges from the oracle's direct aggregation of the same
+    sample. value rides the integer metrics.load_time slot as cents,
+    per the repo's money discipline."""
+    import json as _json
+    import tempfile
+    import urllib.request
+
+    from realtime_analytics_pipeline_spark.ingestion_api import (
+        IngestionHttpServer,
+    )
+    from realtime_analytics_pipeline_spark.schema import (
+        ANALYTICS_EVENT_SCHEMA,
+        normalize_wire_events,
+    )
+    from realtime_analytics_pipeline_spark.sources.feed import read_committed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sample = (
+        ev.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .limit(500)
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.col("user_id").cast("string").alias("user_id"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+        .collect()  # bounded: exactly 500 rows by construction
+    )
+    feed = tempfile.mkdtemp(prefix=f"rtap_ingest_{next(_counter)}_")
+    srv = IngestionHttpServer(feed)
+    try:
+        for r in sample:
+            payload = {
+                "event": {"id": r.event_id, "type": r.event_type},
+                "user": {"id": r.user_id},
+                "device": {
+                    "user_agent": "Mozilla/5.0 (X11; Linux x86_64)",
+                    "screen_width": 1920,
+                    "screen_height": 1080,
+                },
+                "context": {
+                    "url": "https://example.com/page",
+                    "session_id": r.user_id,
+                },
+                "metrics": {"load_time": r.cents},
+                "timestamp": r.ts_ms,
+            }
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/analytics/track",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                assert resp.status == 202
+        srv.flush(spark)
+    finally:
+        srv.close()
+    parsed = normalize_wire_events(
+        read_committed(spark, feed)
+        .select(F.from_json(F.col("value"), ANALYTICS_EVENT_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("load_time").cast("bigint").alias("sum_value_cents"),
+    )

@@ -582,6 +582,7 @@ def produce_keyed(
     """
     from pyspark.sql import functions as F
 
+    register_feed_source(df.sparkSession)  # idempotent
     routed = (
         df.withColumn(
             KEY_PARTITION_COL,
