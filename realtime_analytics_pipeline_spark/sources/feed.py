@@ -548,7 +548,7 @@ def produce_keyed(
     path: str,
     key_col: str,
     seq_col: str,
-    num_partitions: int,
+    num_partitions: int | None = None,
     mode: str = "append",
 ) -> None:
     """Keyed produce: the Kafka producer's partitioning contract.
@@ -582,6 +582,10 @@ def produce_keyed(
     """
     from pyspark.sql import functions as F
 
+    if num_partitions is None:
+        # honor the topic's declared partition count (create_topic);
+        # default 8 for ad-hoc un-administered tables
+        num_partitions = topic_partitions(path) or 8
     register_feed_source(df.sparkSession)  # idempotent
     routed = (
         df.withColumn(
@@ -600,3 +604,63 @@ def produce_keyed(
         .mode(mode)
         .save()
     )
+
+
+# --------------------------------------------------------------------------
+# Topic admin (S9): the AdminClient.create_topics analog over feed
+# tables (services/ingestion/src/infrastructure/kafka/admin.py:8-31)
+# --------------------------------------------------------------------------
+
+TOPIC_META = "_topic.json"
+
+
+class TopicExistsError(Exception):
+    """Partition-count conflict on an existing topic (Kafka cannot
+    repartition in place; error code 36 is the only create_topics
+    failure the reference tolerates — a SAME-config recreate is a
+    no-op, a DIFFERENT one is refused)."""
+
+
+def create_topic(path: str, num_partitions: int = 3) -> dict:
+    """Create (idempotently) a feed topic: the directory plus a
+    `_topic.json` declaring the partition count that `produce_keyed`
+    honors. Re-creating with the same partition count is a no-op
+    (admin.py:26-31 swallows TopicExistsError); a different count
+    raises, because a keyed topic's hash routing is pinned to n."""
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, TOPIC_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta["num_partitions"] != num_partitions:
+            raise TopicExistsError(
+                f"topic {path} exists with num_partitions="
+                f"{meta['num_partitions']} != {num_partitions}"
+            )
+        return meta
+    meta = {"name": os.path.basename(path), "num_partitions": num_partitions}
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def topic_partitions(path: str) -> int | None:
+    meta_path = os.path.join(path, TOPIC_META)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)["num_partitions"]
+
+
+def list_topics(base: str) -> list[dict]:
+    out = []
+    if not os.path.isdir(base):
+        return out
+    for d in sorted(os.listdir(base)):
+        meta = os.path.join(base, d, TOPIC_META)
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                out.append(json.load(fh))
+    return out

@@ -482,3 +482,46 @@ def test_keyed_rebalance_replay_preserves_per_key_order(feed, tmp_path):
         assert key_seqs[k] == sorted(seqs), k
         assert len(key_home[k]) == 1
     assert sum(len(r) for r in logs.values()) == 400
+
+
+# -- topic admin (S9: AdminClient.create_topics analog) --------------------
+
+
+def test_topic_admin_create_idempotent_and_conflict(feed, tmp_path):
+    """admin.py:8-31 parity: create is idempotent for the same config
+    (TopicExistsError code 36 swallowed), refused for a conflicting
+    partition count (keyed routing is pinned to n), and the producer
+    honors the topic's declared partition count."""
+    from realtime_analytics_pipeline_spark.sources.feed import (
+        KEY_PARTITION_COL,
+        TopicExistsError,
+        create_topic,
+        list_topics,
+        produce_keyed,
+        read_committed,
+        topic_partitions,
+    )
+
+    base = tmp_path / "topics"
+    t1 = str(base / "event_metrics")
+    meta = create_topic(t1, num_partitions=3)  # reference default: 3
+    assert meta == {"name": "event_metrics", "num_partitions": 3}
+    # idempotent re-create, same config
+    assert create_topic(t1, num_partitions=3) == meta
+    # conflicting partition count refused
+    with pytest.raises(TopicExistsError):
+        create_topic(t1, num_partitions=5)
+    assert topic_partitions(t1) == 3
+    create_topic(str(base / "session_metrics"), num_partitions=3)
+    assert [t["name"] for t in list_topics(str(base))] == [
+        "event_metrics",
+        "session_metrics",
+    ]
+
+    # produce WITHOUT an explicit partition count: the topic's wins
+    df = _keyed_input(feed, n_rows=60, n_users=10)
+    produce_keyed(df, t1, key_col="user_id", seq_col="seq")
+    back = read_committed(feed, t1)
+    assert back.count() == 60
+    pids = {r[KEY_PARTITION_COL] for r in back.collect()}
+    assert pids <= {0, 1, 2} and len(pids) > 1
