@@ -1,0 +1,35 @@
+"""Timestamp coercion helpers (SURVEY §2 P9).
+
+The reference coerces loosely-typed timestamps at the cache boundary
+(services/cache/src/infrastructure/kafka/message_parser.py:51-63,
+``_coerce_ts``): an int passes through as epoch-ms; an ISO-8601 string
+(``Z`` normalized to ``+00:00``) parses via ``datetime.fromisoformat``
+to epoch-ms; anything else logs and yields None. This module is the
+Column-expression equivalent — one pass, no UDF, null on failure —
+so dirty mixed-typed feeds coerce at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def coerce_ts_ms(col: Column | str) -> Column:
+    """STRING-or-INT timestamp -> epoch-ms BIGINT (null if neither).
+
+    - all-digit strings (and longs arriving as strings) are epoch-ms
+      already — the int branch of _coerce_ts;
+    - otherwise try ISO-8601: ``try_to_timestamp`` after the ``Z`` →
+      ``+00:00`` normalization the reference applies, fractional
+      seconds included;
+    - unparseable → null (the reference logs-and-drops; the DLQ parse
+      chain is the observable variant).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    as_int = F.when(s.rlike(r"^\d+$"), s.cast("bigint"))
+    iso = F.unix_millis(
+        F.try_to_timestamp(F.regexp_replace(s, r"Z$", "+00:00"))
+    )
+    return F.coalesce(as_int, iso).cast("bigint")

@@ -154,3 +154,73 @@ def q_events_partitioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_ISO_COERCE_SQL = """
+WITH wire AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 3 = 0
+                THEN CAST(epoch_ms(ts) AS VARCHAR)
+                WHEN event_id % 3 = 1
+                THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+                ELSE strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+           END AS ts_wire
+    FROM events),
+coerced AS (
+    SELECT event_type,
+           CASE WHEN regexp_matches(ts_wire, '^[0-9]+$')
+                THEN CAST(ts_wire AS BIGINT)
+                ELSE epoch_ms(strptime(replace(replace(ts_wire, 'Z', ''),
+                                               'T', ' '),
+                                       '%Y-%m-%d %H:%M:%S.%f'))
+           END AS ts_ms
+    FROM wire)
+SELECT event_type,
+       count(*) AS n_events,
+       min(ts_ms) AS min_ms,
+       max(ts_ms) AS max_ms,
+       CAST(sum(ts_ms % 86400000) AS BIGINT) AS sum_day_offset_ms
+FROM coerced
+GROUP BY 1
+"""
+
+
+@register("events_iso_ts_coercion", _ISO_COERCE_SQL)
+def q_events_iso_ts_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (ISO timestamp re-parse): the reference coerces loosely-typed
+    timestamps at the cache boundary (message_parser.py:51-63 —
+    int passes through, ISO string parses, junk -> None). Here a wire
+    column deliberately mixes all three accepted shapes per row
+    (epoch-ms digit string / ISO-8601 with Z / ISO with space) and
+    `functions.time.coerce_ts_ms` must recover the exact original
+    epoch-ms for every row — pinned by min/max and a modular digest
+    against the oracle's own re-parse."""
+    from realtime_analytics_pipeline_spark.functions.time import coerce_ts_ms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    wire = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.unix_millis("ts").cast("string"),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z")
+            ),
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("ts_wire"),
+    )
+    coerced = wire.select(
+        "event_type", coerce_ts_ms("ts_wire").alias("ts_ms")
+    )
+    return coerced.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ms").alias("min_ms"),
+        F.max("ts_ms").alias("max_ms"),
+        F.sum(F.col("ts_ms") % 86400000).cast("bigint").alias("sum_day_offset_ms"),
+    )

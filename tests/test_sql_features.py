@@ -149,3 +149,25 @@ def test_cep_regex_semantics_match_python_re(spark, seqs):
     want = [_re.findall("vc*p", s) for s in seqs]
     assert [h for _, h in got] == want
     assert [n for n, _ in got] == [len(w) for w in want]
+
+
+def test_coerce_ts_ms_matches_reference_coercion(spark):
+    """P9: _coerce_ts parity (message_parser.py:51-63) — ints pass
+    through as epoch-ms, ISO strings (Z or offset or space form)
+    parse, junk and null yield null, fractional ms preserved."""
+    from realtime_analytics_pipeline_spark.functions.time import coerce_ts_ms
+
+    df = spark.createDataFrame(
+        [
+            ("1704067200000", 1704067200000),
+            ("2024-01-01T00:00:00.123456Z", 1704067200123),
+            ("2024-01-01T00:00:00+00:00", 1704067200000),
+            ("2024-01-01 12:30:00.5", 1704112200500),
+            ("not-a-ts", None),
+            (None, None),
+        ],
+        "ts_wire string, want long",
+    )
+    rows = df.select("want", coerce_ts_ms("ts_wire").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.want, r.got)
