@@ -224,3 +224,80 @@ def q_events_iso_ts_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("max_ms"),
         F.sum(F.col("ts_ms") % 86400000).cast("bigint").alias("sum_day_offset_ms"),
     )
+
+
+_DYN_COERCE_SQL = """
+WITH wire AS (
+    SELECT CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR)
+                WHEN event_id % 3 = 1 THEN
+                     CAST(CAST(round(value * 100) AS BIGINT) // 100
+                          AS VARCHAR) || '.' ||
+                     lpad(CAST(CAST(round(value * 100) AS BIGINT) % 100
+                               AS VARCHAR), 2, '0')
+                ELSE event_type
+           END AS v
+    FROM events),
+c AS (
+    SELECT v,
+           CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$')
+                     AND TRY_CAST(v AS BIGINT) IS NOT NULL THEN 'int'
+                WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'float'
+                ELSE 'str' END AS tag
+    FROM wire)
+SELECT tag,
+       count(*) AS n,
+       CAST(coalesce(sum(CASE WHEN tag = 'int'
+                              THEN TRY_CAST(v AS BIGINT) END), 0)
+            AS BIGINT) AS int_sum,
+       CAST(coalesce(sum(CASE WHEN tag = 'float'
+                              THEN CAST(round(TRY_CAST(v AS DOUBLE) * 100)
+                                        AS BIGINT) END), 0)
+            AS BIGINT) AS float_cents_sum,
+       count(DISTINCT CASE WHEN tag = 'str' THEN v END) AS n_distinct_str
+FROM c
+GROUP BY 1
+"""
+
+
+@register("serving_dynamic_coercion", _DYN_COERCE_SQL)
+def q_serving_dynamic_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (dynamic type coercion): the Redis read-side str -> int ->
+    float -> str fallback (repository.py:117-127) as one Column
+    cascade. A stringly wire column deliberately mixes the three
+    shapes per row (integer user ids, 2-decimal money strings built
+    digit-by-digit so both engines parse bit-identical doubles, raw
+    event types); the cascade must route every value to the branch the
+    reference's Python would, pinned by per-tag counts, an exact int
+    sum, an exact recovered-cents sum, and the distinct string count.
+    The Python wire mirror (functions/coerce.py::convert_types) is
+    byte-for-byte repository.py and pytest-pinned against it."""
+    from realtime_analytics_pipeline_spark.functions.coerce import (
+        dynamic_coerce,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    wire = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.col("user_id").cast("string"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                (cents / 100).cast("bigint").cast("string"),
+                F.lit("."),
+                F.lpad((cents % 100).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("v")
+    )
+    c = wire.select("v", dynamic_coerce("v").alias("c"))
+    return c.groupBy(F.col("c.tag").alias("tag")).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("c.i"), F.lit(0)).cast("bigint").alias("int_sum"),
+        F.coalesce(
+            F.sum(F.round(F.col("c.d") * 100).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("float_cents_sum"),
+        F.countDistinct("c.s").alias("n_distinct_str"),
+    )

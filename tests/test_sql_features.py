@@ -171,3 +171,44 @@ def test_coerce_ts_ms_matches_reference_coercion(spark):
     rows = df.select("want", coerce_ts_ms("ts_wire").alias("got")).collect()
     for r in rows:
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_dynamic_coerce_matches_reference_convert_types(spark):
+    """T7: the Column cascade and the Python wire mirror must route
+    every value exactly as repository.py:117-127 does."""
+    from realtime_analytics_pipeline_spark.functions.coerce import (
+        convert_types,
+        dynamic_coerce,
+    )
+
+    vals = ["42", "-7", "+3", "3.5", "1e3", "-0.25", "abc", "12px", "", "4.", "NaN"]
+    # the reference implementation, verbatim semantics
+    def ref(v):
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = df.select("v", dynamic_coerce("v").alias("c")).collect()
+    for r in rows:
+        expect = ref(r.v)
+        got = {"int": r.c.i, "float": r.c.d, "str": r.c.s}[r.c.tag]
+        if isinstance(expect, float) and expect != expect:  # NaN
+            assert r.c.tag == "float" and got != got
+        else:
+            assert got == expect and (
+                (r.c.tag == "int") == isinstance(expect, int)
+            ), (r.v, r.c)
+    # and the wire mirror is the reference function itself
+    got_map = convert_types({v: v for v in vals})
+    for v in vals:
+        e = ref(v)
+        g = got_map[v]
+        if isinstance(e, float) and e != e:
+            assert isinstance(g, float) and g != g
+        else:
+            assert g == e and type(g) is type(e), v
