@@ -369,3 +369,107 @@ def test_streaming_observed_metrics_in_progress(spark, tmp_path):
     ev = spark.read.parquet(src)
     assert got[0] == ev.count()
     assert got[1] == ev.where(F.col("value").isNull()).count()
+
+
+def test_proctime_window_semantics(spark):
+    """S4 (proc-time attribute): the processing-time twin buckets rows
+    by the run's wall clock. Invariants that survive the inherent
+    nondeterminism: totals preserved (nothing lost/duplicated),
+    window bounds aligned to the 60 s width, every window inside the
+    run's clock envelope, and a replay re-buckets (same totals,
+    possibly different windows) — exactly why the event-time path is
+    the oracle-gated default."""
+    import datetime
+
+    from realtime_analytics_pipeline_spark.operators.event_metrics import (
+        event_metrics_proctime,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, SF_SMOKE)
+    t0 = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(minutes=2)
+    out = event_metrics_proctime(ev).collect()
+    t1 = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(minutes=2)
+    from realtime_analytics_pipeline_spark.config import DEFAULT_CONFIG
+
+    expected_total = ev.where(
+        F.col("event_type").isin(list(DEFAULT_CONFIG.allowed_event_types))
+    ).count()
+    assert sum(r.event_count for r in out) == expected_total
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 60.0
+        assert r.window_start.second == 0 and r.window_start.microsecond == 0
+        ws = r.window_start.replace(tzinfo=datetime.timezone.utc)
+        assert t0 <= ws <= t1
+    # replay re-buckets by the NEW wall clock, totals intact
+    out2 = event_metrics_proctime(ev).collect()
+    assert sum(r.event_count for r in out2) == expected_total
+
+
+def test_idle_source_watermark_policy_max(spark, tmp_path):
+    """W6 (idle-source timeout): Flink marks an idle source so it
+    stops holding back the watermark. Spark's native remedy is
+    spark.sql.streaming.multipleWatermarkPolicy=max — with the default
+    'min' policy a stale/idle source pins the global watermark at its
+    last event time and downstream append-mode windows never finalize;
+    with 'max' the active source's watermark drives eviction. This
+    test pins the remedy: the same two-source union (one idle at old
+    timestamps) finalizes ZERO windows under min and the idle side's
+    windows under max."""
+    import os
+
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        read_events_stream_from_dir,
+    )
+
+    def run(policy: str, tag: str) -> int:
+        old = spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy")
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            idle_dir = str(tmp_path / f"idle_{tag}")
+            live_dir = str(tmp_path / f"live_{tag}")
+            for d in (idle_dir, live_dir):
+                os.makedirs(d, exist_ok=True)
+            # idle source: ONE old file (its watermark stays at
+            # 2024-01); live source: the same events shifted +2 years
+            ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            ev.write.mode("overwrite").parquet(idle_dir + "/f.parquet")
+            ev.withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 2 YEARS")
+            ).write.mode("overwrite").parquet(live_dir + "/f.parquet")
+
+            idle = read_events_stream_from_dir(spark, idle_dir + "/f.parquet")
+            live = read_events_stream_from_dir(spark, live_dir + "/f.parquet")
+            union = idle.unionByName(live)
+            agg = (
+                union.groupBy(
+                    F.window("event_time", "60 seconds").alias("w")
+                )
+                .agg(F.count("*").alias("n"))
+            )
+            name = f"idle_{policy}_{tag}"
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{policy}_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = spark.table(name).collect()
+            return {r.w.start.year for r in rows}, len(rows)
+        finally:
+            spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", old)
+
+    years_min, n_min = run("min", "a")
+    years_max, n_max = run("max", "b")
+    # min: the global watermark is pinned at the idle source's old
+    # event time, so the LIVE (+2y) side's windows never finalize —
+    # only 2024 windows appear
+    assert years_min == {2024}, (years_min, n_min)
+    # max: the live source drives the watermark; both sides finalize
+    assert 2026 in years_max and 2024 in years_max, (years_max, n_max)
+    assert n_max > n_min
