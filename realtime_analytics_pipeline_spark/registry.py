@@ -453,9 +453,18 @@ _VERIFY_WINDOW = [
     "multimodal_chunks",
     "multimodal_dedup_digest",
     # NOTE for round 5: promote from the remaining never-driver-
-    # verified replica-green pool (110 oracled names as of round 4,
-    # exact list below — demote whatever goes green in
-    # CORRECTNESS_r04; prefer capability diversity again):
+    # verified replica-green pool (110 oracled names as of the round-4
+    # rotation, exact list below, PLUS the round-4 additions landed
+    # after the rotation: streaming_jdbc_upsert feed_keyed_roundtrip
+    # events_formats_roundtrip events_partitioned_store
+    # multimodal_frame_sample multimodal_resize
+    # docs_winnowing_fingerprints docs_winnowing_overlap
+    # docs_blocklist_indexed http_ingestion_roundtrip
+    # events_iso_ts_coercion serving_dynamic_coercion — all
+    # replica-green at sf0.001+sf0.01, several strong capability
+    # anchors: the HTTP front door, the streaming JDBC sink, winnowing.
+    # Demote whatever goes green in CORRECTNESS_r04; prefer capability
+    # diversity again):
     # customers_fuzzy_name_pairs revenue_share_hierarchy orders_rolling_aov_28d
     # orders_shipping_delay_stats orders_cohort_ltv orders_seasonal_index
     # suppliers_nation_hhi customers_abc_classification parts_price_elasticity
