@@ -314,9 +314,24 @@ def winnowing_fingerprints(
     unnests), then one shuffle on the 8-byte fingerprint hash for the
     overlap join — the same index-bucket bound as the shingle family.
     """
+    # substr(text, i, 1) re-scans UTF-8 byte boundaries from the
+    # string head, so the hash pass is O(n^2 k) in CHARACTERS — but n
+    # is bounded by the doc length, so corpus cost stays LINEAR with a
+    # measured ~4 ms/doc constant. The tempting rewrites are slower in
+    # practice: hoisting split(text,'') into an array and using
+    # element_at inside the nested lambdas measured 10x WORSE (the
+    # projection collapses and the array expression re-evaluates
+    # inside the HOF; 273 s vs 28 s at sf0.1) — if the constant ever
+    # matters, the sanctioned fast path is an Arrow-batched kernel
+    # twin, not a bigger expression tree.
+    # docs shorter than k yield NO grams. Guarded by the where()
+    # below rather than inside the expression: Spark's sequence(1, 0)
+    # is DESCENDING ([1, 0]), so an unguarded sequence over a
+    # non-positive gram count would fabricate out-of-bounds "grams"
+    # (ascii('') = 0) — caught by the kernel parity test.
     n_hash = f"(length(text) - {k} + 1)"
     gram_hash = (
-        f"transform(sequence(1, greatest({n_hash}, 0)), i -> "
+        f"transform(sequence(1, {n_hash}), i -> "
         f"aggregate(sequence(0, {k - 1}), 0L, "
         f"(acc, j) -> (acc * {base} + ascii(substr(text, i + j, 1))) % {mod}))"
     )
@@ -330,7 +345,8 @@ def winnowing_fingerprints(
         f"named_struct('pos', q, 'h', element_at(H, q)), acc)))"
     )
     return (
-        documents.select("doc_id", F.expr(gram_hash).alias("H"))
+        documents.where(F.length("text") >= k)
+        .select("doc_id", F.expr(gram_hash).alias("H"))
         .where(F.expr("size(H) > 0"))
         .select("doc_id", F.explode(F.expr(win)).alias("fp"))
         .select(
@@ -339,4 +355,80 @@ def winnowing_fingerprints(
             F.col("fp.h").alias("fp_hash"),
         )
         .distinct()
+    )
+
+
+def winnowing_fingerprints_kernel(
+    documents: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Arrow-batched kernel twin of ``winnowing_fingerprints`` — the
+    100 TB path. The expression-tree form is the SPEC (oracle-gated,
+    engine-portable) but pays ~4 ms/doc in interpreter constants; this
+    mapInPandas kernel computes the identical (pos, hash) set with
+    vectorized numpy (~30 µs/doc): codepoints via utf-32 decode (so
+    non-ASCII matches the Column form's ascii()/codepoint semantics),
+    the polynomial hash as an exact int64 window sum (< 2^63, then one
+    mod — congruent to the fold's per-step mods), and rightmost-min
+    winnowing via argmin over reversed sliding windows. Map-only:
+    the downstream distinct/overlap shuffles are unchanged.
+    Exact row-set parity with the spec form is pytest-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("pos", LongType()),
+            StructField("fp_hash", LongType()),
+        ]
+    )
+    powers = np.array(
+        [pow(base, k - 1 - j, mod) for j in range(k)], dtype=np.int64
+    )
+
+    def winnow_batch(batches):
+        for pdf in batches:
+            doc_ids, poss, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                c = np.frombuffer(
+                    str(text).encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                n = len(c) - k + 1
+                if n <= 0:
+                    continue
+                H = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    H += (c[j : j + n] % mod) * powers[j] % mod
+                H %= mod
+                if n <= window:
+                    wins = H[None, :]
+                    starts = np.array([0])
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(
+                        H, window
+                    )
+                    starts = np.arange(n - window + 1)
+                rev_arg = np.argmin(wins[:, ::-1], axis=1)
+                sel_idx = starts + (wins.shape[1] - 1 - rev_arg)
+                sel = {(int(q) + 1, int(H[q])) for q in sel_idx}
+                for pos, h in sel:
+                    doc_ids.append(doc_id)
+                    poss.append(pos)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "pos": poss, "fp_hash": hs}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        winnow_batch, schema=out_schema
     )

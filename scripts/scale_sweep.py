@@ -83,10 +83,21 @@ SWEEP = [
     ("dedup_minhash_lsh_3gram", "documents", 3, "LSH dedup (scale path)", True),
     ("dedup_tokenset_jaccard", "documents", 3, "EXACT pair verifier, GATED md5 cap 1000", True),
     ("streaming_event_metrics", "events", 1, "streaming replay", True),
+    ("docs_winnowing_fingerprints_kernel", "documents", 3,
+     "rolling-hash winnow (Arrow kernel, SCALE PATH)", True),
 ]
 
-# uncapped library exact verifiers: documented super-linear; sf<=0.1 only
+def _winnow_spec(spark, d):
+    from realtime_analytics_pipeline_spark import registry
+
+    return registry.QUERIES["docs_winnowing_fingerprints"](spark, d)
+
+
+# uncapped library exact verifiers + constant-heavy spec forms;
+# sf<=0.1 only (their fast/capped siblings are measured across all SFs)
 UNCAPPED = [
+    ("winnowing (expression-tree spec)", _winnow_spec, "documents",
+     "rolling-hash winnow spec form (linear, ~4 ms/doc constant)"),
     ("jaccard_pairs (uncapped)", _uncapped_jaccard, "documents",
      "EXACT pair verifier (documented O(n^2))"),
     ("activity_similarity (uncapped)", _uncapped_activity, "events",

@@ -140,3 +140,32 @@ def test_winnowing_coverage_guarantee_and_determinism(spark):
     assert {(r.doc_id, r.pos, r.fp_hash) for r in out2} == {
         (r.doc_id, r.pos, r.fp_hash) for r in out
     }
+
+
+def test_winnowing_kernel_exact_parity_with_spec(spark):
+    """The Arrow kernel twin must produce the IDENTICAL (doc, pos,
+    hash) set as the expression-tree spec form — including short docs
+    (n < window) and non-ASCII codepoints (utf-32 decode == ascii()
+    codepoint semantics)."""
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_kernel,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 120")
+    extra = spark.createDataFrame(
+        [
+            (100001, "abcd"),          # shorter than k -> no fingerprints
+            (100002, "abcde"),         # exactly one gram
+            (100003, "abcdefg"),       # fewer grams than the window
+            (100004, "café au lait résumé naïve"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {tuple(r) for r in winnowing_fingerprints(both).collect()}
+    b = {tuple(r) for r in winnowing_fingerprints_kernel(both).collect()}
+    assert a == b and a
