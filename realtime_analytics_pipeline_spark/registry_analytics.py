@@ -2524,16 +2524,60 @@ def _users_activity_similarity(
     )
 
 
-@register("ts_dtw_pairs")  # rows-only: DP not expressible in ANSI SQL
+_DTW_EXPR = """
+list_reduce(
+  list_prepend(
+    list_reduce(
+      list_prepend([abs(xs[1]-ys[1])],
+                   list_transform(range(2, len(ys)+1),
+                                  j -> [CAST(j AS DOUBLE)])),
+      (row, e) -> list_append(
+          row, abs(xs[1]-ys[CAST(e[1] AS INT)]) + row[-1])),
+    list_transform(xs[2:], x -> [x])),
+  (prev, e) -> list_reduce(
+      list_prepend([abs(e[1]-ys[1]) + prev[1]],
+                   list_transform(range(2, len(ys)+1),
+                                  j2 -> [CAST(j2 AS DOUBLE)])),
+      (row, e2) -> list_append(row,
+          abs(e[1]-ys[CAST(e2[1] AS INT)]) +
+          least(prev[CAST(e2[1] AS INT)], row[-1],
+                prev[CAST(e2[1] AS INT)-1])))
+)[len(ys)]
+"""
+
+_DTW_SQL = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1, 2),
+series AS (
+    SELECT event_type, list(c ORDER BY d) AS ys0 FROM daily GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           a.ys0 AS xs, b.ys0 AS ys
+    FROM series a JOIN series b ON a.event_type < b.event_type)
+SELECT t1, t2,
+       CAST(len(xs) AS BIGINT) AS len1,
+       CAST(len(ys) AS BIGINT) AS len2,
+       round({_DTW_EXPR}, 6) + 0.0 AS dtw
+FROM pairs
+"""
+
+
+@register("ts_dtw_pairs", _DTW_SQL)
 def q_ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Dynamic Time Warping between every pair of event-type
     daily-count series — the "needs a UDF" operator run entirely as
     Catalyst higher-order folds (operators/timeseries.py::dtw_distance;
     DP row as array accumulator, no Python execution). Alignment-
     tolerant complement to users_activity_similarity's lockstep
-    cosine. Verified against a Python reference DP in pytest
-    (tests/test_timeseries.py) — both on fixed shapes and on the real
-    testdata series — plus Hypothesis random-series equality."""
+    cosine. ORACLED since round 4: the identical row-fold recurrence
+    replays in DuckDB lambdas (list_reduce with the seed-by-prepend
+    trick for list-typed accumulators) — integer-valued daily counts
+    keep every DP cell exact in both engines, so the former rows-only
+    check is now a full value-hash gate. Also verified against a
+    Python reference DP in pytest (tests/test_timeseries.py), plus
+    Hypothesis random-series equality."""
     from realtime_analytics_pipeline_spark.operators.timeseries import (
         dtw_distance,
     )
@@ -2561,8 +2605,8 @@ def q_ts_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "t1",
         "t2",
-        F.size("xs").alias("len1"),
-        F.size("ys").alias("len2"),
+        F.size("xs").cast("bigint").alias("len1"),
+        F.size("ys").cast("bigint").alias("len2"),
         (F.round(dtw_distance("xs", "ys"), 6) + F.lit(0.0)).alias("dtw"),
     ).orderBy("t1", "t2")
 
