@@ -1949,16 +1949,47 @@ def q_docs_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("basket_graph_kcore")  # rows-only: iterative peeling
+_KCORE_SQL = """
+WITH RECURSIVE base AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym0 AS (
+    SELECT src, dst FROM base
+    UNION
+    SELECT dst, src FROM base),
+peel AS (
+    SELECT 0 AS iter, src, dst FROM sym0
+    UNION ALL
+    SELECT * FROM (
+        WITH cur AS (SELECT * FROM peel),
+        deg AS (SELECT src AS node, count(*) AS d FROM cur GROUP BY 1)
+        SELECT c.iter + 1, c.src, c.dst
+        FROM cur c
+        JOIN deg ds ON c.src = ds.node AND ds.d >= 3
+        JOIN deg dd ON c.dst = dd.node AND dd.d >= 3
+        WHERE c.iter < 30)
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM peel WHERE iter = 30
+GROUP BY 1
+"""
+
+
+@register("basket_graph_kcore", _KCORE_SQL)
 def q_basket_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase graph (parts co-occurring in an
     order): the dense backbone that survives after iteratively peeling
     low-degree parts — the community-detection preprocessing step that
     removes noise edges PageRank and triangle counts are sensitive to.
     operators/clustering.py::k_core runs the peeling loop
-    (semi-join-induced subgraphs, localCheckpoint per round); peel
-    equality with a Python reference is pinned in
-    tests/test_clustering_extra.py."""
+    (semi-join-induced subgraphs, localCheckpoint per round).
+    ORACLED since round 4: the same simultaneous peel replays in a
+    DuckDB recursive CTE (30 bounded iterations, matching the
+    operator's max_iter; fixpoint rows carry forward so iteration 30
+    IS the converged core) — the former rows-only check is now a full
+    value-hash gate. Peel equality with a Python reference remains
+    pinned in tests/test_clustering_extra.py."""
     from realtime_analytics_pipeline_spark.operators.clustering import (
         k_core,
     )
@@ -1980,7 +2011,11 @@ def q_basket_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return k_core(edges, k=3).orderBy("node")
+    out = k_core(edges, k=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("deg").cast("bigint").alias("deg"),
+    ).orderBy("node")
 
 
 @register("docs_blocklist_indexed", _BLOCKLIST_SQL)
