@@ -277,6 +277,7 @@ def q_http_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.schema import (
         ANALYTICS_EVENT_SCHEMA,
         normalize_wire_events,
+        raw_ts_ms,
     )
     from realtime_analytics_pipeline_spark.sources.feed import read_committed
 
@@ -289,7 +290,7 @@ def q_http_ingestion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").alias("user_id"),
             "event_type",
             F.round(F.col("value") * 100).cast("long").alias("cents"),
-            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            raw_ts_ms(ev).alias("ts_ms"),
         )
         .collect()  # bounded: exactly 500 rows by construction
     )

@@ -46,9 +46,12 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 @register("events_formats_roundtrip", _FORMATS_SQL)
 def q_events_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix=f"rtap_fmt_{next(_call)}_")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from realtime_analytics_pipeline_spark.schema import raw_ts
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
+        raw_ts(raw).alias("ts"),
         F.col("user_id").cast("bigint").alias("user_id"),
         "event_type",
         "value",
@@ -132,10 +135,13 @@ def q_events_partitioned_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     that drops or double-reads a partition shows as a row/hash
     mismatch. The pruning itself is additionally plan-gated in
     tests/test_formats_store.py."""
+    from realtime_analytics_pipeline_spark.schema import raw_ts
+
     base = tempfile.mkdtemp(prefix=f"rtap_part_{next(_call)}_")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
         "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
+        raw_ts(raw).alias("ts"),
         F.col("user_id").cast("bigint").alias("user_id"),
         "event_type",
         "value",
@@ -197,9 +203,10 @@ def q_events_iso_ts_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle's own re-parse."""
     from realtime_analytics_pipeline_spark.functions.time import coerce_ts_ms
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
-    )
+    from realtime_analytics_pipeline_spark.schema import raw_ts
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select("event_id", "event_type", raw_ts(raw).alias("ts"))
     wire = ev.select(
         "event_type",
         F.when(

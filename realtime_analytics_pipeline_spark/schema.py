@@ -169,6 +169,21 @@ def raw_ts_ms(df: DataFrame) -> Column:
     return F.unix_millis("ts")
 
 
+def raw_ts(df: DataFrame) -> Column:
+    """Proper TIMESTAMP from the RAW testdata ``ts`` column under
+    either physical flavor (nanos-bigint generations truncate to
+    micros with integer DIV, matching DuckDB's ns handling; timestamp
+    generations pass through). Use this — never ``ts.cast("timestamp")``,
+    which would misread a nanos bigint as epoch SECONDS — in any gated
+    query that reads events.parquet directly instead of via
+    load_events."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    return F.col("ts")
+
+
 def ms(col: Column | str) -> Column:
     """Timestamp -> epoch milliseconds (bigint), the engine's exchange
     format for window boundaries (deterministic across engines/TZs)."""
