@@ -12,9 +12,10 @@ def test_partitioned_store_prunes_partitions(spark, tmp_path):
     """A date predicate on the partition column must reach the scan as
     PartitionFilters and plan only the matching directories — the
     1/365th-of-the-store property a day query relies on at 100 TB."""
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
-        F.col("ts").cast("timestamp").alias("ts"), "event_type"
-    )
+    from realtime_analytics_pipeline_spark.schema import raw_ts
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = raw.select(raw_ts(raw).alias("ts"), "event_type")
     store = str(tmp_path / "store")
     (
         ev.withColumn("event_date", F.to_date("ts"))
