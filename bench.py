@@ -116,6 +116,8 @@ HEADLINE = [
     # keyed feed roundtrips share the same boundary costs and are
     # covered by the gate + their contract tests)
     "jdbc_metrics_roundtrip",  # parallel JDBC write + partitioned read
+    # round-4 fingerprinting scale path (MOSS winnowing, Arrow kernel)
+    "docs_winnowing_fingerprints_kernel",
 ]
 
 
