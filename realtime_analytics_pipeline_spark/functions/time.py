@@ -18,8 +18,17 @@ from pyspark.sql import functions as F
 def coerce_ts_ms(col: Column | str) -> Column:
     """STRING-or-INT timestamp -> epoch-ms BIGINT (null if neither).
 
-    - all-digit strings (and longs arriving as strings) are epoch-ms
-      already — the int branch of _coerce_ts;
+    - digit strings of plausible epoch-ms width (10-19 digits — longs
+      arriving as strings after a homogeneous-column cast) are epoch-ms
+      already — the int branch of _coerce_ts. ``try_cast`` + the width
+      guard keep ANSI mode from throwing on absurd digit runs (a bare
+      ``cast('bigint')`` on a 20-digit string crashes the job under
+      Spark 4's default ANSI semantics — exactly the dirty-feed input
+      this helper promises to null out);
+    - 8-digit strings parse as compact ISO dates (``yyyyMMdd``) — the
+      py3.11+ ``datetime.fromisoformat`` in the reference accepts the
+      basic-format calendar date, and an 8-digit value read as epoch-ms
+      would be a nonsense 1970 instant anyway;
     - otherwise try ISO-8601: ``try_to_timestamp`` after the ``Z`` →
       ``+00:00`` normalization the reference applies, fractional
       seconds included;
@@ -28,8 +37,12 @@ def coerce_ts_ms(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")
-    as_int = F.when(s.rlike(r"^\d+$"), s.cast("bigint"))
+    as_int = F.when(s.rlike(r"^\d{10,19}$"), s.try_cast("bigint"))
+    compact_date = F.when(
+        s.rlike(r"^\d{8}$"),
+        F.unix_millis(F.try_to_timestamp(s, F.lit("yyyyMMdd"))),
+    )
     iso = F.unix_millis(
         F.try_to_timestamp(F.regexp_replace(s, r"Z$", "+00:00"))
     )
-    return F.coalesce(as_int, iso).cast("bigint")
+    return F.coalesce(as_int, compact_date, iso).cast("bigint")

@@ -103,13 +103,26 @@ class _Routes:
         rows = event_wire(self._api.event_latest().collect())
         return 200, (rows[0] if rows else {})  # cache_service.py:22-23
 
+    @staticmethod
+    def _zrevrange_slice(rows: list, limit: int) -> list:
+        """Redis ``zrevrange(key, 0, limit - 1)`` index semantics for
+        limit < 1 (the reference's ``limit: int = 20`` has no ``ge``
+        bound, so negatives reach the repository): end index ≤ -1
+        wraps from the tail — 0 → the whole retained set, -k → all but
+        the k oldest."""
+        if limit >= 1:
+            return rows[:limit]
+        return rows[: max(0, len(rows) + limit)]
+
     def event_windows(self, limit: int = 20) -> tuple[int, Any]:
-        return 200, {"windows": event_wire(self._api.event_windows(limit).collect())}
+        fetch = limit if limit >= 1 else None  # None = all retained
+        rows = event_wire(self._api.event_windows(fetch or 10**6).collect())
+        return 200, {"windows": self._zrevrange_slice(rows, limit)}
 
     def performance_windows(self, limit: int = 20) -> tuple[int, Any]:
-        return 200, {
-            "windows": perf_wire(self._api.performance_windows(limit).collect())
-        }
+        fetch = limit if limit >= 1 else None
+        rows = perf_wire(self._api.performance_windows(fetch or 10**6).collect())
+        return 200, {"windows": self._zrevrange_slice(rows, limit)}
 
     def overview(self) -> tuple[int, Any]:
         ev = event_wire(self._api.event_latest().collect())
@@ -133,7 +146,36 @@ def _make_handler(routes: _Routes):
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             url = urlparse(self.path)
             q = parse_qs(url.query)
-            limit = int(q.get("limit", ["20"])[0])
+            # FastAPI 422s a non-int limit (`limit: int = 20`,
+            # metrics.py:15) — mirror that instead of letting int()
+            # blow up the handler (dropped connection, no status).
+            # Negative/zero ints are NOT rejected by the reference
+            # (no ge= bound); they flow to the zrevrange-wrap slice.
+            try:
+                limit = int(q.get("limit", ["20"])[0])
+            except ValueError:
+                if url.path in (
+                    "/metrics/event/windows",
+                    "/metrics/performance/windows",
+                ):
+                    body = json.dumps(
+                        {
+                            "detail": [
+                                {
+                                    "loc": ["query", "limit"],
+                                    "msg": "value is not a valid integer",
+                                    "type": "int_parsing",
+                                }
+                            ]
+                        }
+                    ).encode()
+                    self.send_response(422)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                limit = 20  # routes that never read it
             table = {
                 "/healthz": routes.healthz,
                 "/readyz": routes.readyz,

@@ -33,6 +33,7 @@ import os
 import secrets
 import threading
 import time
+import urllib.parse
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
@@ -51,9 +52,33 @@ def uuid7() -> str:
 
 
 def _is_url(v: Any) -> bool:
-    return isinstance(v, str) and (
-        v.startswith("http://") or v.startswith("https://")
-    )
+    """HttpUrl-ish: scheme http/https AND a non-empty host — pydantic's
+    HttpUrl rejects a bare 'http://', a prefix check would not."""
+    if not isinstance(v, str):
+        return False
+    try:
+        parts = urllib.parse.urlsplit(v)
+    except ValueError:
+        return False
+    return parts.scheme in ("http", "https") and bool(parts.hostname)
+
+
+def _as_int(v: Any) -> int | None:
+    """Pydantic-v2 lax int coercion: int passes; an int-syntax string
+    ('1920', ' -7 ') parses; an integral float (1920.0) truncates
+    losslessly; bool, '3.5', 1920.5 and everything else fail (None)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return int(v) if v.is_integer() else None
+    if isinstance(v, str):
+        try:
+            return int(v.strip(), 10)
+        except ValueError:
+            return None
+    return None
 
 
 def validate_event(payload: Any) -> list[dict[str, str]]:
@@ -85,8 +110,11 @@ def validate_event(payload: Any) -> list[dict[str, str]]:
         if not isinstance(device.get("user_agent"), str):
             err("device.user_agent", "field required (string)")
         for f in ("screen_width", "screen_height"):
-            if not isinstance(device.get(f), int) or isinstance(device.get(f), bool):
+            coerced = _as_int(device.get(f))
+            if coerced is None:
                 err(f"device.{f}", "field required (int)")
+            else:
+                device[f] = coerced  # pydantic lax: '1920' -> 1920
     ctx = payload.get("context")
     if not isinstance(ctx, dict):
         err("context", "field required")
@@ -108,8 +136,12 @@ def validate_event(payload: Any) -> list[dict[str, str]]:
     else:
         for f in ("load_time", "interaction_time"):
             v = metrics.get(f)
-            if v is not None and (not isinstance(v, int) or isinstance(v, bool)):
-                err(f"metrics.{f}", "int or null")
+            if v is not None:
+                coerced = _as_int(v)
+                if coerced is None:
+                    err(f"metrics.{f}", "int or null")
+                else:
+                    metrics[f] = coerced
     props = payload.setdefault("properties", {})
     if not isinstance(props, dict) or not all(
         isinstance(k, str) and isinstance(v, (str, int, float))
@@ -118,8 +150,11 @@ def validate_event(payload: Any) -> list[dict[str, str]]:
     ):
         err("properties", "mapping of str -> str|int|float")
     ts = payload.setdefault("timestamp", int(time.time() * 1000))
-    if not isinstance(ts, int) or isinstance(ts, bool):
+    coerced_ts = _as_int(ts)
+    if coerced_ts is None:
         err("timestamp", "epoch-ms int")
+    else:
+        payload["timestamp"] = coerced_ts  # digit string -> int, as pydantic
     return errs
 
 

@@ -71,15 +71,21 @@ def q_jdbc_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = em.agg(
         F.min("window_start_ms").alias("lo"), F.max("window_start_ms").alias("hi")
     ).first()
-    back = read_jdbc(
-        spark,
-        url,
-        "event_metrics",
-        partition_column="window_start_ms",
-        lower_bound=bounds["lo"],
-        upper_bound=bounds["hi"] + 1,
-        num_partitions=4,
-    )
+    if bounds["lo"] is None:
+        # empty metrics slice (no allowed event types): a partitioned
+        # read has no bounds to slice on — fall back to a single-task
+        # scan of the (empty) table instead of raising on None + 1
+        back = read_jdbc(spark, url, "event_metrics")
+    else:
+        back = read_jdbc(
+            spark,
+            url,
+            "event_metrics",
+            partition_column="window_start_ms",
+            lower_bound=bounds["lo"],
+            upper_bound=bounds["hi"] + 1,
+            num_partitions=4,
+        )
     return back.select(
         F.col("window_start_ms").cast("bigint").alias("window_start_ms"),
         "event_type",

@@ -132,3 +132,28 @@ def test_readyz_503_when_store_unready(spark):
         assert ei.value.read().decode() == "not ready"
     finally:
         srv.close()
+
+
+def test_bad_limit_replies_422_not_dropped_connection(server):
+    """FastAPI 422s a non-int limit (`limit: int = 20`, metrics.py:15);
+    the stdlib mirror must reply with a status, not a stack trace."""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/metrics/event/windows?limit=abc")
+    assert ei.value.code == 422
+    detail = json.loads(ei.value.read().decode())["detail"]
+    assert detail[0]["loc"] == ["query", "limit"]
+    # routes that never read limit ignore a junk one, as FastAPI does
+    status, _, h = _get(server, "/healthz?limit=abc")
+    assert status == 200 and h["status"] == "ok"
+
+
+def test_negative_limit_zrevrange_wrap(server):
+    """The reference has no ge= bound: limit<1 reaches
+    zrevrange(0, limit-1), whose end index wraps from the tail —
+    0 keeps everything retained, -k drops the k oldest."""
+    _, _, everything = _get(server, "/metrics/event/windows?limit=0")
+    n = len(everything["windows"])
+    assert n > 5
+    _, _, minus = _get(server, "/metrics/event/windows?limit=-3")
+    assert len(minus["windows"]) == n - 3
+    assert minus["windows"] == everything["windows"][: n - 3]

@@ -147,3 +147,34 @@ def test_validate_event_field_rules():
     p["context"]["ip_address"] = "10.0.0.1"
     p["properties"] = {"campaign_id": "camp_1", "n": 3, "f": 1.5}
     assert validate_event(p) == []
+
+
+def test_validate_event_pydantic_lax_coercions():
+    """Pydantic v2 lax mode (the reference model's default): int-syntax
+    strings and integral floats coerce for int fields; HttpUrl needs a
+    real host, not just the scheme prefix."""
+    p = _wire_event(4, "u")
+    p["device"]["screen_width"] = "1920"
+    p["device"]["screen_height"] = 1080.0
+    p["metrics"]["load_time"] = " 250 "
+    p["timestamp"] = "1704067200000"
+    assert validate_event(p) == []
+    # coercions normalized in place, as model_dump would serialize
+    assert p["device"]["screen_width"] == 1920
+    assert p["device"]["screen_height"] == 1080
+    assert p["metrics"]["load_time"] == 250
+    assert p["timestamp"] == 1704067200000
+    # non-integral / bool / float-syntax strings still 422
+    for field_set, loc in [
+        (lambda q: q["device"].update(screen_width=1920.5), "device.screen_width"),
+        (lambda q: q["device"].update(screen_height=True), "device.screen_height"),
+        (lambda q: q["metrics"].update(load_time="3.5"), "metrics.load_time"),
+    ]:
+        q = _wire_event(5, "u")
+        field_set(q)
+        assert any(e["loc"] == loc for e in validate_event(q)), loc
+    # HttpUrl structure: scheme alone is not a URL
+    for bad in ("http://", "https://", "http:///path", "ftp://example.com"):
+        q = _wire_event(6, "u")
+        q["context"]["url"] = bad
+        assert any(e["loc"] == "context.url" for e in validate_event(q)), bad

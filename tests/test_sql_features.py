@@ -163,6 +163,13 @@ def test_coerce_ts_ms_matches_reference_coercion(spark):
             ("2024-01-01T00:00:00.123456Z", 1704067200123),
             ("2024-01-01T00:00:00+00:00", 1704067200000),
             ("2024-01-01 12:30:00.5", 1704112200500),
+            # compact ISO date: py3.11+ fromisoformat parses the basic
+            # format; must NOT be read as an 8-digit epoch-ms (~1970)
+            ("20240110", 1704844800000),
+            # longer than bigint: try_cast must null, never raise (ANSI)
+            ("99999999999999999999", None),
+            # 9 digits: neither plausible epoch-ms nor a compact date
+            ("123456789", None),
             ("not-a-ts", None),
             (None, None),
         ],

@@ -430,9 +430,15 @@ def test_idle_source_watermark_policy_max(spark, tmp_path):
             live_dir = str(tmp_path / f"live_{tag}")
             for d in (idle_dir, live_dir):
                 os.makedirs(d, exist_ok=True)
-            # idle source: ONE old file (its watermark stays at
-            # 2024-01); live source: the same events shifted +2 years
-            ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            # idle source: ONE old file (its watermark stays at the
+            # testdata epoch); live source: the same events shifted
+            # +2 years. Flavor-proof: raw ts may be a nanos BIGINT
+            # (interval arithmetic on it fails analysis), so normalize
+            # through schema.raw_ts first and shift the real timestamp.
+            from realtime_analytics_pipeline_spark.schema import raw_ts
+
+            raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            ev = raw.withColumn("ts", raw_ts(raw))
             ev.write.mode("overwrite").parquet(idle_dir + "/f.parquet")
             ev.withColumn(
                 "ts", F.col("ts") + F.expr("INTERVAL 2 YEARS")
@@ -464,12 +470,24 @@ def test_idle_source_watermark_policy_max(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", old)
 
+    from realtime_analytics_pipeline_spark.schema import raw_ts as _raw_ts
+
+    _raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    base_years = {
+        r[0]
+        for r in _raw.select(F.year(_raw_ts(_raw))).distinct().collect()
+    }
+    shifted_years = {y + 2 for y in base_years}
+
     years_min, n_min = run("min", "a")
     years_max, n_max = run("max", "b")
     # min: the global watermark is pinned at the idle source's old
     # event time, so the LIVE (+2y) side's windows never finalize —
-    # only 2024 windows appear
-    assert years_min == {2024}, (years_min, n_min)
+    # only base-epoch windows appear
+    assert years_min == base_years, (years_min, base_years, n_min)
     # max: the live source drives the watermark; both sides finalize
-    assert 2026 in years_max and 2024 in years_max, (years_max, n_max)
+    assert shifted_years & years_max and base_years & years_max, (
+        years_max,
+        n_max,
+    )
     assert n_max > n_min
