@@ -369,139 +369,83 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # ROUND 4 window: 50 queries, ZERO overlap with CORRECTNESS_r01/r02/
-    # r03 — every name below is replica-green at sf0.001+sf0.01 but has
-    # never had a driver row. Chosen per the promotion plan the round-3
-    # window carried (and VERDICT r03 item 1): capability shapes with no
-    # green driver row anywhere come first. The 50 r03-green queries are
-    # demoted to tier 2 (they keep their oracles; the driver simply
-    # checked them already).
+    # ROUND 5 window: 50 queries, ZERO overlap with CORRECTNESS_r01-r04 —
+    # every name below is replica-green at sf0.001+sf0.01 but has never
+    # had a driver row. Chosen per VERDICT r04 item 1: the 13 round-4
+    # capability anchors lead (HTTP front door, streaming JDBC upsert,
+    # keyed feed, format/partition stores, winnowing, blocklist index,
+    # coercions, multimodal kernels), then capability-diverse fills from
+    # the enumerated pool (streaming shapes, relational analytics,
+    # sampling/curation siblings). The 50 r04-green queries are demoted
+    # to tier 2 (they keep their oracles; the driver already checked
+    # them).
     #
-    # TPC-H matrix completion (q1-q22 now all driver-verified once
-    # these go green; q11/q16/q20 were named by the verdict):
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_volume",
-    "tpch_q20_excess_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    # SQL-surface capability anchors (each an engine feature no other
-    # green row exercises: recursive CTE, VARIANT, UDTF, LATERAL,
-    # SQL pipe syntax, XML, GROUPING SETS):
-    "orders_monthly_spine_recursive",
-    "events_props_variant",
-    "sessions_udtf",
-    "orders_lateral_top3",
-    "sql_pipe_demo",
-    "events_xml_roundtrip",
-    "events_grouping_sets",
-    # Real JDBC connector round trip (new in round 4 — VERDICT item 5:
-    # write through DataFrameWriter.jdbc into embedded Derby, read
-    # back with a range-partitioned JDBC scan, oracled against the
-    # direct computation). Takes the slot of customer_supplier_union,
-    # whose set-op family already carries driver evidence through the
-    # r01/r02-green EXCEPT/INTERSECT twins:
-    "jdbc_metrics_roundtrip",
-    # CEP + streaming shapes never driver-run (MATCH_RECOGNIZE-style
-    # sequence detection; full-outer interval join; custom feed-source
-    # windows; sliding panes; stateful running totals finalization):
-    "events_cep_pattern",
-    "sessions_cep_conversion",
-    "streaming_interval_join_full",
-    "streaming_feed_windows",
-    "streaming_sliding_window_5m1m",
-    "streaming_stateful_totals_final",
-    # Experimentation / statistics suite (verdict-named):
-    "events_ab_cuped",
-    "events_ab_did",
-    "events_mann_whitney",
-    "events_ab_srm_check",
-    "events_bootstrap_ci",
-    "orders_forecast_backtest",
-    "events_hourly_anomaly_stl",
-    "orders_holt_forecast",
-    # Analytics shapes (skyline, rolling median, HBOS outliers,
-    # DECIMAL money, CUSUM changepoint, snapshot diff, CDC merge,
-    # null-safe bucket join):
-    "parts_skyline_price_qty",
-    "orders_rolling_median_7d",
-    "events_hbos_outliers",
-    "orders_decimal_money",
-    "orders_changepoint_cusum",
-    "orders_snapshot_diff",
-    "customers_cdc_merge",
-    "events_nullsafe_bucket_join",
-    # Graph / dedup / embedding anchors (pagerank over dup graph,
-    # triangle counting, the now-capped exact activity-similarity,
-    # MMR rerank, PQ codes, Matryoshka truncation recall):
-    "dedup_graph_pagerank",
-    "basket_graph_triangles",
-    "users_activity_similarity",
-    "sim_mmr_rerank",
-    "emb_pq_codes",
-    "emb_truncated_recall",
-    # Text / docs / curation (the capstone pipeline + four distinct
-    # text-analysis operators):
-    "pipeline_curation_full",
-    "text_repetition_metrics",
-    "docs_rake_phrases",
-    "text_bigram_logprob",
-    "docs_blocklist_filter",
-    # Multimodal (chunking + digest-dedup; multimodal_features went
-    # green r03):
-    "multimodal_chunks",
-    "multimodal_dedup_digest",
-    # NOTE for round 5: promote from the remaining never-driver-
-    # verified replica-green pool (110 oracled names as of the round-4
-    # rotation, exact list below, PLUS the round-4 additions landed
-    # after the rotation: streaming_jdbc_upsert feed_keyed_roundtrip
-    # events_formats_roundtrip events_partitioned_store
-    # multimodal_frame_sample multimodal_resize
-    # docs_winnowing_fingerprints docs_winnowing_overlap
-    # docs_blocklist_indexed http_ingestion_roundtrip
-    # events_iso_ts_coercion serving_dynamic_coercion — all
-    # replica-green at sf0.001+sf0.01, several strong capability
-    # anchors: the HTTP front door, the streaming JDBC sink, winnowing.
-    # Demote whatever goes green in CORRECTNESS_r04; prefer capability
-    # diversity again):
-    # customers_fuzzy_name_pairs revenue_share_hierarchy orders_rolling_aov_28d
-    # orders_shipping_delay_stats orders_cohort_ltv orders_seasonal_index
-    # suppliers_nation_hhi customers_abc_classification parts_price_elasticity
-    # nations_trade_balance sample_docs_hash sample_docs_stratified
-    # train_eval_split pipeline_quality_dedup_sample source_mixing_weights
-    # pipeline_decontaminated_corpus text_dup_ngram_fraction text_boilerplate_chunks
-    # docs_length_ks_by_source text_unigram_logprob text_normalize
-    # dedup_modality_agreement corpus_budget_selection emb_contrastive_pairs
-    # text_sliding_chunks emb_balanced_sample text_langid_confusion
-    # docs_vocab_growth docs_zipf_fit dedup_cluster_sizes
-    # docs_pmi_collocations emb_outlier_detection text_token_burstiness
-    # docs_js_divergence_by_source dedup_threshold_sweep docs_quantile_normalize
-    # docs_ccnet_ppl_buckets streaming_interval_join streaming_value_outliers
-    # streaming_histogram_per_window streaming_daily_users_bitmap streaming_error_slo
-    # customer_supplier_union serving_unpivot events_cube_day_type
-    # doc_length_zscores value_trend_by_type events_user_entropy
-    # events_decayed_engagement customers_gini_revenue incremental_metric_merge
-    # orders_monthly_growth events_hourly_seasonality events_distinct_users_bitmap
-    # sessions_max_concurrency_daily events_rate_limited attribution_linear_credit
-    # events_time_weighted_avg_daily sessions_bounce_rate_daily performance_daily_percentiles
-    # events_ohlc_hourly events_value_equidepth events_error_slo_5m
-    # events_new_vs_returning orders_priority_mix_drift events_user_streaks
-    # events_weekly_engagement_histogram orders_interpurchase_time events_survival_curve
-    # attribution_latency_stats events_type_correlation events_null_semantics
-    # orders_benford_check rollup_incremental_refresh events_markov_entropy_rate
-    # events_ab_test_lift events_ab_power orders_revenue_trend_ols
-    # funnel_time_constrained parts_abc_xyz_matrix events_type_hour_mi
-    # events_daily_acf orders_bullwhip_ratio customers_churn_risk
-    # orders_open_aging suppliers_return_outliers customers_decile_migration
-    # users_velocity_features orders_duplicate_invoices orders_price_index_laspeyres
-    # value_drift_trailing7 sample_docs_quota events_value_winsorized
-    # events_sliding_window_paned events_forget_users emb_random_projection
-    # asof_forward_next_error lineitem_spend_point_in_time events_value_histogram
-    # dedup_impact_report orders_market_basket events_user_paths
-    # customers_rfm_segments events_dau_wau_mau events_interarrival_stats
-    # session_metrics_dynamic_gap customers_revenue_pareto sessions_conversion_by_depth
-    # basket_rules_lift sample_docs_aes_weighted
+    # Round-4 capability anchors (replica-green, no driver row):
+    "http_ingestion_roundtrip",
+    "streaming_jdbc_upsert",
+    "feed_keyed_roundtrip",
+    "events_formats_roundtrip",
+    "events_partitioned_store",
+    "docs_winnowing_fingerprints",
+    "docs_winnowing_overlap",
+    "docs_winnowing_fingerprints_kernel",
+    "docs_blocklist_indexed",
+    "events_iso_ts_coercion",
+    "serving_dynamic_coercion",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # Streaming shapes never driver-run (event-time interval join,
+    # per-window outliers/histograms, bitmap daily users, SLO):
+    "streaming_interval_join",
+    "streaming_value_outliers",
+    "streaming_histogram_per_window",
+    "streaming_daily_users_bitmap",
+    "streaming_error_slo",
+    # Relational analytics suite (fuzzy join, hierarchy share, rolling
+    # AOV, shipping-delay stats, cohort LTV, seasonality, HHI, ABC,
+    # elasticity, trade balance):
+    "customers_fuzzy_name_pairs",
+    "revenue_share_hierarchy",
+    "orders_rolling_aov_28d",
+    "orders_shipping_delay_stats",
+    "orders_cohort_ltv",
+    "orders_seasonal_index",
+    "suppliers_nation_hhi",
+    "customers_abc_classification",
+    "parts_price_elasticity",
+    "nations_trade_balance",
+    # Docs / sampling / curation-pipeline siblings:
+    "sample_docs_hash",
+    "sample_docs_stratified",
+    "train_eval_split",
+    "pipeline_quality_dedup_sample",
+    "source_mixing_weights",
+    "pipeline_decontaminated_corpus",
+    "text_dup_ngram_fraction",
+    "text_boilerplate_chunks",
+    "docs_zipf_fit",
+    "docs_pmi_collocations",
+    # Analytics shapes (set-op union, unpivot, CUBE, entropy, Gini,
+    # incremental merge, null semantics, bitmap distinct):
+    "customer_supplier_union",
+    "serving_unpivot",
+    "events_cube_day_type",
+    "events_user_entropy",
+    "customers_gini_revenue",
+    "incremental_metric_merge",
+    "events_null_semantics",
+    "events_distinct_users_bitmap",
+    # Curation / behavioral anchors:
+    "events_dau_wau_mau",
+    "customers_rfm_segments",
+    "orders_market_basket",
+    "session_metrics_dynamic_gap",
+    # NOTE for round 6: promote from the remaining never-driver-verified
+    # replica-green pool (79 oracled names after this rotation — run
+    # `python scripts/propose_window.py --all` for the authoritative
+    # list; favor capability diversity again: the remaining
+    # text/embedding analytics, attribution/AB suite, rate-limit and
+    # survival shapes, point-in-time/as-of curation queries).
 ]
 
 
