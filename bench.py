@@ -1,17 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE SHORT JSON line (~200 bytes — the driver tail-captures
+stdout and anything KB-sized gets truncated; see VERDICT r03/r04):
 {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
- "queries": {name: sec, ...}, "spread": {name: [min, max], ...},
- "reps": 3, "sf": 0.1}
+ "n_queries": K, "reps": 3, "contended": C,
+ "streaming_events_per_sec": R, "sf": 0.1, "detail": "BENCH_LOCAL.json"}
+
+The FULL payload — per-query medians, min/max spread, contended-query
+names — is written to BENCH_LOCAL.json (committed) on every run.
 
 Each query materializes fully through the noop sink (no driver
 collect, no result truncation — times the whole distributed plan).
-Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries"
-reports per-query MEDIANS and "spread" the min/max envelope — this VM
-has documented 2-4x run-to-run wall-clock noise, so single-shot
-numbers are not comparable across rounds.
+Every query runs $SPARK_GRAFT_BENCH_REPS times (default 3); queries
+whose run spread exceeds 3x AND 0.5 s get 2 extra reps (median over
+5 — machine-contention defense). This VM has documented 2-4x
+run-to-run wall-clock noise, so single-shot numbers are not
+comparable across rounds.
 """
 
 from __future__ import annotations
@@ -137,19 +142,30 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    contended: list[str] = []
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        runs = []
-        for _ in range(reps):
+
+        def one_run() -> float:
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
+            return time.time() - t0
+
+        runs = [one_run() for _ in range(reps)]
+        # contention defense (VERDICT r04: driver bench ran on a busy
+        # machine and 3 medians drifted out of envelope): a >3x run
+        # spread that is also >0.5 s absolute means at least one rep
+        # hit machine noise — take 2 extra reps so the median has a
+        # majority of clean samples
+        if max(runs) / max(min(runs), 1e-9) > 3.0 and max(runs) - min(runs) > 0.5:
+            runs += [one_run(), one_run()]
+            contended.append(name)
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         print(
             f"  {name}: median {timings[name]:.2f}s "
-            f"[{spread[name][0]:.2f}, {spread[name][1]:.2f}] x{reps}",
+            f"[{spread[name][0]:.2f}, {spread[name][1]:.2f}] x{len(runs)}",
             file=sys.stderr,
         )
 
@@ -167,18 +183,31 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": reps,
+        "contended": contended,
         "streaming_events_per_sec": events_per_sec,
         "sf": sf,
     }
-    # The driver tail-captures stdout and its buffer truncated the r03
-    # line (BENCH_r03.json parsed: null). Two defenses: the min/max
-    # spread detail lives only in BENCH_LOCAL.json (keeps the stdout
-    # line compact), and the full payload is also written to disk so a
-    # truncated capture can always be reconstructed.
+    # The driver tail-captures stdout and ~5.6 KB lines got truncated
+    # TWICE (BENCH_r03/r04 parsed: null — the capture window starts
+    # mid-dict). Defense in depth, per VERDICT r04 item 2: stdout gets
+    # a SHORT headline line only (~200 bytes — no per-query dict);
+    # the full payload including per-query medians and min/max spread
+    # lives in BENCH_LOCAL.json, committed for provenance.
     with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
         json.dump({**payload, "spread": spread}, f)
+    headline = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "reps": reps,
+        "contended": len(contended),
+        "streaming_events_per_sec": events_per_sec,
+        "sf": sf,
+        "detail": "BENCH_LOCAL.json",
+    }
     sys.stdout.flush()
-    print(json.dumps(payload))
+    print(json.dumps(headline))
     sys.stdout.flush()
 
 

@@ -313,6 +313,12 @@ def winnowing_fingerprints(
     winnow scan as higher-order folds, no explode until the caller
     unnests), then one shuffle on the 8-byte fingerprint hash for the
     overlap join — the same index-bucket bound as the shingle family.
+
+    BENCH NOTE: this is the READABLE SPEC TWIN — linear (α 0.96) but
+    with a ~4 ms/doc constant, ~10x the Arrow kernel's. The benched /
+    scale form is ``winnowing_fingerprints_kernel`` (fingerprint-for-
+    fingerprint identical, pinned by the parity test); never promote
+    this spec form into the bench headline set.
     """
     # substr(text, i, 1) re-scans UTF-8 byte boundaries from the
     # string head, so the hash pass is O(n^2 k) in CHARACTERS — but n

@@ -1,5 +1,6 @@
-"""Generate local sf0.3 / sf1 slices of `events` and `documents` for the
-extended scale sweep (one decade above the driver's sf0.1).
+"""Generate local sf0.3 / sf1 slices of `events`, `documents` AND the
+TPC-H join trio (`customer`, `orders`, `lineitem`) for the extended
+scale sweep (one decade above the driver's sf0.1).
 
 The driver's testdata tops out at sf0.1; alpha estimates from
 sub-second sf0.01→sf0.1 steps can be flattered by fixed overhead. These
@@ -14,6 +15,17 @@ distributions as the driver tables, measured empirically from sf0.1:
   empirical mix, source uniform src0..src19, text a word salad drawn
   from the per-lang empirical word distribution of sf0.1 with uniform
   10..100 words per doc (matching the observed length stats).
+- customer/orders/lineitem (the q3/q18 join classes; VERDICT r04
+  item 5): the driver tables are all-independent-uniform (verified
+  empirically at sf0.1 — lines-per-order is Poisson(4) from uniform
+  l_orderkey draws, shipdate independent of orderdate, every numeric
+  uniform over its observed range), so the same cardinality rules
+  reproduce the join selectivities exactly: customer 150k·sf, orders
+  1.5M·sf, lineitem 6M·sf; keys uniform over the parent table;
+  mktsegment/status/priority/returnflag/linestatus uniform over the
+  observed category sets; dates uniform day-granular over
+  [1995-01-01, 2001-08-01] (orders) / [1995-01-02, 2001-11-04]
+  (lineitem); l_partkey over 200k·sf, l_suppkey over 10k·sf.
 
 Timing fidelity is the goal (same row widths, cardinalities, join/agg
 selectivities); these slices carry no oracle and are NOT gate inputs.
@@ -82,6 +94,90 @@ def gen_documents(sf: float, rng: np.random.Generator, lang_words: dict, lang_p)
     )
 
 
+_DAY_US = 86_400 * 1_000_000
+
+
+def _days(rng: np.random.Generator, lo: str, hi: str, n: int) -> pa.Array:
+    lo_d = np.datetime64(lo, "D").astype("int64")
+    hi_d = np.datetime64(hi, "D").astype("int64")
+    return pa.array(rng.integers(lo_d, hi_d + 1, n) * _DAY_US).cast(
+        pa.timestamp("us")
+    )
+
+
+def gen_tpch(sf: float, rng: np.random.Generator, out_dir: str) -> None:
+    n_cust = int(150_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_li = int(6_000_000 * sf)
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype="int64")),
+            "c_name": pa.array(
+                [f"Customer#{i:09d}" for i in range(n_cust)]
+            ),
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, n_cust).astype("int32")
+            ),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-1000.0, 10000.0, n_cust), 2)
+            ),
+            "c_mktsegment": pa.array(
+                np.array(
+                    ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+                )[rng.integers(0, 5, n_cust)]
+            ),
+        }
+    )
+    pq.write_table(customer, f"{out_dir}/customer.parquet")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord, dtype="int64")),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+            "o_orderstatus": pa.array(
+                np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000.0, 500000.0, n_ord), 2)
+            ),
+            "o_orderdate": _days(rng, "1995-01-01", "2001-08-01", n_ord),
+            "o_orderpriority": pa.array(
+                np.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                )[rng.integers(0, 5, n_ord)]
+            ),
+        }
+    )
+    pq.write_table(orders, f"{out_dir}/orders.parquet")
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n_li)),
+            "l_partkey": pa.array(rng.integers(0, int(200_000 * sf), n_li)),
+            "l_suppkey": pa.array(rng.integers(0, int(10_000 * sf), n_li)),
+            "l_linenumber": pa.array(
+                rng.integers(1, 8, n_li).astype("int32")
+            ),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n_li).astype("float64")
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900.0, 105000.0, n_li), 2)
+            ),
+            "l_discount": pa.array(
+                np.round(rng.uniform(0.0, 0.1, n_li), 2)
+            ),
+            "l_tax": pa.array(np.round(rng.uniform(0.0, 0.08, n_li), 2)),
+            "l_returnflag": pa.array(
+                np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(["O", "F"])[rng.integers(0, 2, n_li)]
+            ),
+            "l_shipdate": _days(rng, "1995-01-02", "2001-11-04", n_li),
+        }
+    )
+    pq.write_table(lineitem, f"{out_dir}/lineitem.parquet")
+
+
 def main() -> None:
     con = duckdb.connect()
     values_pool = (
@@ -105,7 +201,11 @@ def main() -> None:
         pq.write_table(
             gen_documents(sf, rng, lang_words, lang_p), f"{d}/documents.parquet"
         )
-        print(f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)}")
+        gen_tpch(sf, rng, d)
+        print(
+            f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)} "
+            f"lineitem={int(6e6 * sf)}"
+        )
 
 
 if __name__ == "__main__":

@@ -19,8 +19,9 @@ extends `events` and `documents` one decade further (.scale/sf0.3,
 .scale/sf1 — same layout and marginal distributions, timing-fidelity
 only); queries driven by those two tables are swept across BOTH
 decades, which is what catches an alpha estimate flattered by
-overhead-bound sub-second rows. Queries driven by TPC-H tables stop at
-sf0.1 (no generator for those at higher SFs).
+overhead-bound sub-second rows. The TPC-H join trio (customer/orders/
+lineitem) is synthesized too, so the q3/q18 join classes sweep BOTH
+decades as well (VERDICT r04 item 5).
 
 The two capped gate queries (dedup_tokenset_jaccard,
 users_activity_similarity) are swept in both forms: the GATED form
@@ -75,8 +76,8 @@ SWEEP = [
     ("events_projection_filter", "events", 3, "map-only scan", True),
     ("event_metrics_1m", "events", 3, "hash aggregation", True),
     ("events_running_totals", "events", 3, "window function", True),
-    ("tpch_q3_shipping_priority", "lineitem", 3, "broadcast-dim join", False),
-    ("tpch_q18_large_volume", "lineitem", 3, "agg-of-agg semi join", False),
+    ("tpch_q3_shipping_priority", "lineitem", 3, "broadcast-dim join", True),
+    ("tpch_q18_large_volume", "lineitem", 3, "agg-of-agg semi join", True),
     ("asof_purchase_attribution", "events", 3, "as-of join", True),
     ("value_p95_sketch_rollup_1h", "events", 3, "mergeable sketch", True),
     ("users_activity_similarity", "events", 3, "pair join, GATED md5 cap 500", True),
@@ -121,7 +122,9 @@ def main() -> None:
 
     counts: dict[str, dict[str, int]] = {}
     for t in {t for _, t, _, _, _ in SWEEP}:
-        sfs = STD_SFS + (EXT_SFS if have_ext and t in ("events", "documents") else [])
+        sfs = STD_SFS + (
+            EXT_SFS if have_ext and t in ("events", "documents", "lineitem") else []
+        )
         counts[t] = {
             sf: spark.read.parquet(f"{sf_dir(sf)}/{t}.parquet").count()
             for sf in sfs
