@@ -161,6 +161,12 @@ def main() -> None:
         if max(runs) / max(min(runs), 1e-9) > 3.0 and max(runs) - min(runs) > 0.5:
             runs += [one_run(), one_run()]
             contended.append(name)
+        # sub-second queries are contention-noise dominated (VERDICT
+        # r05: session_metrics 0.37→0.66 s on a contended run never
+        # trips the absolute-spread gate) — 2 extra cheap reps give the
+        # median a majority of clean samples at ~1 s total cost
+        elif min(runs) < 1.0 and max(runs) > 1.5 * min(runs):
+            runs += [one_run(), one_run()]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         print(

@@ -148,6 +148,49 @@ def jaccard_pairs(
     )
 
 
+def overlap_pairs(
+    documents: DataFrame, n: int = 1, threshold: float = 0.9
+) -> DataFrame:
+    """Exact overlap-coefficient pairs: |A∩B| / min(|A|,|B|) ≥ threshold.
+
+    The CONTAINMENT signal Jaccard misses: a short document fully
+    quoted inside a much longer one has low Jaccard (union is large)
+    but overlap ≈ 1 — the subset-duplicate case in web corpora
+    (boilerplate inclusion, quoted articles). Same inverted-index
+    self-join plan shape as jaccard_pairs — pairs materialize only for
+    docs sharing a shingle, sizes broadcast — so the same scale
+    posture applies (gated form md5-capped; MinHash-LSH remains the
+    100 TB candidate-generation path).
+    Output: doc_a, doc_b (a < b), overlap (rounded 6).
+    """
+    sh = _doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "overlap")
+    )
+
+
 def minhash_signatures(
     documents: DataFrame, n: int = 1, num_perm: int = 64
 ) -> DataFrame:

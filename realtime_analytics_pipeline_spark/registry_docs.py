@@ -2975,3 +2975,174 @@ def q_docs_winnowing_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("bigint").alias("pos"),
         F.col("fp_hash").cast("bigint").alias("fp_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6 additions: containment dedup, cross-source dup forensics,
+# embedding per-dimension statistics.
+# --------------------------------------------------------------------------
+
+_OVERLAP_SQL = f"""
+WITH sample_docs AS (
+    -- deterministic md5-ordered fixed cap, same discipline as
+    -- dedup_tokenset_jaccard: flat gate cost at any SF
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM sample_docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / least(sa.sz, sb.sz), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1.0 / least(sa.sz, sb.sz), 6) >= 0.9
+"""
+
+
+@register("dedup_overlap_containment", _OVERLAP_SQL)
+def q_overlap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact overlap-coefficient (|A∩B|/min(|A|,|B|)) verifier — the
+    CONTAINMENT signal Jaccard misses: a short doc fully quoted inside
+    a long one (boilerplate inclusion, subset duplicates). Same
+    md5-capped gate discipline as dedup_tokenset_jaccard; the
+    inverted-index self-join only materializes shingle-sharing pairs,
+    MinHash-LSH stays the 100 TB candidate path."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(1000)
+    )
+    capped = docs.join(F.broadcast(sample), "doc_id", "left_semi")
+    return D.overlap_pairs(capped, n=1, threshold=0.9)
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH sample_docs AS (
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM sample_docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.5
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS pair_count,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM pairs
+JOIN sample_docs da ON da.doc_id = pairs.doc_a
+JOIN sample_docs db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_cross_source_matrix", _CROSS_SOURCE_SQL)
+def q_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup FLOW between sources — which crawls/feeds duplicate
+    which: exact-Jaccard pairs (>=0.5, md5-capped sample) mapped to an
+    unordered source pair, with pair counts and mean similarity. The
+    corpus-forensics rollup a curation team reads before deciding
+    which source to down-weight; at 100 TB the pair generator swaps to
+    the banded MinHash-LSH candidates, the rollup is unchanged (a
+    GROUP BY over source pairs, broadcast dims)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(1000)
+    )
+    capped = docs.join(F.broadcast(sample), "doc_id", "left_semi")
+    pairs = D.jaccard_pairs(capped, n=1, threshold=0.5)
+    src = capped.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+_EMB_DIM_STATS_SQL = """
+WITH e AS (
+    SELECT unnest(embedding::DOUBLE[]) AS val,
+           generate_subscripts(embedding, 1) AS dim1
+    FROM embeddings
+)
+SELECT dim1 - 1 AS dim,
+       count(*) AS n,
+       round(avg(val), 6) AS mean_val,
+       round(stddev_samp(val), 6) AS std_val,
+       round(min(val), 6) AS min_val,
+       round(max(val), 6) AS max_val
+FROM e GROUP BY 1
+"""
+
+
+@register("emb_dim_stats", _EMB_DIM_STATS_SQL)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    calibration read before whitening, PQ codebook sizing
+    (emb_pq_codes) or int8 quantization (emb_quantize_int8): dead or
+    low-variance dimensions are truncation candidates (Matryoshka,
+    emb_truncated_recall). posexplode keeps the plan a single
+    partial+final hash aggregate keyed on the (tiny) dimension index —
+    at 100 TB this is a map-side-combine dominated scan, the reduce
+    side is |dims| rows."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            )
+        )
+        .groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 6).alias("std_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+    )

@@ -136,14 +136,20 @@ def normalize_testdata_events(df: DataFrame) -> DataFrame:
     some driver testdata generations and TIMESTAMP(MICROS) (a real
     timestamp column) in others — branch on the runtime type;
     truncating div 1000 on the nanos form matches DuckDB's ns→µs
-    handling.
+    handling. A third flavor exists in a *virgin* Spark 4 session:
+    ``inferTimestampNTZ.enabled`` defaults true, so the column arrives
+    as TIMESTAMP_NTZ — cast to TIMESTAMP (lossless under the enforced
+    UTC session timezone) so epoch functions apply.
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     ts = F.col("ts")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         # integer DIV — float division would lose precision at ns scale
         ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    elif isinstance(dt, TimestampNTZType):
+        ts = F.col("ts").cast("timestamp")
     return df.select(
         F.col("event_id").cast("string").alias("event_id"),
         ts.alias("event_time"),
@@ -160,12 +166,18 @@ def normalize_testdata_events(df: DataFrame) -> DataFrame:
 def raw_ts_ms(df: DataFrame) -> Column:
     """Epoch-ms bigint from the RAW testdata ``ts`` column, whichever
     physical flavor this testdata generation uses (nanos bigint via
-    nanosAsLong, or a timestamp column). Integer DIV on the nanos
-    form — float division would lose precision at ns scale."""
-    from pyspark.sql.types import LongType
+    nanosAsLong, a TIMESTAMP_NTZ column in a virgin Spark 4 session
+    where inferTimestampNTZ is still on, or a timestamp column).
+    Integer DIV on the nanos form — float division would lose
+    precision at ns scale. The NTZ cast is lossless under the
+    enforced UTC session timezone (tune_session)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         return F.expr("ts DIV 1000000")
+    if isinstance(dt, TimestampNTZType):
+        return F.unix_millis(F.col("ts").cast("timestamp"))
     return F.unix_millis("ts")
 
 
@@ -176,11 +188,15 @@ def raw_ts(df: DataFrame) -> Column:
     generations pass through). Use this — never ``ts.cast("timestamp")``,
     which would misread a nanos bigint as epoch SECONDS — in any gated
     query that reads events.parquet directly instead of via
-    load_events."""
-    from pyspark.sql.types import LongType
+    load_events. TIMESTAMP_NTZ (virgin Spark 4 session, inferNTZ on)
+    casts losslessly to TIMESTAMP under the enforced UTC session TZ."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         return F.timestamp_micros(F.expr("ts DIV 1000"))
+    if isinstance(dt, TimestampNTZType):
+        return F.col("ts").cast("timestamp")
     return F.col("ts")
 
 

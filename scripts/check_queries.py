@@ -16,8 +16,12 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
-from scripts.verify_driver_gate import TABLES, _pdf_rows, value_hash  # noqa: E402
+from scripts.verify_driver_gate import (  # noqa: E402
+    TABLES,
+    _pdf_rows,
+    get_pristine_spark,
+    value_hash,
+)
 
 
 def main() -> int:
@@ -27,7 +31,9 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
-    spark = get_spark("check-queries")
+    # driver-faithful: no engine sql confs at builder level; queries
+    # self-tune via the register() wrapper (round-5 NTZ post-mortem)
+    spark = get_pristine_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

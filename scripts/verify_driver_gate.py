@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -28,7 +29,31 @@ import duckdb
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def get_pristine_spark():
+    """Driver-faithful session: master/memory ONLY, no engine sql confs.
+
+    The round-5 red row (`http_ingestion_roundtrip`) happened because
+    the driver's *virgin* Spark 4 session still had
+    `inferTimestampNTZ=true` when the first window query read raw
+    parquet — and the old replica, built via `get_spark()`, baked
+    `inferTimestampNTZ=false` in at builder level so it structurally
+    could not see that state. Queries must self-tune (the register()
+    wrapper does), so the replica gives them the same untouched session
+    the driver does."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("verify-driver-gate")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 TABLES = (
     "region",
@@ -77,13 +102,11 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark("verify-driver-gate")
-
-    t0 = time.time()
-    flag = entry_mod.entry(spark)
-    n = flag.count()
-    print(f"entry(): {n} rows in {time.time()-t0:.1f}s schema={flag.schema.simpleString()}")
-    assert n > 0
+    spark = get_pristine_spark()
+    # NOTE: entry() smoke check moved to AFTER the query loop — running
+    # it first would tune the session and hide virgin-session traps
+    # from the first window query (exactly the class the r05 driver hit
+    # and the old replica missed).
 
     con = duckdb.connect()
     for t in TABLES:
@@ -94,7 +117,10 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
-    for name, fn in sorted(queries.items()):
+    # registration order, NOT sorted: the driver runs the verify window
+    # in dict order, so the first query here must be the one that meets
+    # the virgin session — order fidelity is part of the replica.
+    for name, fn in queries.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
         cols = df.columns
@@ -125,6 +151,15 @@ def main() -> int:
             if not ok_cols:
                 print(f"    spark cols: {sorted(cols)}")
                 print(f"    duck  cols: {sorted(dcols)}")
+
+    t0 = time.time()
+    flag = entry_mod.entry(spark)
+    n = flag.count()
+    print(
+        f"entry(): {n} rows in {time.time()-t0:.1f}s "
+        f"schema={flag.schema.simpleString()}"
+    )
+    assert n > 0
 
     if failures:
         print(f"FAILURES: {failures}")
