@@ -3146,3 +3146,115 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("val"), 6).alias("max_val"),
         )
     )
+
+
+_ENTROPY_BY_SOURCE_SQL = f"""
+WITH tok AS (
+    SELECT source, unnest({_SPLIT}) AS token FROM documents
+),
+counts AS (
+    SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2
+),
+totals AS (
+    SELECT source, SUM(c) AS n FROM counts GROUP BY 1
+)
+SELECT counts.source,
+       CAST(totals.n AS BIGINT) AS n_tokens,
+       count(*) AS vocab,
+       round(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS entropy_bits
+FROM counts JOIN totals ON counts.source = totals.source
+GROUP BY counts.source, totals.n
+"""
+
+
+@register("docs_unigram_entropy_by_source", _ENTROPY_BY_SOURCE_SQL)
+def q_unigram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the distribution-health
+    scalar next to docs_js_divergence_by_source's pairwise view: a
+    source whose entropy collapses is template/boilerplate-dominated
+    and a down-weighting candidate. Two hash aggregations keyed on
+    (source, token) then source — map-side combine makes the reduce
+    side vocabulary-sized; no joins bigger than the broadcast totals."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+
+
+_EMB_STANDARDIZED_SQL = """
+WITH e AS (
+    SELECT vec_id,
+           unnest(embedding::DOUBLE[]) AS val,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+),
+stats AS (
+    SELECT dim, avg(val) AS mu, stddev_samp(val) AS sigma
+    FROM e GROUP BY 1
+),
+sample_vecs AS (
+    SELECT vec_id FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
+)
+SELECT e.vec_id, e.dim,
+       round((e.val - s.mu) / s.sigma, 6) AS zscore
+FROM e
+JOIN stats s ON s.dim = e.dim
+JOIN sample_vecs sv ON sv.vec_id = e.vec_id
+"""
+
+
+@register("emb_standardized_sample", _EMB_STANDARDIZED_SQL)
+def q_emb_standardized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening transform (per-dimension z-score) materialized for a
+    deterministic md5-capped 100-vector sample — the preprocessing
+    step before PQ/int8 quantization or cosine ANN on anisotropic
+    embeddings. The dim stats come from the FULL corpus (one
+    partial+final aggregate, |dims| rows) and broadcast onto the
+    exploded sample; at 100 TB the stats pass is a map-side-combine
+    scan and the transform is embarrassingly parallel."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "val")
+    stats = e.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma")
+    )
+    sample = (
+        emb.select("vec_id")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(100)
+    )
+    return (
+        e.join(F.broadcast(sample), "vec_id", "left_semi")
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )

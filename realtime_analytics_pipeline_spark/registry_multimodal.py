@@ -205,3 +205,84 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("int").alias("n_bytes"),
         F.md5("payload").alias("resized_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 6: WebDataset-style shard manifest — hierarchical byte-budget
+# packing of opaque blobs into fixed-size training shards.
+# --------------------------------------------------------------------------
+
+_SHARD_BYTES = 262_144  # 256 KiB shards at test scale (≈100-500 MB in prod)
+
+_SHARD_MANIFEST_SQL = f"""
+WITH media AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+),
+placed AS (
+    SELECT substr(shuffle_key, 1, 1) AS bucket,
+           n_bytes,
+           COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY substr(shuffle_key, 1, 1)
+               ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS bytes_before
+    FROM media
+)
+SELECT bucket,
+       CAST(bytes_before // {_SHARD_BYTES} AS BIGINT) AS local_shard,
+       count(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+@register("multimodal_shard_manifest", _SHARD_MANIFEST_SQL)
+def q_multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment for opaque media blobs:
+    deterministic md5 shuffle order, then sequential byte-budget
+    packing into fixed-size shards — the manifest a training loader
+    reads to fetch shard N.
+
+    Packing is HIERARCHICAL by design: blobs hash into 16 buckets
+    (first shuffle-key hex digit), and the exclusive running-byte
+    cumsum runs WITHIN a bucket (window partitioned by bucket — 16
+    independent sorts, never a single global sort). At 100 TB each
+    bucket is an independent partition-local pack; shard ids are
+    (bucket, local_shard) so no cross-bucket coordination exists. A
+    flat `ORDER BY shuffle_key` global cumsum would funnel the corpus
+    through one partition — this shape is the scale path itself."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        attach_payload,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_bytes",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = (
+        Window.partitionBy(F.substring("shuffle_key", 1, 1))
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = media.select(
+        F.substring("shuffle_key", 1, 1).alias("bucket"),
+        "n_bytes",
+        F.coalesce(F.sum("n_bytes").over(w), F.lit(0)).alias("bytes_before"),
+    )
+    return placed.groupBy(
+        "bucket",
+        (F.col("bytes_before") / _SHARD_BYTES)
+        .cast("bigint")
+        .alias("local_shard"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
