@@ -34,6 +34,19 @@ def coerce_ts_ms(col: Column | str) -> Column:
       seconds included;
     - unparseable → null (the reference logs-and-drops; the DLQ parse
       chain is the observable variant).
+
+    DELIBERATE DIVERGENCE (documented, parity-test-pinned): the
+    reference's ``_coerce_ts`` only int-passes values that are already
+    Python ints — a *string* of bare digits hits ``fromisoformat`` and
+    returns None. This helper instead accepts 10-19-digit strings as
+    epoch-ms, because a Spark column is homogeneously typed: a bigint
+    epoch column that traversed a string cast (CSV, type-erased JSON)
+    arrives as digit strings, and nulling the whole column would drop
+    every row of a valid feed. The cost is that a 10-digit
+    epoch-*seconds* string is read as epoch-ms (a 1970 instant) where
+    the reference yields None. Wire data is 13-digit epoch-ms, so the
+    gated oracles are unaffected; the 10-digit case is pinned in
+    tests/test_sql_features.py::test_coerce_ts_ms_matches_reference_coercion.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = c.cast("string")

@@ -15,9 +15,15 @@ overview combines the latest event and performance snapshots
 FastAPI is not in this container, so the server is the stdlib
 ``ThreadingHTTPServer`` — the routes, query parsing, status codes and
 JSON bodies are the wire contract, and they are golden-tested in
-tests/test_http_api.py. Serving-store reads are ``limit``-bounded
-(`TakeOrderedAndProject`-sized), so a request never scans history
-regardless of table size.
+tests/test_http_api.py. Serving-store reads with ``limit >= 1`` are
+``limit``-bounded (`TakeOrderedAndProject`-sized), so those requests
+never scan history regardless of table size. The ``limit < 1`` path
+mirrors Redis ``zrevrange(0, -1)`` full-range semantics but fetches at
+most ``_FULL_RANGE_CAP`` (1e6) windows — the serving store's retention
+trim (T5, 120 windows) keeps real tables ~4 orders of magnitude below
+that cap, so the cap is a safety bound, not a live truncation; a
+hypothetical store retaining more than 1e6 windows would be silently
+truncated here where Redis would return everything.
 """
 
 from __future__ import annotations
@@ -61,6 +67,11 @@ def _window_payload(row: Row, suffix_types: dict[str, type]) -> dict[str, Any]:
 
 _EVENT_FIELDS = {"count": int, "users": int}
 _PERF_FIELDS = {"avg_load_time": float, "p95_load_time": float}
+
+# Safety bound for the limit<1 "full range" path (see module docstring):
+# Redis zrevrange(0,-1) returns everything; we fetch at most this many
+# windows. Retention trim (T5) keeps real stores at 120 windows/type.
+_FULL_RANGE_CAP = 10**6
 
 
 def event_wire(rows: list[Row]) -> list[dict[str, Any]]:
@@ -115,13 +126,13 @@ class _Routes:
         return rows[: max(0, len(rows) + limit)]
 
     def event_windows(self, limit: int = 20) -> tuple[int, Any]:
-        fetch = limit if limit >= 1 else None  # None = all retained
-        rows = event_wire(self._api.event_windows(fetch or 10**6).collect())
+        fetch = limit if limit >= 1 else _FULL_RANGE_CAP  # capped full range
+        rows = event_wire(self._api.event_windows(fetch).collect())
         return 200, {"windows": self._zrevrange_slice(rows, limit)}
 
     def performance_windows(self, limit: int = 20) -> tuple[int, Any]:
-        fetch = limit if limit >= 1 else None
-        rows = perf_wire(self._api.performance_windows(fetch or 10**6).collect())
+        fetch = limit if limit >= 1 else _FULL_RANGE_CAP
+        rows = perf_wire(self._api.performance_windows(fetch).collect())
         return 200, {"windows": self._zrevrange_slice(rows, limit)}
 
     def overview(self) -> tuple[int, Any]:

@@ -30,6 +30,7 @@ from __future__ import annotations
 import ipaddress
 import json
 import os
+import re
 import secrets
 import threading
 import time
@@ -63,10 +64,19 @@ def _is_url(v: Any) -> bool:
     return parts.scheme in ("http", "https") and bool(parts.hostname)
 
 
+_INT_STR = re.compile(r"^[+-]?[0-9]+$")
+
+
 def _as_int(v: Any) -> int | None:
     """Pydantic-v2 lax int coercion: int passes; an int-syntax string
     ('1920', ' -7 ') parses; an integral float (1920.0) truncates
-    losslessly; bool, '3.5', 1920.5 and everything else fail (None)."""
+    losslessly; bool, '3.5', 1920.5 and everything else fail (None).
+
+    The string branch is gated on an ASCII-digit regex before ``int()``:
+    Python's ``int()`` also accepts underscore-grouped ('1_000') and
+    non-ASCII unicode digit strings, both of which pydantic v2 lax int
+    rejects — without the gate the mirror would 202-accept payloads the
+    reference 422s."""
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
@@ -74,10 +84,8 @@ def _as_int(v: Any) -> int | None:
     if isinstance(v, float):
         return int(v) if v.is_integer() else None
     if isinstance(v, str):
-        try:
-            return int(v.strip(), 10)
-        except ValueError:
-            return None
+        s = v.strip()
+        return int(s, 10) if _INT_STR.match(s) else None
     return None
 
 

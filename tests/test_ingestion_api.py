@@ -164,11 +164,15 @@ def test_validate_event_pydantic_lax_coercions():
     assert p["device"]["screen_height"] == 1080
     assert p["metrics"]["load_time"] == 250
     assert p["timestamp"] == 1704067200000
-    # non-integral / bool / float-syntax strings still 422
+    # non-integral / bool / float-syntax strings still 422; so do the
+    # int()-accepts-but-pydantic-rejects forms: underscore grouping and
+    # non-ASCII unicode digits (ADVICE r06 — _as_int must regex-gate)
     for field_set, loc in [
         (lambda q: q["device"].update(screen_width=1920.5), "device.screen_width"),
         (lambda q: q["device"].update(screen_height=True), "device.screen_height"),
         (lambda q: q["metrics"].update(load_time="3.5"), "metrics.load_time"),
+        (lambda q: q["device"].update(screen_width="1_920"), "device.screen_width"),
+        (lambda q: q["device"].update(screen_height="١٠٨٠"), "device.screen_height"),
     ]:
         q = _wire_event(5, "u")
         field_set(q)

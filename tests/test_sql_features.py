@@ -170,6 +170,12 @@ def test_coerce_ts_ms_matches_reference_coercion(spark):
             ("99999999999999999999", None),
             # 9 digits: neither plausible epoch-ms nor a compact date
             ("123456789", None),
+            # 10-digit DELIBERATE DIVERGENCE (time.py docstring): the
+            # reference _coerce_ts nulls any bare-digit *string*; we
+            # read 10-19 digits as epoch-ms so type-erased long columns
+            # survive. 10-digit epoch-seconds → a 1970 instant here,
+            # None in the reference.
+            ("1704067200", 1704067200),
             ("not-a-ts", None),
             (None, None),
         ],
