@@ -123,6 +123,13 @@ HEADLINE = [
     "jdbc_metrics_roundtrip",  # parallel JDBC write + partitioned read
     # round-4 fingerprinting scale path (MOSS winnowing, Arrow kernel)
     "docs_winnowing_fingerprints_kernel",
+    # round-6 additions: retrieval scoring, broadcast-Bloom prescreen,
+    # corpus novelty, distributed CUSUM
+    "docs_tfidf_top_terms",
+    "docs_bm25_topk",
+    "dedup_bloom_prescreen",
+    "docs_ngram_novelty",
+    "events_cusum_drift",
 ]
 
 

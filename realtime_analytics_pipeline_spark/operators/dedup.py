@@ -480,3 +480,278 @@ def decontaminated_corpus_stats(
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter prescreen, banded edit-distance, MinHash calibration
+# (round-6 additions — engine-portable md5 hashing so each ships a
+# DuckDB oracle, unlike the xxhash64 sketches above)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(col, prefix: str = ""):
+    """The k=4 bit positions of a value: 16-bit md5 slices mod m.
+    Pure expression — portable to the DuckDB oracle verbatim."""
+    out = []
+    for i in range(BLOOM_HASHES):
+        h = F.md5(F.concat(F.lit(f"{prefix}{i}#"), col))
+        out.append(
+            (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % BLOOM_BITS).alias(f"pos{i}")
+        )
+    return out
+
+
+def bloom_prescreen(
+    index_docs: DataFrame, probe_docs: DataFrame
+) -> DataFrame:
+    """Broadcast-Bloom dedup prescreen: build a Bloom filter over the
+    *index* corpus's exact-content keys, probe each candidate doc, and
+    report both the Bloom verdict and ground truth.
+
+    The 100 TB shape this models: the filter is ≤ BLOOM_BITS distinct
+    bit rows (here 4096 — a real deployment sizes m to the key count),
+    BROADCAST to every probe partition; probe docs never shuffle, the
+    petabyte never moves, and only Bloom-positive survivors proceed to
+    the (expensive, shuffling) exact join. False positives are the
+    designed cost: `bloom_candidate` ⊇ `exact_dup`, never ⊂ — the
+    output carries both flags so the FP rate is measurable.
+    """
+    bits = (
+        index_docs.select(
+            F.explode(F.array(*_bloom_positions(F.col("text")))).alias("pos")
+        )
+        .distinct()
+    )
+    probe_pos = probe_docs.select(
+        "doc_id", *_bloom_positions(F.col("text"))
+    )
+    stacked = probe_pos.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"pos{i}") for i in range(BLOOM_HASHES)])
+        ).alias("pos"),
+    )
+    hits = (
+        stacked.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # ground truth: exact content match against the index (semi-join on
+    # the 32-byte fingerprint, not the raw text)
+    idx_keys = index_docs.select(F.md5("text").alias("k")).distinct()
+    exact = (
+        probe_docs.select("doc_id", F.md5("text").alias("k"))
+        .join(F.broadcast(idx_keys), "k", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_dup"))
+    )
+    return (
+        probe_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("n_hit", F.lit(0)) == BLOOM_HASHES).alias(
+                "bloom_candidate"
+            ),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
+def edit_distance_banded(
+    documents: DataFrame,
+    prefix_chars: int = 64,
+    max_distance: int = 12,
+    band_chars: int = 16,
+) -> DataFrame:
+    """Fuzzy near-dup verification by Levenshtein distance on banded
+    candidate pairs.
+
+    Bands on (lang, n_chars // band_chars): only docs of the same
+    language in the same length bucket pair up — near-identical docs
+    land in the same or adjacent buckets (adjacent-bucket misses are
+    the documented recall cost of single-key banding; MinHash-LSH is
+    the recall path, this is the cheap precise verifier). Distance is
+    computed on the first ``prefix_chars`` chars, bounding per-pair
+    cost at O(prefix²) regardless of doc size. One shuffle on the band
+    key; within-band pairing is quadratic in BAND size only — at scale
+    band_chars trades skew (hot bands) against recall, and a salt cap
+    as in minhash_lsh_pairs applies if a band runs hot.
+    """
+    banded = documents.select(
+        F.col("doc_id"),
+        "lang",
+        (F.col("n_chars") / band_chars).cast("long").alias("len_band"),
+        F.substring(F.lower("text"), 1, prefix_chars).alias("prefix"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias(
+                "edit_distance"
+            ),
+        )
+        .where(F.col("edit_distance") <= max_distance)
+    )
+
+
+def all_pairs_equi(
+    df: DataFrame, id_col: str = "doc_id", buckets: int = 16
+) -> DataFrame:
+    """All unordered pairs (a.id < b.id) via a bucketed EQUI-join —
+    never a cartesian/BroadcastNestedLoopJoin.
+
+    The left side explodes ×``buckets`` with a target-bucket column;
+    the join key is ``b``'s content-stable bucket (id % buckets), so
+    Catalyst plans a shuffled hash/sort-merge join with the inequality
+    as a residual filter. Semantically identical to the naive
+    ``a.join(b, a.id < b.id)`` but with a real partitioning key —
+    ``buckets`` bounds the parallelism (and the ×buckets duplication of
+    the left side), which is the right trade for the bounded/sampled
+    diagnostics that call this.
+    """
+    a = df.select(
+        *[F.col(c).alias(f"a_{c}") for c in df.columns],
+        F.explode(
+            F.sequence(F.lit(0), F.lit(buckets - 1))
+        ).alias("_tb"),
+    )
+    b = df.select(
+        *[F.col(c).alias(f"b_{c}") for c in df.columns],
+        (F.col(id_col).cast("long") % buckets).alias("_bb"),
+    )
+    return (
+        a.join(b, F.col("_tb") == F.col("_bb"))
+        .where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .drop("_tb", "_bb")
+    )
+
+
+MINHASH_CAL_PERMS = 16
+
+
+def minhash_calibration(
+    documents: DataFrame, sample_bucket_max: int = 6553
+) -> DataFrame:
+    """MinHash accuracy audit: per exact-Jaccard decile, how often the
+    16-perm md5 MinHash estimate lands within 2/16 of truth.
+
+    The production sketches above use Spark-native xxhash64 (fast,
+    engine-specific ⇒ rows-only gate); this audit uses md5-derived
+    permutations so a DuckDB oracle can replay it bit-for-bit, and
+    keeps every compared quantity INTEGER: a pair is "within
+    tolerance" iff |eq·U − 16·I| ≤ 2·U (eq = matching perms, I/U =
+    intersection/union sizes) — no float summation anywhere, so the
+    cross-engine hash cannot flake. Pairs are md5-sampled (~10% via
+    16-bit bucket < sample_bucket_max) to bound the all-pairs term;
+    the audit is a *calibration tool* run on a sample by construction,
+    not a corpus-scale dedup path.
+    """
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) >= 3 THEN "
+                "transform(sequence(1, size(split(text,' ')) - 2), "
+                "i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
+                "ELSE slice(split(text,' '), 1, 0) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+    # 16 md5 permutations; 48-bit values so min() never ties by overflow
+    perm = grams.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}#"), F.col("gram"))),
+                            1, 12,
+                        ), 16, 10,
+                    ).cast("long").alias("h"),
+                )
+                for i in range(MINHASH_CAL_PERMS)
+            ])
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
+    sigs = (
+        perm.groupBy("doc_id", "i")
+        .agg(F.min("h").alias("m"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sig"))
+        .select("doc_id", F.col("sig.m").alias("sig"))
+    )
+    sets_ = grams.groupBy("doc_id").agg(
+        F.collect_set("gram").alias("gset")
+    )
+    docs = sigs.join(sets_, "doc_id")
+    sampled = all_pairs_equi(docs, "doc_id").where(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("pair#"),
+                        F.col("a_doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("b_doc_id").cast("string"),
+                    )
+                ), 1, 4,
+            ), 16, 10,
+        ).cast("long")
+        < sample_bucket_max
+    )
+    scored = sampled.select(
+        F.aggregate(
+            F.zip_with(
+                "a_sig", "b_sig",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).alias("eq"),
+        F.size(F.array_intersect("a_gset", "b_gset")).cast("long").alias("i_"),
+        (
+            F.size("a_gset") + F.size("b_gset")
+            - F.size(F.array_intersect("a_gset", "b_gset"))
+        ).cast("long").alias("u_"),
+    )
+    return (
+        scored.where(F.col("u_") > 0)
+        .select(
+            F.least(
+                F.lit(9), F.floor(F.col("i_") * 10 / F.col("u_"))
+            ).cast("long").alias("jaccard_decile"),
+            "eq", "i_", "u_",
+        )
+        .groupBy("jaccard_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("eq") * F.col("u_") - 16 * F.col("i_")
+                    ) <= 2 * F.col("u_"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_within_tol"),
+            F.sum(
+                F.when(
+                    F.col("eq") * F.col("u_") >= 16 * F.col("i_"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("n_overestimates"),
+        )
+    )

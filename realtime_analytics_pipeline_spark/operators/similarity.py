@@ -414,3 +414,69 @@ def pq_quantize(
         *[f"code{j}" for j in range(m)],
         F.round(err, 6).alias("recon_err"),
     )
+
+
+def pair_cosine_histogram(
+    embeddings: DataFrame, sample_bucket_max: int = 6553
+) -> DataFrame:
+    """Distribution of pairwise cosine similarity over an md5-sampled
+    ~10% of vector pairs — the "is my embedding space collapsed?"
+    diagnostic (a healthy space spreads mass across buckets; a
+    collapsed one piles into [0.9, 1.0)).
+
+    Buckets are floor(round(cos, 6) * 10) clamped to [-10, 9] — the
+    round-6 happens BEFORE bucketing so the oracle's
+    list_cosine_similarity and our expression tree agree on boundary
+    values the same way every other cosine query in this repo does.
+    Output is counts only (bigints — no float aggregation to flake the
+    cross-engine hash). The pair sample is content-hashed (stable
+    under partitioning/order), and at 100 TB this runs on a fixed-size
+    md5-sampled slice by construction — it is a diagnostic, not a
+    corpus-scale join; the sampling filter is applied ON the join
+    output of ids only (32-byte keys), embeddings join in after.
+    """
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from realtime_analytics_pipeline_spark.operators.dedup import (
+        all_pairs_equi,
+    )
+
+    ids = embeddings.select("vec_id")
+    pair_ids = all_pairs_equi(ids, "vec_id").where(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ph#"),
+                        F.col("a_vec_id").cast("string"),
+                        F.lit("|"),
+                        F.col("b_vec_id").cast("string"),
+                    )
+                ), 1, 4,
+            ), 16, 10,
+        ).cast("long")
+        < sample_bucket_max
+    ).select(
+        F.col("a_vec_id").alias("id_a"), F.col("b_vec_id").alias("id_b")
+    )
+    va = embeddings.select(
+        F.col("vec_id").alias("id_a"), as_double("embedding").alias("va")
+    )
+    vb = embeddings.select(
+        F.col("vec_id").alias("id_b"), as_double("embedding").alias("vb")
+    )
+    cos = (
+        pair_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    bucket = F.greatest(
+        F.lit(-10), F.least(F.lit(9), F.floor(F.col("cos") * 10))
+    ).cast("long")
+    return (
+        cos.select(bucket.alias("cos_bucket"))
+        .groupBy("cos_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

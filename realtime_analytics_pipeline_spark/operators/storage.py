@@ -150,3 +150,44 @@ def write_zordered(
     ).sortWithinPartitions("__zkey").drop("__zkey").write.mode(
         "overwrite"
     ).parquet(out_dir)
+
+
+def zorder_key_int(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Integer-exact Z-order key over INTEGER columns — the oracle-able
+    twin of ``zorder_key`` (whose min-max float scaling is fine for
+    layout but awkward to hash-compare cross-engine).
+
+    code_c = ((v − min) · 2^bits) div (max − min + 1) — pure integer
+    division, exact in any engine — then bit planes interleave exactly
+    as in ``zorder_key``. Bounds are a broadcast 1-row aggregate.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(F.col(c)).cast("long").alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c)).cast("long").alias(f"__mx_{c}") for c in cols],
+    )
+    scaled = df.crossJoin(F.broadcast(bounds))
+    codes = [
+        F.expr(
+            f"(({c} - __mn_{c}) * {1 << bits})"
+            f" div (__mx_{c} - __mn_{c} + 1)"
+        )
+        for c in cols
+    ]
+    n = len(cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(codes[i], b).bitwiseAND(F.lit(1)), b * n + i
+        )
+        for i in range(n)
+        for b in range(bits)
+    ]
+    zkey = reduce(lambda a, t: a + t, terms[1:], terms[0])
+    return scaled.withColumn("__zkey", zkey).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )

@@ -438,3 +438,100 @@ def winnowing_fingerprints_kernel(
     return documents.select("doc_id", "text").mapInPandas(
         winnow_batch, schema=out_schema
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc corpus-level n-gram novelty: what fraction of a doc's
+    DISTINCT word n-grams appear in no other document.
+
+    The complement of boilerplate_chunks: that flags text *shared*
+    across docs; this scores how much of each doc is *unique* corpus
+    contribution — a selection signal for training-data value (memorized
+    / templated docs score near 0). Two hash aggregates over exploded
+    distinct n-grams, linear in corpus tokens; the gram→doc_count
+    aggregate partial-aggregates map-side. Docs shorter than n tokens
+    have no grams → novelty null.
+    """
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short docs
+    # must route to an empty array, not an empty sequence.
+    gram_expr = (
+        f"CASE WHEN size(split(text,' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split(text,' ')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(text,' '), i, {n}))) "
+        "ELSE slice(split(text,' '), 1, 0) END"  # typed empty array<string>
+    )
+    grams = documents.select(
+        "doc_id",
+        F.explode(F.expr(gram_expr)).alias("gram"),
+    )
+    per_doc = grams.distinct()
+    gram_docs = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_doc_count")
+    )
+    joined = per_doc.join(gram_docs, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+        F.sum(
+            F.when(F.col("gram_doc_count") == 1, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_novel_grams"),
+    )
+    return documents.select("doc_id").join(joined, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+        F.coalesce("n_novel_grams", F.lit(0)).alias("n_novel_grams"),
+        F.when(
+            F.col("n_distinct_grams") > 0,
+            F.round(
+                F.col("n_novel_grams")
+                / F.col("n_distinct_grams").cast("double"),
+                6,
+            ),
+        ).alias("novelty"),
+    )
+
+
+def hashed_linear_quality(documents: DataFrame) -> DataFrame:
+    """fastText-style linear text classifier over hashed bag-of-words,
+    with a deterministic md5-derived weight table (stand-in for trained
+    weights — the *plumbing* is the operator: hash → lookup-free weight
+    → integer-sum → one normalization).
+
+    w(token) = (md5('lw'||token)[0:4] as int) mod 2001 - 1000, an
+    integer in [-1000, 1000]; the doc score sums those BIGINTs (float
+    addition order never enters) and normalizes once:
+    score = sum_w / (1000 * n_tokens). Linear scan, no shuffle beyond
+    one groupBy doc_id; at 100 TB the weight "table" costs nothing —
+    it is a hash expression, not a broadcast dictionary.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    w = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("lw"), F.col("term"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.sum(w).cast("long").alias("score_raw"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    # score in parts-per-million as a BIGINT, not a rounded double: the
+    # normalized score is a small-denominator rational, so round(x, 6)
+    # ties at the 6th decimal constantly — and Spark (BigDecimal
+    # HALF_UP on the shortest repr) and DuckDB (binary-value rounding)
+    # break those ties differently. floor() of the exact-to-ulp double
+    # quotient is tie-free.
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "score_raw",
+        F.floor(
+            F.col("score_raw") * F.lit(1000.0) / F.col("n_tokens")
+        ).cast("long").alias("score_ppm"),
+        (F.col("score_raw") > 0).alias("is_positive"),
+    )

@@ -71,3 +71,63 @@ def dtw_distance(xs: str, ys: str) -> Column:
             size({ys}))
         """
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    ts_ms: str = "event_ms",
+    value: str = "value",
+    bucket_ms: int = 60_000,
+    threshold_mult: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM change detection over per-minute value mass —
+    the classic Page (1954) drift test, re-expressed as two window
+    functions so it distributes.
+
+    The textbook recurrence s_t = max(0, s_{t-1} + (x_t − target)) is
+    sequential; its closed form is s_t = C_t − min_{0≤j≤t} C_j where
+    C_t = Σ(x_j − target) and C_0 = 0 (the empty prefix MUST
+    participate in the min, else a positive first deviation reads as
+    zero) — a prefix sum and a prefix min, both plain window
+    aggregates over the minute series (ordered, single series ⇒ one
+    window partition; a per-key deployment partitions by key and
+    parallelizes). The sequential-vs-closed-form equality is pinned in
+    tests/test_round6_ops.py. Every quantity is integer cents: x_t = minute total,
+    target = floor(global mean minute total), drift flag =
+    s_t > threshold_mult·target. No float ever enters, so the oracle
+    hash is exact.
+    """
+    from pyspark.sql import Window
+
+    minutes = (
+        events.select(
+            ((F.col(ts_ms) / bucket_ms).cast("long") * bucket_ms).alias(
+                "minute_ms"
+            ),
+            F.round(F.col(value) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("minute_ms")
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    # floor(sum/count), not cast(sum/count): Spark's double→long cast
+    # truncates toward zero while DuckDB's CAST rounds — floor() is the
+    # one form both engines agree on.
+    tgt = minutes.agg(
+        F.floor(F.sum("total_cents") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("target_cents")
+    )
+    w_cum = Window.orderBy("minute_ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_dev = minutes.crossJoin(F.broadcast(tgt)).withColumn(
+        "cum", F.sum(F.col("total_cents") - F.col("target_cents")).over(w_cum)
+    )
+    cusum = F.col("cum") - F.least(F.min("cum").over(w_cum), F.lit(0))
+    return with_dev.select(
+        "minute_ms",
+        "total_cents",
+        "target_cents",
+        cusum.cast("long").alias("cusum_pos"),
+        (cusum > threshold_mult * F.col("target_cents")).alias("is_drift"),
+    )

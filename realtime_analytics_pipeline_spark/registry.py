@@ -469,6 +469,13 @@ _VERIFY_WINDOW = [
     # orders_price_index_laspeyres, events_value_histogram,
     # events_interarrival_stats, basket_graph_kcore — they fill the r07
     # window exactly (30 + 20 free slots for round-7 additions).
+    # Round-6 additions for the 20 free r07 slots (all replica-green at
+    # sf0.001 + sf0.01 when registered): docs_tfidf_top_terms,
+    # docs_bm25_topk, dedup_bloom_prescreen, dedup_edit_distance_banded,
+    # docs_ngram_novelty, docs_quality_linear_hashed,
+    # dedup_minhash_calibration, emb_pair_cosine_hist, events_cusum_drift,
+    # lineitem_zorder_skipping, dedup_incremental_batch,
+    # orders_salted_skew_join.
 ]
 
 _VERIFY_WINDOW_R05 = [

@@ -5174,3 +5174,107 @@ def q_orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("laspeyres_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detection (round 6) — Page's test via prefix-sum minus
+# prefix-min (the distributed closed form of the sequential recurrence).
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH m AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY 1
+),
+t AS (
+    SELECT CAST(floor(sum(total_cents) * 1.0 / count(*)) AS BIGINT)
+        AS target_cents
+    FROM m
+),
+c AS (
+    SELECT minute_ms, total_cents, target_cents,
+           sum(total_cents - target_cents) OVER (
+               ORDER BY minute_ms ROWS UNBOUNDED PRECEDING) AS cum
+    FROM m CROSS JOIN t
+),
+d AS (
+    SELECT *, least(min(cum) OVER (
+        ORDER BY minute_ms ROWS UNBOUNDED PRECEDING), 0) AS mn
+    FROM c
+)
+SELECT minute_ms, total_cents, target_cents,
+       CAST(cum - mn AS BIGINT) AS cusum_pos,
+       (cum - mn) > 2 * target_cents AS is_drift
+FROM d
+"""
+
+
+@register("events_cusum_drift", _CUSUM_SQL)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM over per-minute value mass, integer cents
+    throughout (operators/timeseries.py::cusum_drift)."""
+    from realtime_analytics_pipeline_spark.operators.timeseries import (
+        cusum_drift,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        F.unix_millis("event_time").alias("event_ms"), "value"
+    )
+    return cusum_drift(ev)
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (round 6): the skew-mitigation TRANSFORM gated for
+# correctness — the oracle is the plain relational join, so any salt
+# mistake (lost rows, duplicated rows, salt leaking into the agg)
+# hash-mismatches.
+# --------------------------------------------------------------------------
+
+_SALTED_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+@register("orders_salted_skew_join", _SALTED_SQL)
+def q_orders_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side salt ×8 + dim-side replication: the standard hot-key
+    defense when the dim is too big to broadcast and a handful of join
+    keys dominate (AQE's skewedJoin handles stragglers adaptively;
+    explicit salting is the deterministic form you reach for when one
+    key alone exceeds an executor). The salt must vanish from the
+    result — that is exactly what the plain-join oracle checks."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n_salt = 8
+    fact = orders.withColumn(
+        "_fsalt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    )
+    dim = customer.withColumn(
+        "_dsalt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<long>")),
+    )
+    joined = fact.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("_fsalt") == F.col("_dsalt")),
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )

@@ -3258,3 +3258,395 @@ def q_emb_standardized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions: retrieval scoring, Bloom prescreen, fuzzy/banded
+# dedup, sketch calibration, embedding-space diagnostics. All md5-keyed
+# so every query carries a bit-exact DuckDB oracle (round-7 window
+# candidates — never driver-verified yet).
+# --------------------------------------------------------------------------
+
+
+def _hex_int_sql(hex_expr: str, nchars: int) -> str:
+    """DuckDB has no hex→int cast; horner-parse the first ``nchars``
+    hex chars of ``hex_expr`` (the twin of Spark's conv(substr,16,10))."""
+    digits = "0123456789abcdef"
+    expr = f"(strpos('{digits}', substr({hex_expr}, 1, 1)) - 1)"
+    for i in range(1, nchars):
+        nib = f"(strpos('{digits}', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        expr = f"(({expr}) * 16 + {nib})"
+    return expr
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+tf AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS tf_sum
+    FROM toks GROUP BY 1, 2
+),
+scored AS (
+    SELECT source, term, tf_sum, df,
+           round(tf_sum * (ln((n_docs + 1) / (df + 1)) + 1), 6) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+SELECT source, term, tf_sum, df, tfidf, rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
+@register("docs_tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 TF-IDF terms (domain characterization — which
+    vocabulary distinguishes each source before mixing)."""
+    from realtime_analytics_pipeline_spark.operators.retrieval import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=5)
+
+
+_BM25_TERMS = ["spark", "join", "stream", "vector"]
+
+
+def _bm25_oracle() -> str:
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+        f" / (CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+           {dfs}
+    FROM base
+),
+scored AS (
+    SELECT doc_id, dl, round({score}, 6) AS bm25
+    FROM base CROSS JOIN stats
+)
+SELECT doc_id, dl, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rnk
+FROM (
+    SELECT * FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+)
+"""
+
+
+@register("docs_bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 against a fixed probe query — retrieval-based
+    corpus selection (the DSIR-style 'rank pretraining docs against a
+    target distribution' step, lexical form)."""
+    from realtime_analytics_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, top_k=10
+    )
+
+
+def _bloom_pos_sql(text_expr: str, i: int) -> str:
+    return (
+        _hex_int_sql(f"md5('{i}#' || {text_expr})", 4) + " % 4096"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH bits AS (
+    SELECT DISTINCT unnest([{", ".join(_bloom_pos_sql("text", i) for i in range(4))}]) AS pos
+    FROM documents WHERE source <> 'src0'
+),
+probe AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+ppos AS (
+    SELECT doc_id,
+           unnest([{", ".join(_bloom_pos_sql("text", i) for i in range(4))}]) AS pos
+    FROM probe
+),
+hits AS (
+    SELECT doc_id, count(*) AS n_hit
+    FROM ppos JOIN bits USING (pos) GROUP BY 1
+),
+idx AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE source <> 'src0'),
+exact AS (
+    SELECT DISTINCT p.doc_id FROM probe p JOIN idx ON md5(p.text) = idx.k
+)
+SELECT p.doc_id,
+       coalesce(h.n_hit, 0) = 4 AS bloom_candidate,
+       e.doc_id IS NOT NULL AS exact_dup
+FROM probe p
+LEFT JOIN hits h ON p.doc_id = h.doc_id
+LEFT JOIN exact e ON p.doc_id = e.doc_id
+"""
+
+
+@register("dedup_bloom_prescreen", _BLOOM_SQL)
+def q_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-Bloom membership prescreen: src0 probes against the
+    rest-of-corpus filter (operators/dedup.py::bloom_prescreen has the
+    100 TB shape — the filter broadcasts, the corpus never shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.bloom_prescreen(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+
+
+_EDIT_SQL = """
+SELECT doc_a, doc_b, edit_distance
+FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(lower(a.text), 1, 64),
+                       substr(lower(b.text), 1, 64)) AS edit_distance
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang
+     AND a.n_chars // 16 = b.n_chars // 16
+     AND a.doc_id < b.doc_id
+)
+WHERE edit_distance <= 12
+"""
+
+
+@register("dedup_edit_distance_banded", _EDIT_SQL)
+def q_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup verification on (lang, length-band)
+    candidates, prefix-capped at 64 chars."""
+    return D.edit_distance_banded(load_table(spark, sf_dir, "documents"))
+
+
+_TRIGRAM_LIST = (
+    "CASE WHEN len(ws) >= 3 THEN list_transform(range(1, len(ws) - 1),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) ELSE ws[1:0] END"
+)
+
+_NOVELTY_SQL = f"""
+WITH g AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({_TRIGRAM_LIST}) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+),
+gd AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+j AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_grams
+    FROM g JOIN gd USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(j.n_distinct_grams, 0) AS n_distinct_grams,
+       coalesce(j.n_novel_grams, 0) AS n_novel_grams,
+       CASE WHEN coalesce(j.n_distinct_grams, 0) > 0
+            THEN round(j.n_novel_grams * 1.0 / j.n_distinct_grams, 6)
+       END AS novelty
+FROM documents d LEFT JOIN j USING (doc_id)
+"""
+
+
+@register("docs_ngram_novelty", _NOVELTY_SQL)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level trigram novelty per doc — the complement of the
+    boilerplate filter (training-data value signal)."""
+    return T.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_LINEAR_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           CAST(sum({w}) AS BIGINT) AS score_raw,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY 1
+)
+SELECT doc_id, n_tokens, score_raw,
+       CAST(floor(score_raw * 1000.0 / n_tokens) AS BIGINT) AS score_ppm,
+       score_raw > 0 AS is_positive
+FROM agg
+""".format(w=_hex_int_sql("md5('lw' || term)", 4) + " % 2001 - 1000")
+
+
+@register("docs_quality_linear_hashed", _LINEAR_SQL)
+def q_quality_linear_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-BoW linear scorer (deterministic weight
+    table; integer-sum plumbing — see text_analysis.py)."""
+    return T.hashed_linear_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_cal_oracle() -> str:
+    h48 = _hex_int_sql("md5(CAST(i AS VARCHAR) || '#' || gram)", 12)
+    pair_bucket = _hex_int_sql(
+        "md5('pair#' || CAST(a.doc_id AS VARCHAR) || '|'"
+        " || CAST(b.doc_id AS VARCHAR))",
+        4,
+    )
+    return f"""
+WITH g AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({_TRIGRAM_LIST}) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+),
+perms AS (
+    SELECT doc_id, i, min(h) AS m FROM (
+        SELECT doc_id, i, {h48} AS h
+        FROM g CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+    ) GROUP BY 1, 2
+),
+docs AS (SELECT DISTINCT doc_id FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS da, b.doc_id AS db
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE {pair_bucket} < 6553
+),
+inter AS (
+    SELECT p.da, p.db, CAST(count(*) AS BIGINT) AS i_
+    FROM p JOIN g ga ON ga.doc_id = p.da
+           JOIN g gb ON gb.doc_id = p.db AND gb.gram = ga.gram
+    GROUP BY 1, 2
+),
+eqs AS (
+    SELECT p.da, p.db,
+           CAST(sum(CASE WHEN pa.m = pb.m THEN 1 ELSE 0 END) AS BIGINT) AS eq
+    FROM p JOIN perms pa ON pa.doc_id = p.da
+           JOIN perms pb ON pb.doc_id = p.db AND pb.i = pa.i
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT p.da, p.db, eqs.eq,
+           coalesce(inter.i_, 0) AS i_,
+           sa.n + sb.n - coalesce(inter.i_, 0) AS u_
+    FROM p
+    JOIN eqs ON eqs.da = p.da AND eqs.db = p.db
+    LEFT JOIN inter ON inter.da = p.da AND inter.db = p.db
+    JOIN sizes sa ON sa.doc_id = p.da
+    JOIN sizes sb ON sb.doc_id = p.db
+)
+SELECT CAST(least(9, floor(i_ * 10.0 / u_)) AS BIGINT) AS jaccard_decile,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN abs(eq * u_ - 16 * i_) <= 2 * u_
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tol,
+       CAST(sum(CASE WHEN eq * u_ >= 16 * i_ THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overestimates
+FROM pairs WHERE u_ > 0
+GROUP BY 1
+"""
+
+
+@register("dedup_minhash_calibration", _minhash_cal_oracle())
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy per exact-Jaccard decile — md5-keyed
+    so the sketch itself is oracle-replayable (integer-only verdicts;
+    see operators/dedup.py::minhash_calibration)."""
+    return D.minhash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def _pair_hist_oracle() -> str:
+    bucket = _hex_int_sql(
+        "md5('ph#' || CAST(a.vec_id AS VARCHAR) || '|'"
+        " || CAST(b.vec_id AS VARCHAR))",
+        4,
+    )
+    return f"""
+WITH p AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {bucket} < 6553
+),
+c AS (
+    SELECT round(list_cosine_similarity(
+               ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+    FROM p JOIN embeddings ea ON ea.vec_id = p.ia
+           JOIN embeddings eb ON eb.vec_id = p.ib
+)
+SELECT CAST(greatest(-10, least(9, floor(cos * 10))) AS BIGINT)
+           AS cos_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM c GROUP BY 1
+"""
+
+
+@register("emb_pair_cosine_hist", _pair_hist_oracle())
+def q_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over an md5-sampled ~10% of pairs —
+    the embedding-space-collapse diagnostic."""
+    return S.pair_cosine_histogram(load_table(spark, sf_dir, "embeddings"))
+
+
+_INCREMENTAL_SQL = """
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS k FROM documents WHERE source <> 'src0'
+),
+batch AS (
+    SELECT doc_id, md5(text) AS k,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+    FROM documents WHERE source = 'src0'
+)
+SELECT b.doc_id,
+       CASE WHEN c.k IS NOT NULL THEN 'corpus_dup'
+            WHEN b.rn > 1 THEN 'batch_dup'
+            ELSE 'novel' END AS verdict
+FROM batch b LEFT JOIN corpus c ON b.k = c.k
+"""
+
+
+@register("dedup_incremental_batch", _INCREMENTAL_SQL)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production shape: a NEW batch
+    (src0) checks against the EXISTING corpus's fingerprint set and
+    against itself (first occurrence by doc_id survives). At 100 TB
+    the corpus side is fingerprints only (32-byte keys, never text),
+    the batch shuffles once on its own md5, and the corpus check is a
+    key-only join — Bloom-prescreenable via dedup_bloom_prescreen to
+    avoid touching the corpus key set for clearly-novel docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_keys = (
+        docs.where(F.col("source") != "src0")
+        .select(F.md5("text").alias("k"))
+        .distinct()
+    )
+    batch = docs.where(F.col("source") == "src0").select(
+        "doc_id", F.md5("text").alias("k")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy("doc_id")
+    )
+    flagged = batch.withColumn("rn", rn).join(
+        corpus_keys.withColumn("in_corpus", F.lit(True)), "k", "left"
+    )
+    return flagged.select(
+        "doc_id",
+        F.when(F.col("in_corpus"), F.lit("corpus_dup"))
+        .when(F.col("rn") > 1, F.lit("batch_dup"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+    )

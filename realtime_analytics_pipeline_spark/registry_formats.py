@@ -308,3 +308,117 @@ def q_serving_dynamic_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("float_cents_sum"),
         F.countDistinct("c.s").alias("n_distinct_str"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout effectiveness (round 6) — the lakehouse clustering
+# primitive, gated: integer-exact Morton keys over (l_partkey,
+# l_suppkey), 32 range-files, per-file min/max footers and the probe's
+# file-skipping verdict.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_FILES = 32
+
+
+def _z_interleave_sql(code_a: str, code_b: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({code_a} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({code_b} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    code = (
+        "(({c} - mn_{c}) * 256) // (mx_{c} - mn_{c} + 1)"
+    )
+    ca = code.format(c="l_partkey")
+    cb = code.format(c="l_suppkey")
+    return f"""
+WITH bounds AS (
+    SELECT min(l_partkey) AS mn_l_partkey, max(l_partkey) AS mx_l_partkey,
+           min(l_suppkey) AS mn_l_suppkey, max(l_suppkey) AS mx_l_suppkey
+    FROM lineitem
+),
+keyed AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_z_interleave_sql(ca, cb, _Z_BITS)} AS zkey
+    FROM lineitem CROSS JOIN bounds
+),
+filed AS (
+    SELECT *, ntile({_Z_FILES}) OVER (
+        ORDER BY zkey, l_orderkey, l_linenumber) AS file_id
+    FROM keyed
+),
+footers AS (
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS min_pk,
+           CAST(max(l_partkey) AS BIGINT) AS max_pk,
+           CAST(min(l_suppkey) AS BIGINT) AS min_sk,
+           CAST(max(l_suppkey) AS BIGINT) AS max_sk
+    FROM filed GROUP BY 1
+)
+SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+       min_pk, max_pk, min_sk, max_sk,
+       min_pk <= (SELECT mn_l_partkey
+                  + (mx_l_partkey - mn_l_partkey) // 10 FROM bounds)
+           AS probe_reads_file
+FROM footers
+"""
+
+
+@register("lineitem_zorder_skipping", _zorder_oracle())
+def q_lineitem_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering effectiveness, measured the way a lakehouse
+    table format would: Morton-key lineitem on (l_partkey, l_suppkey),
+    range-split into 32 files, emit each file's min/max footer on BOTH
+    dims plus whether a bottom-decile l_partkey probe would read it.
+
+    With Z-ordering a probe on EITHER dimension skips most files; a
+    linear sort would skip only on its leading column. The gated form
+    models the file stats with ntile over the key order (exact,
+    oracle-able); the real writer is storage.write_zordered
+    (repartitionByRange on __zkey — cluster-parallel, no global window;
+    see tests/test_storage_layout.py for the footer-range assertion on
+    actual parquet files).
+    """
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.operators.storage import (
+        zorder_key_int,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    keyed = zorder_key_int(li, ["l_partkey", "l_suppkey"], bits=_Z_BITS)
+    w = Window.orderBy("__zkey", "l_orderkey", "l_linenumber")
+    filed = keyed.withColumn("file_id", F.ntile(_Z_FILES).over(w))
+    footers = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_partkey").cast("long").alias("min_pk"),
+        F.max("l_partkey").cast("long").alias("max_pk"),
+        F.min("l_suppkey").cast("long").alias("min_sk"),
+        F.max("l_suppkey").cast("long").alias("max_sk"),
+    )
+    probe_hi = li.agg(
+        (
+            F.min("l_partkey").cast("long")
+            + F.expr(
+                "(CAST(max(l_partkey) AS BIGINT)"
+                " - CAST(min(l_partkey) AS BIGINT)) div 10"
+            )
+        ).alias("probe_hi")
+    )
+    return footers.crossJoin(F.broadcast(probe_hi)).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        "n_rows",
+        "min_pk",
+        "max_pk",
+        "min_sk",
+        "max_sk",
+        (F.col("min_pk") <= F.col("probe_hi")).alias("probe_reads_file"),
+    )
