@@ -5278,3 +5278,58 @@ def q_orders_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+_GAP_FILL_SQL = """
+WITH m AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS obs_cents
+    FROM events GROUP BY 1
+),
+bounds AS (SELECT min(minute_ms) AS lo, max(minute_ms) AS hi FROM m),
+spine AS (
+    SELECT unnest(range(lo, hi + 60000, 60000)) AS minute_ms FROM bounds
+),
+dense AS (
+    SELECT s.minute_ms, m.obs_cents FROM spine s
+    LEFT JOIN m ON s.minute_ms = m.minute_ms
+),
+w AS (
+    SELECT minute_ms, obs_cents,
+           last_value(obs_cents IGNORE NULLS) OVER (
+               ORDER BY minute_ms ROWS UNBOUNDED PRECEDING) AS pv,
+           last_value(CASE WHEN obs_cents IS NOT NULL THEN minute_ms END
+                      IGNORE NULLS) OVER (
+               ORDER BY minute_ms ROWS UNBOUNDED PRECEDING) AS pt,
+           first_value(obs_cents IGNORE NULLS) OVER (
+               ORDER BY minute_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN obs_cents IS NOT NULL THEN minute_ms END
+                       IGNORE NULLS) OVER (
+               ORDER BY minute_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM dense
+)
+SELECT minute_ms, obs_cents,
+       CAST(CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+                 ELSE pv + floor((nv - pv) * (minute_ms - pt) * 1.0
+                                 / (nt - pt))
+            END AS BIGINT) AS filled_cents,
+       obs_cents IS NULL AS is_interpolated
+FROM w
+"""
+
+
+@register("events_minute_gap_fill", _GAP_FILL_SQL)
+def q_events_minute_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-spine resampling with linear interpolation
+    (operators/timeseries.py::minute_gap_fill)."""
+    from realtime_analytics_pipeline_spark.operators.timeseries import (
+        minute_gap_fill,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        F.unix_millis("event_time").alias("event_ms"), "value"
+    )
+    return minute_gap_fill(ev)

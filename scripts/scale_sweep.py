@@ -86,6 +86,17 @@ SWEEP = [
     ("streaming_event_metrics", "events", 1, "streaming replay", True),
     ("docs_winnowing_fingerprints_kernel", "documents", 3,
      "rolling-hash winnow (Arrow kernel, SCALE PATH)", True),
+    # round-6 additions
+    ("dedup_bloom_prescreen", "documents", 3, "broadcast-Bloom prescreen", True),
+    ("docs_tfidf_top_terms", "documents", 3, "tokenize + 2-level agg", True),
+    ("docs_ngram_novelty", "documents", 3, "explode + 2 hash aggs", True),
+    ("events_cusum_drift", "events", 3, "prefix-scan windows", True),
+    ("lineitem_zorder_skipping", "lineitem", 3, "global range layout", True),
+    ("orders_salted_skew_join", "orders", 3, "salted x8 shuffle join", True),
+    # banded levenshtein is a documented within-band quadratic verifier
+    # (the LSH family is the recall/scale path) — sweep to sf0.1 only
+    ("dedup_edit_distance_banded", "documents", 3,
+     "EXACT banded pair verifier (within-band O(n^2))", False),
 ]
 
 def _winnow_spec(spark, d):
@@ -123,7 +134,10 @@ def main() -> None:
     counts: dict[str, dict[str, int]] = {}
     for t in {t for _, t, _, _, _ in SWEEP}:
         sfs = STD_SFS + (
-            EXT_SFS if have_ext and t in ("events", "documents", "lineitem") else []
+            EXT_SFS
+            if have_ext
+            and t in ("events", "documents", "lineitem", "orders", "customer")
+            else []
         )
         counts[t] = {
             sf: spark.read.parquet(f"{sf_dir(sf)}/{t}.parquet").count()

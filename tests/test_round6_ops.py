@@ -217,3 +217,29 @@ def test_zorder_probe_skips_files(spark):
     rows = QUERIES["lineitem_zorder_skipping"](spark, SF_SMOKE).collect()
     n_read = sum(1 for r in rows if r.probe_reads_file)
     assert n_read <= len(rows) // 2, f"probe reads {n_read}/{len(rows)}"
+
+
+def test_minute_gap_fill_spine_and_interpolation(spark):
+    """Dense spine (every minute lo..hi), observed rows pass through,
+    interpolated rows stay within [min, max] of their bracketing
+    observations and match the exact linear formula."""
+    from realtime_analytics_pipeline_spark.operators.timeseries import (
+        minute_gap_fill,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 1.0), (60_000, 1.0), (300_000, 11.0), (360_000, 5.0)],
+        "event_ms long, value double",
+    )
+    out = {
+        r.minute_ms: r
+        for r in minute_gap_fill(rows).orderBy("minute_ms").collect()
+    }
+    assert sorted(out) == [0, 60_000, 120_000, 180_000, 240_000,
+                           300_000, 360_000]
+    assert not out[0].is_interpolated and out[0].filled_cents == 100
+    assert out[300_000].filled_cents == 1100
+    # linear ramp 100 → 1100 over 60k..300k: +250 cents per minute
+    for t, want in [(120_000, 350), (180_000, 600), (240_000, 850)]:
+        assert out[t].is_interpolated
+        assert out[t].filled_cents == want, (t, out[t].filled_cents)
