@@ -149,13 +149,27 @@ class _Routes:
 # ---------------------------------------------------------------------------
 
 
-def _make_handler(routes: _Routes):
+def _make_handler(routes: _Routes, prom_registry=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args: Any) -> None:  # quiet test output
             pass
 
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             url = urlparse(self.path)
+            if url.path == "/metrics" and prom_registry is not None:
+                # cache main.py:87-89 — Prometheus exposition lives at
+                # the bare /metrics, beside the /metrics/... JSON routes
+                from realtime_analytics_pipeline_spark.prom import (
+                    PROM_CONTENT_TYPE,
+                )
+
+                body = prom_registry.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", PROM_CONTENT_TYPE)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             q = parse_qs(url.query)
             # FastAPI 422s a non-int limit (`limit: int = 20`,
             # metrics.py:15) — mirror that instead of letting int()
@@ -230,9 +244,27 @@ class MetricsHttpServer:
     orderly stop.
     """
 
-    def __init__(self, api: ServingApi, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        api: ServingApi,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        cache_metrics: dict | None = None,
+    ):
+        """``cache_metrics``: a ``prom.cache_metrics()`` dict (share it
+        with the retention-view sink feeding this store); when given,
+        ``GET /metrics`` serves the cache worker's Prometheus families
+        exactly as reference cache main.py:87-89 does."""
+        if cache_metrics is None:
+            from realtime_analytics_pipeline_spark.prom import (
+                cache_metrics as _mk,
+            )
+
+            cache_metrics = _mk()
+        self.metrics = cache_metrics
         self._httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(_Routes(api))
+            (host, port),
+            _make_handler(_Routes(api), cache_metrics["registry"]),
         )
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

@@ -107,17 +107,45 @@ def foreach_batch_retention_view(
     out_dir: str,
     retain: int,
     time_col: str = "window_start",
+    metrics: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """S7-equivalent cache sink: materialize only the newest ``retain``
     windows of the running result (Redis ZREMRANGEBYRANK semantics,
-    repository.py:111-115) as a small serving parquet."""
+    repository.py:111-115) as a small serving parquet.
+
+    ``metrics``: an optional ``prom.cache_metrics()`` dict — each batch
+    then feeds the reference cache worker's Prometheus families
+    (infrastructure/kafka/metrics.py / worker.py): records consumed,
+    commit batches, batch apply latency, batch errors; the queue/
+    pending gauges read 0 after a batch because this mirror applies
+    synchronously inside foreachBatch (no intermediate queue)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         from realtime_analytics_pipeline_spark.operators.serving import (
             retention_trim,
         )
 
-        trimmed = retention_trim(batch_df, retain, time_col=time_col)
-        trimmed.write.mode("overwrite").parquet(out_dir)
+        t0 = _time.time()
+        try:
+            # the record counter costs an extra action — only when the
+            # caller asked for metrics; the unmetered hot path is
+            # untouched
+            n = batch_df.count() if metrics is not None else 0
+            trimmed = retention_trim(batch_df, retain, time_col=time_col)
+            trimmed.write.mode("overwrite").parquet(out_dir)
+        except Exception:
+            if metrics is not None:
+                metrics["batch_errors"].inc()
+            raise
+        finally:
+            if metrics is not None:
+                metrics["batch_latency"].observe(_time.time() - t0)
+        if metrics is not None:
+            metrics["records"].inc(n)
+            metrics["commit_batches"].inc()
+            metrics["queue_size"].set(0)
+            metrics["pending"].set(0)
 
     return write

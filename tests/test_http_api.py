@@ -157,3 +157,54 @@ def test_negative_limit_zrevrange_wrap(server):
     _, _, minus = _get(server, "/metrics/event/windows?limit=-3")
     assert len(minus["windows"]) == n - 3
     assert minus["windows"] == everything["windows"][: n - 3]
+
+
+def test_cache_prometheus_metrics_endpoint(spark, tmp_path):
+    """GET /metrics (bare path, beside the /metrics/... JSON routes —
+    cache main.py:87-89): the six worker families from
+    infrastructure/kafka/metrics.py, fed by a retention-view batch."""
+    from realtime_analytics_pipeline_spark.prom import (
+        PROM_CONTENT_TYPE,
+        cache_metrics,
+    )
+    from realtime_analytics_pipeline_spark.streaming.sinks import (
+        foreach_batch_retention_view,
+    )
+
+    m = cache_metrics()
+    ev = load_events(spark, SF_SMOKE)
+    pivot = serving.pivot_event_metrics(
+        event_metrics(ev), ["view", "click", "purchase", "signup"]
+    )
+    out = str(tmp_path / "store")
+    write = foreach_batch_retention_view(
+        out, retain=120, time_col="window_start", metrics=m
+    )
+    write(pivot, 0)
+    n_windows = pivot.count()
+
+    api = ServingApi(
+        spark.read.parquet(out),
+        serving.pivot_performance_metrics(performance_metrics(ev), CATS),
+    )
+    srv = MetricsHttpServer(api, cache_metrics=m)
+    try:
+        status, ctype, body = _get(srv, "/metrics")
+        assert status == 200 and ctype == PROM_CONTENT_TYPE
+        lines = body.splitlines()
+        assert "# TYPE cache_kafka_records_total counter" in lines
+        assert f"cache_kafka_records_total {float(n_windows)!r}" in lines
+        assert "cache_kafka_commit_batches_total 1.0" in lines
+        assert "cache_queue_current_size 0.0" in lines
+        assert "cache_kafka_pending_messages 0.0" in lines
+        assert "cache_redis_batch_errors_total 0.0" in lines
+        assert "cache_redis_batch_latency_seconds_count 1.0" in lines
+        assert (
+            'cache_redis_batch_latency_seconds_bucket{le="+Inf"} 1.0'
+            in lines
+        )
+        # the JSON routes still answer beside the exposition route
+        status, ctype, payload = _get(srv, "/metrics/event/latest")
+        assert status == 200 and "json" in ctype
+    finally:
+        srv.close()

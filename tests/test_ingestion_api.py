@@ -182,3 +182,64 @@ def test_validate_event_pydantic_lax_coercions():
         q = _wire_event(6, "u")
         q["context"]["url"] = bad
         assert any(e["loc"] == "context.url" for e in validate_event(q)), bad
+
+
+def test_metrics_endpoint_prometheus_wire_format(tmp_path):
+    """GET /metrics — the reference's three hand-registered families
+    (track.py:21-23) in Prometheus text exposition format, with the
+    reference's counting discipline: 422s touch no counter (FastAPI
+    validates before the handler body), every valid request increments
+    the counter and lands in the latency histogram."""
+    import urllib.request
+    import urllib.error
+
+    from realtime_analytics_pipeline_spark.ingestion_api import (
+        IngestionHttpServer,
+        PROM_CONTENT_TYPE,
+    )
+
+    srv = IngestionHttpServer(str(tmp_path / "feed"))
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/analytics/track",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post(_wire_event(1, "u1")) == 202
+        assert post(_wire_event(2, "u2")) == 202
+        assert post({"event": {}}) == 422  # invalid — must not count
+
+        with urllib.request.urlopen(base + "/metrics") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == PROM_CONTENT_TYPE
+            body = r.read().decode()
+        lines = body.splitlines()
+        assert "# TYPE ingestion_requests_total counter" in lines
+        assert "ingestion_requests_total 2.0" in lines
+        assert "# TYPE ingestion_request_latency_seconds histogram" in lines
+        assert (
+            'ingestion_request_latency_seconds_bucket{le="+Inf"} 2.0'
+            in lines
+        )
+        assert "ingestion_request_latency_seconds_count 2.0" in lines
+        assert "kafka_producer_errors_total 0.0" in lines
+        # bucket series cumulative and 14 finite bounds + +Inf
+        bucket_lines = [
+            l for l in lines
+            if l.startswith("ingestion_request_latency_seconds_bucket")
+        ]
+        assert len(bucket_lines) == 15
+        counts = [float(l.rsplit(" ", 1)[1]) for l in bucket_lines]
+        assert counts == sorted(counts)
+    finally:
+        srv.close()
