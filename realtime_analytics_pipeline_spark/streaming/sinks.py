@@ -149,3 +149,39 @@ def foreach_batch_retention_view(
             metrics["pending"].set(0)
 
     return write
+
+
+def foreach_batch_resp_sink(
+    repo,
+    kind: str = "event",
+) -> Callable[[DataFrame, int], None]:
+    """S7 with the REAL wire protocol: each micro-batch of the pivot
+    stream becomes one pipelined RESP batch against a Redis(-protocol)
+    server — the exact HSET/EXPIRE/ZADD + trim sequence of reference
+    repository.py:47-77, via resp.RespCacheRepository.
+
+    ``kind``: "event" or "performance" — selects the dotted-field wire
+    shape (message_parser.py:23-42) and the index the batch lands in.
+    The collect is serving-sized by contract: the pivot stream emits
+    per-window rows and the store retains ≤120 windows per type
+    (cache config.py:23); nothing event-scale crosses the socket.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from realtime_analytics_pipeline_spark.http_api import (
+            event_wire,
+            perf_wire,
+        )
+
+        rows = batch_df.collect()
+        payloads = (
+            event_wire(rows) if kind == "event" else perf_wire(rows)
+        )
+        op_type = "event" if kind == "event" else "perf"
+        ops = []
+        for p in payloads:
+            w = p.pop("window_start")
+            ops.append({"type": op_type, "window_start": w, "fields": p})
+        repo.pipeline_apply(ops)
+
+    return write
