@@ -464,11 +464,18 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         "doc_id",
         F.explode(F.expr(gram_expr)).alias("gram"),
     )
+    from pyspark.sql import Window
+
+    # gram doc-frequency as a window count over the deduped gram rows:
+    # one shuffle on gram (the window) instead of groupBy-then-join-back
+    # (which costs the same gram shuffle PLUS a join). distinct() and
+    # the window share no partitioning, so the plan is distinct-shuffle,
+    # gram-shuffle, doc-shuffle — three exchanges total.
     per_doc = grams.distinct()
-    gram_docs = per_doc.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("gram_doc_count")
+    with_df = per_doc.withColumn(
+        "gram_doc_count", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
-    joined = per_doc.join(gram_docs, "gram").groupBy("doc_id").agg(
+    joined = with_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
         F.sum(
             F.when(F.col("gram_doc_count") == 1, F.lit(1)).otherwise(F.lit(0))

@@ -196,6 +196,13 @@ def main() -> None:
         "exact-pair verifiers whose scale path is the LSH/sketch sibling.",
         "The GATED forms of the two capped verifiers must go flat (alpha ~ 0)",
         "over the 0.1->1 decade: their md5-ordered input caps bind there.",
+        "Round-6 classes: the Bloom prescreen must stay ~flat (the filter is",
+        "fixed-size and broadcast; probe cost is map-side); zorder's gated",
+        "form models file stats with a global ntile sort, so alpha ~ 1 with",
+        "an n log n constant is expected — the production writer",
+        "(storage.write_zordered) is repartitionByRange, cluster-parallel;",
+        "banded levenshtein is the documented within-band quadratic verifier",
+        "(recall path: MinHash-LSH), swept to sf0.1 only.",
         "",
         "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | t(0.3) | t(1) | a(0.01->0.1) | a(0.1->1) |",
         "|---|---|---|---|---|---|---|---|---|---|",
