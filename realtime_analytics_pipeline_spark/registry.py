@@ -475,7 +475,9 @@ _VERIFY_WINDOW = [
     # docs_ngram_novelty, docs_quality_linear_hashed,
     # dedup_minhash_calibration, emb_pair_cosine_hist, events_cusum_drift,
     # lineitem_zorder_skipping, dedup_incremental_batch,
-    # orders_salted_skew_join.
+    # orders_salted_skew_join, events_minute_gap_fill,
+    # lineitem_sortedness_audit, orders_cohort_ltv.
+    # (30 carried + 17 new = 47 of 50 r07 slots; 3 free.)
 ]
 
 _VERIFY_WINDOW_R05 = [

@@ -1833,3 +1833,183 @@ def q_nations_trade_balance(
         .cast("bigint")
         .alias("balance_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6: data-layout sortedness audit + cohort LTV
+# --------------------------------------------------------------------------
+
+_SORTEDNESS_SQL = """
+WITH ordered AS (
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           lag(l_orderkey) OVER w AS p_ok,
+           lag(l_partkey) OVER w AS p_pk,
+           lag(l_suppkey) OVER w AS p_sk
+    FROM lineitem
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+),
+runs AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 + sum(CASE WHEN p_ok IS NOT NULL
+                              AND l_orderkey <> p_ok
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_ok,
+           CAST(1 + sum(CASE WHEN p_pk IS NOT NULL
+                              AND l_partkey <> p_pk
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_pk,
+           CAST(1 + sum(CASE WHEN p_sk IS NOT NULL
+                              AND l_suppkey <> p_sk
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r_sk
+    FROM ordered
+)
+SELECT col, n_rows, n_runs,
+       CAST(n_rows * 1000 // n_runs AS BIGINT) AS avg_run_len_x1000
+FROM (
+    SELECT 'l_orderkey' AS col, n_rows, r_ok AS n_runs FROM runs
+    UNION ALL
+    SELECT 'l_partkey', n_rows, r_pk FROM runs
+    UNION ALL
+    SELECT 'l_suppkey', n_rows, r_sk FROM runs
+)
+"""
+
+
+@register("lineitem_sortedness_audit", _SORTEDNESS_SQL)
+def q_lineitem_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisory: run counts per candidate sort column under the
+    table's canonical (l_orderkey, l_linenumber) order — long runs mean
+    RLE-friendly encoding and tight min/max footers (file skipping);
+    runs ≈ rows means that column gains nothing from the current sort
+    and is a Z-order/re-sort candidate (see lineitem_zorder_skipping).
+    One window pass computes all three columns' run counts; integer
+    outputs only."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    with_lag = li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.lag("l_orderkey").over(w).alias("p_ok"),
+        F.lag("l_partkey").over(w).alias("p_pk"),
+        F.lag("l_suppkey").over(w).alias("p_sk"),
+    )
+
+    def runs(c: str, p: str):
+        return (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col(p).isNotNull() & (F.col(c) != F.col(p)), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+        ).cast("long")
+
+    agg = with_lag.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        runs("l_orderkey", "p_ok").alias("r_ok"),
+        runs("l_partkey", "p_pk").alias("r_pk"),
+        runs("l_suppkey", "p_sk").alias("r_sk"),
+    )
+    cols = [("l_orderkey", "r_ok"), ("l_partkey", "r_pk"),
+            ("l_suppkey", "r_sk")]
+    parts = [
+        agg.select(
+            F.lit(name).alias("col"),
+            "n_rows",
+            F.col(r).alias("n_runs"),
+            F.expr(f"n_rows * 1000 div {r}").cast("long").alias(
+                "avg_run_len_x1000"
+            ),
+        )
+        for name, r in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_COHORT_LTV_SQL = """
+WITH om AS (
+    SELECT o_custkey,
+           (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+cohorts AS (SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1),
+sizes AS (
+    SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_customers
+    FROM cohorts GROUP BY 1
+),
+monthly AS (
+    SELECT c.cohort_m, om.m - c.cohort_m AS age_months,
+           CAST(sum(om.cents) AS BIGINT) AS spend_cents
+    FROM om JOIN cohorts c ON om.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_m, age_months,
+           CAST(sum(spend_cents) OVER (
+               PARTITION BY cohort_m ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+    FROM monthly
+)
+SELECT cum.cohort_m AS cohort_month_index,
+       CAST(cum.age_months AS BIGINT) AS age_months,
+       s.cohort_customers,
+       cum.cum_spend_cents,
+       CAST(cum.cum_spend_cents // s.cohort_customers AS BIGINT)
+           AS ltv_cents
+FROM cum JOIN sizes s ON cum.cohort_m = s.cohort_m
+"""
+
+
+@register("orders_cohort_ltv", _COHORT_LTV_SQL)
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each first-order-month cohort,
+    cumulative spend per cohort customer by months-since-first-order.
+    The per-(cohort, age) cumulative needs NO per-customer month spine:
+    cohort monthly totals cumsum over age, divided by the fixed cohort
+    size — two hash aggregates and one small window, integer cents."""
+    from pyspark.sql import Window
+
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohorts = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_customers")
+    )
+    monthly = (
+        om.join(cohorts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias(
+            "age_months"
+        ))
+        .agg(F.sum("cents").cast("long").alias("spend_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = monthly.select(
+        "cohort_m",
+        F.col("age_months").cast("long").alias("age_months"),
+        F.sum("spend_cents").over(w).cast("long").alias("cum_spend_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_m").select(
+        F.col("cohort_m").alias("cohort_month_index"),
+        "age_months",
+        "cohort_customers",
+        "cum_spend_cents",
+        F.expr("cum_spend_cents div cohort_customers").cast("long").alias(
+            "ltv_cents"
+        ),
+    )
