@@ -5333,3 +5333,86 @@ def q_events_minute_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("event_time").alias("event_ms"), "value"
     )
     return minute_gap_fill(ev)
+
+
+_SEASONAL_ANOMALY_SQL = """
+WITH m AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY 1
+),
+keyed AS (
+    SELECT minute_ms, total_cents,
+           ((minute_ms // 86400000) + 4) % 7 AS dow,
+           (minute_ms % 86400000) // 3600000 AS hod
+    FROM m
+),
+keyed2 AS (
+    SELECT *, median(total_cents) OVER (PARTITION BY dow, hod)
+        AS slot_med
+    FROM keyed
+),
+baseline AS (
+    SELECT dow, hod,
+           median(total_cents) AS med,
+           median(abs(total_cents - slot_med)) AS mad
+    FROM keyed2 GROUP BY dow, hod
+)
+SELECT k.minute_ms, k.total_cents,
+       b.med AS baseline_median,
+       b.mad AS baseline_mad,
+       k.total_cents > b.med + 3 * b.mad AS is_anomaly
+FROM keyed k JOIN baseline b ON k.dow = b.dow AND k.hod = b.hod
+"""
+
+
+@register("events_seasonal_anomaly", _SEASONAL_ANOMALY_SQL)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly monitor: each minute's value mass
+    compared against the robust (median + 3·MAD) baseline of its
+    (day-of-week, hour-of-day) slot — the production 'is this Tuesday
+    9am normal for a Tuesday 9am' check. Integer cents in, exact
+    dyadic medians out (continuous median of integers is .0/.5-exact,
+    so the cross-engine hash can't flake); the 168-slot baseline
+    broadcasts back to the minute stream."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    minutes = (
+        ev.select(
+            (
+                (F.unix_millis("event_time") / 60000).cast("long") * 60000
+            ).alias("minute_ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("minute_ms")
+        .agg(F.sum("cents").alias("total_cents"))
+    )
+    keyed = minutes.select(
+        "minute_ms",
+        "total_cents",
+        (
+            (F.expr("minute_ms div 86400000") + 4) % 7
+        ).alias("dow"),
+        F.expr("(minute_ms % 86400000) div 3600000").alias("hod"),
+    )
+    slot_med = F.expr(
+        "median(total_cents) OVER (PARTITION BY dow, hod)"
+    )
+    with_med = keyed.withColumn("slot_med", slot_med)
+    baseline = with_med.groupBy("dow", "hod").agg(
+        F.median("total_cents").alias("med"),
+        F.median(F.abs(F.col("total_cents") - F.col("slot_med"))).alias(
+            "mad"
+        ),
+    )
+    return keyed.join(F.broadcast(baseline), ["dow", "hod"]).select(
+        "minute_ms",
+        "total_cents",
+        F.col("med").alias("baseline_median"),
+        F.col("mad").alias("baseline_mad"),
+        (
+            F.col("total_cents") > F.col("med") + 3 * F.col("mad")
+        ).alias("is_anomaly"),
+    )

@@ -155,3 +155,32 @@ def test_expiry_evicts_lazily(redis_pair):
     # index survives (only the hash got the TTL); hash is gone
     assert cli.execute("HGETALL", "metrics:event:60000") == []
     assert repo.get_latest_event_window() is None
+
+
+def test_prom_registry_render_order_and_gauge_math():
+    """prom.py generics: families render in registration order; gauge
+    inc/dec; Histogram.time() context manager observes once."""
+    from realtime_analytics_pipeline_spark.prom import PromRegistry
+
+    reg = PromRegistry()
+    c = reg.counter("c_total", "c help")
+    g = reg.gauge("g_now", "g help")
+    h = reg.histogram("h_seconds", "h help")
+    c.inc()
+    c.inc(2)
+    g.set(5)
+    g.inc()
+    g.dec(3)
+    with h.time():
+        pass
+    body = reg.render()
+    lines = body.splitlines()
+    assert lines[0] == "# HELP c_total c help"
+    assert "c_total 3.0" in lines
+    assert "g_now 3.0" in lines
+    assert "h_seconds_count 1.0" in lines
+    # registration order preserved: counter before gauge before histogram
+    assert lines.index("# TYPE c_total counter") < lines.index(
+        "# TYPE g_now gauge"
+    ) < lines.index("# TYPE h_seconds histogram")
+    assert body.endswith("\n")
