@@ -476,8 +476,9 @@ _VERIFY_WINDOW = [
     # dedup_minhash_calibration, emb_pair_cosine_hist, events_cusum_drift,
     # lineitem_zorder_skipping, dedup_incremental_batch,
     # orders_salted_skew_join, events_minute_gap_fill,
-    # lineitem_sortedness_audit, orders_cohort_ltv, events_seasonal_anomaly.
-    # (30 carried + 18 new = 48 of 50 r07 slots; 2 free.)
+    # lineitem_sortedness_audit, orders_cohort_ltv, events_seasonal_anomaly,
+    # streaming_cusum_drift.
+    # (30 carried + 19 new = 49 of 50 r07 slots; 1 free.)
 ]
 
 _VERIFY_WINDOW_R05 = [

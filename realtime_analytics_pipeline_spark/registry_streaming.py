@@ -973,3 +973,78 @@ def q_streaming_interval_join_full(
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# Self-calibrating CUSUM: single stateful operator, so the single-agg
+# finalization law applies (minute_end <= max - delay). The oracle
+# replays the ONLINE recurrence with SQL windows over the finalized
+# minutes: prior-prefix floor-mean target (first minute is its own
+# target), then cum - min(0, running-min-cum).
+_STREAM_CUSUM_SQL = """
+WITH m AS (
+    SELECT (epoch_ms(ts) // 60000) * 60000 AS minute_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY 1
+),
+f AS (
+    SELECT * FROM m
+    WHERE minute_ms + 60000 <=
+          (SELECT max(epoch_ms(ts)) FROM events) - 10000
+),
+t AS (
+    SELECT minute_ms, total_cents,
+           CASE WHEN row_number() OVER (ORDER BY minute_ms) = 1
+                THEN total_cents
+                ELSE CAST(sum(total_cents) OVER (
+                         ORDER BY minute_ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+                     // count(*) OVER (
+                         ORDER BY minute_ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS BIGINT)
+           END AS target_cents
+    FROM f
+),
+c AS (
+    SELECT *, sum(total_cents - target_cents) OVER (
+        ORDER BY minute_ms ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+),
+d AS (
+    SELECT *, least(min(cum) OVER (
+        ORDER BY minute_ms ROWS UNBOUNDED PRECEDING), 0) AS mn
+    FROM c
+)
+SELECT minute_ms, total_cents, target_cents,
+       CAST(cum - mn AS BIGINT) AS cusum_pos,
+       (cum - mn) > 2 * target_cents AS is_drift
+FROM d
+"""
+
+
+@register("streaming_cusum_drift", _STREAM_CUSUM_SQL)
+def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift detection as a LIVE stateful streaming job: per-minute
+    value mass folds through streaming/stateful.py::cusum_stateful —
+    the target self-calibrates from the finalized prefix (no global
+    pass exists in a stream), minutes finalize as the watermark passes
+    their end, and the emitted integer-cents fold equals the oracle's
+    SQL-window replay bit-for-bit."""
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        cusum_stateful,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        out = cusum_stateful(stream)
+        table = f"stream_cusum_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(out, table, output_mode="append")
+        return spark.table(table)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -320,4 +321,136 @@ def sessionize_tws(events: DataFrame, gap_us: int = 1800 * 1_000_000) -> DataFra
         outputStructType=SESSION_OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="eventTime",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-calibrating CUSUM as a streaming stateful operator (round 6):
+# the online twin of operators/timeseries.py::cusum_drift, with the
+# target learned from the finalized prefix instead of a global pass.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("minute_ms", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("target_cents", LongType()),
+        StructField("cusum_pos", LongType()),
+        StructField("is_drift", BooleanType()),
+    ]
+)
+
+# pending (open) minutes + the O(1) calibration/CUSUM carry
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("pending_ms", StringType()),     # csv of open minutes
+        StructField("pending_cents", StringType()),  # csv, same order
+        StructField("n_done", LongType()),
+        StructField("sum_done", LongType()),
+        StructField("cum", LongType()),
+        StructField("min_cum", LongType()),
+        StructField("last_final_ms", LongType()),
+    ]
+)
+
+
+def _cusum_update_fn(bucket_ms: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            p_ms, p_cents, n_done, sum_done, cum, min_cum, last_fin = (
+                state.get
+            )
+            pending = dict(
+                zip(
+                    (int(x) for x in p_ms.split(",") if x),
+                    (int(x) for x in p_cents.split(",") if x),
+                )
+            )
+        else:
+            pending, n_done, sum_done, cum, min_cum, last_fin = (
+                {}, 0, 0, 0, 0, -1,
+            )
+
+        for pdf in pdfs:
+            for m, c in zip(pdf["minute_ms"], pdf["cents"]):
+                m, c = int(m), int(c)
+                if m <= last_fin:
+                    continue  # beyond-watermark straggler: drop, as the
+                    # windowed-agg path would
+                pending[m] = pending.get(m, 0) + c
+
+        wm = state.getCurrentWatermarkMs()
+        out_rows = []
+        for m in sorted(pending):
+            if m + bucket_ms > wm:
+                break
+            x = pending.pop(m)
+            # prior-prefix calibration: the first minute is its own
+            # target (no drift possible at cold start)
+            target = x if n_done == 0 else sum_done // n_done
+            cum += x - target
+            min_cum = min(min_cum, cum)
+            cusum = cum - min(min_cum, 0)
+            out_rows.append(
+                (m, x, target, cusum, bool(cusum > 2 * target))
+            )
+            n_done += 1
+            sum_done += x
+            last_fin = m
+        state.update(
+            (
+                ",".join(str(m) for m in sorted(pending)),
+                ",".join(str(pending[m]) for m in sorted(pending)),
+                n_done, sum_done, cum, min_cum, last_fin,
+            )
+        )
+        if pending:
+            # arm the event-time timeout at the earliest open minute's
+            # end so the final no-data batch finalizes the tail
+            state.setTimeoutTimestamp(min(pending) + bucket_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "minute_ms", "total_cents", "target_cents",
+                    "cusum_pos", "is_drift",
+                ],
+            )
+
+    return update
+
+
+def cusum_stateful(events: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
+    """events (stream with event_time watermark) -> finalized per-minute
+    self-calibrating CUSUM rows, emitted as the watermark passes each
+    minute's end.
+
+    Online semantics (exactly what the SQL-window oracle computes over
+    the finalized set): target_t = floor(mean of previously finalized
+    minutes) — cold start: the first minute is its own target — then
+    Page's recurrence via the cum − min(0, running-min-cum) closed form.
+    State is O(open minutes + 5 longs) under the single calibration
+    key; a multi-series deployment keys by series and scales like any
+    keyed stateful op. Integer cents throughout, so the streaming fold
+    and the oracle's window expressions agree bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    rows = events.select(
+        "event_time",
+        (
+            (F.unix_millis("event_time") / bucket_ms).cast("long")
+            * bucket_ms
+        ).alias("minute_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit(0).alias("g"),
+    )
+    return rows.groupBy("g").applyInPandasWithState(
+        _cusum_update_fn(bucket_ms),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

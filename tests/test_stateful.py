@@ -204,3 +204,64 @@ def test_tws_sessionization_plan_constructs(spark):
     assert [f.name for f in out.schema.fields] == [
         "session_id", "user_id", "start_us", "end_us", "page_count",
     ]
+
+
+def test_cusum_stateful_multibatch_equals_batch_fold(spark, tmp_path):
+    """The streaming fold must carry (cum, min_cum, calibration) state
+    across micro-batches: replay the same minutes in 3 batches and in
+    1 batch — identical finalized rows; stragglers behind the
+    watermark are dropped, not double-counted."""
+    import pandas as pd
+
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        _cusum_update_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+            self.hasTimedOut = False
+            self.wm = 0
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutTimestamp(self, ts):
+            self.to = ts
+
+    fn = _cusum_update_fn(60_000)
+    minutes = [(i * 60_000, 100 + (i % 5) * 37) for i in range(12)]
+
+    def run(batches, wms):
+        st = FakeState()
+        rows = []
+        for batch, wm in zip(batches, wms):
+            st.wm = wm
+            out = list(
+                fn((0,), iter([pd.DataFrame(
+                    batch, columns=["minute_ms", "cents"]
+                )]), st)
+            )
+            for pdf in out:
+                rows.extend(map(tuple, pdf.itertuples(index=False)))
+        return rows
+
+    one = run([minutes], [12 * 60_000 + 60_000])
+    three = run(
+        [minutes[:4], minutes[4:9], minutes[9:]],
+        [3 * 60_000, 8 * 60_000, 13 * 60_000],
+    )
+    assert one == three
+    assert len(one) == 12
+    # a straggler for an already-finalized minute is dropped
+    st_rows = run([minutes, [(0, 999)]], [13 * 60_000, 14 * 60_000])
+    assert st_rows == one
