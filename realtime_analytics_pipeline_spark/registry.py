@@ -477,8 +477,8 @@ _VERIFY_WINDOW = [
     # lineitem_zorder_skipping, dedup_incremental_batch,
     # orders_salted_skew_join, events_minute_gap_fill,
     # lineitem_sortedness_audit, orders_cohort_ltv, events_seasonal_anomaly,
-    # streaming_cusum_drift.
-    # (30 carried + 19 new = 49 of 50 r07 slots; 1 free.)
+    # streaming_cusum_drift, emb_knn_label_accuracy.
+    # (30 carried + 20 new = 50 of 50 — the r07 window is fully named.)
 ]
 
 _VERIFY_WINDOW_R05 = [

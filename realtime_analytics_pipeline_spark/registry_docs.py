@@ -3650,3 +3650,114 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("novel"))
         .alias("verdict"),
     )
+
+
+_KNN_ACC_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT a.vec_id AS query_id, a.label AS true_label,
+           b.label AS n_label,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+           b.vec_id AS nid
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+knn AS (
+    SELECT query_id, true_label, n_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, nid) AS rnk
+        FROM s
+    ) WHERE rnk <= 5
+),
+votes AS (
+    SELECT query_id, true_label, n_label, count(*) AS c
+    FROM knn GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT query_id, true_label, n_label AS pred_label
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, n_label) AS vr
+        FROM votes
+    ) WHERE vr = 1
+)
+SELECT true_label AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+FROM pred GROUP BY 1
+"""
+
+
+@register("emb_knn_label_accuracy", _KNN_ACC_SQL)
+def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: 5-NN majority-vote label accuracy per
+    class (ties broken smallest-label) — the standard 'is this
+    embedding space any good' probe. The exact all-pairs form is the
+    EVALUATION baseline (bucketed equi-join pairs, never a cartesian);
+    at corpus scale the same vote runs over ANN candidates
+    (sim_ann_lsh_topk / IVF) — documented trade, recall floors pinned
+    in tests/test_ann_quality.py. Integer votes and ppm accuracy keep
+    the hash exact."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from realtime_analytics_pipeline_spark.operators.dedup import (
+        all_pairs_equi,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    half = all_pairs_equi(emb, "vec_id").select(
+        "a_vec_id", "a_label", "a_v", "b_vec_id", "b_label", "b_v"
+    )
+    # both directions: each unordered pair serves both queries
+    directed = half.select(
+        F.col("a_vec_id").alias("query_id"),
+        F.col("a_label").alias("true_label"),
+        F.col("b_label").alias("n_label"),
+        F.col("b_vec_id").alias("nid"),
+        F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
+    ).unionByName(
+        half.select(
+            F.col("b_vec_id").alias("query_id"),
+            F.col("b_label").alias("true_label"),
+            F.col("a_label").alias("n_label"),
+            F.col("a_vec_id").alias("nid"),
+            F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("nid")
+    )
+    knn = directed.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 5
+    )
+    votes = knn.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("n_label")
+    )
+    pred = votes.withColumn("vr", F.row_number().over(wv)).where(
+        F.col("vr") == 1
+    )
+    correct = F.sum(
+        F.when(F.col("n_label") == F.col("true_label"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        correct.alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
