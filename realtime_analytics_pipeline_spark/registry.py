@@ -478,7 +478,11 @@ _VERIFY_WINDOW = [
     # orders_salted_skew_join, events_minute_gap_fill,
     # lineitem_sortedness_audit, orders_cohort_ltv, events_seasonal_anomaly,
     # streaming_cusum_drift, emb_knn_label_accuracy.
-    # (30 carried + 20 new = 50 of 50 — the r07 window is fully named.)
+    # Round-5 session additions (also never driver-run):
+    # dedup_overlap_containment, dedup_cross_source_matrix, emb_dim_stats.
+    # Total never-driver-verified oracled outside this window: 53
+    # (propose_window.py --all) — the r07 window takes 50, the last 3
+    # spill to r08.
 ]
 
 _VERIFY_WINDOW_R05 = [
