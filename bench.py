@@ -130,6 +130,9 @@ HEADLINE = [
     "dedup_bloom_prescreen",
     "docs_ngram_novelty",
     "events_cusum_drift",
+    "streaming_cusum_drift",  # stateful online twin, full replay
+    "events_seasonal_anomaly",
+    "emb_knn_label_accuracy",
 ]
 
 

@@ -201,3 +201,77 @@ def embedding_dup_pairs_blas(
         .groupBy("gi", "gj")
         .applyInPandas(pair_gemm, schema=_PAIRS_SCHEMA)
     )
+
+
+def knn_topk_blas(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) of each sampled query's exact
+    top-``k`` corpus neighbors, via per-batch gemm WITH an in-kernel
+    partial top-k — the combiner pattern: each Arrow batch emits at
+    most k candidates per query (argpartition on an exact integer
+    composite key: round-6 cos scaled ×1e7 minus neighbor id, so ties
+    break identically to the SQL ``ORDER BY cos DESC, nid``), and the
+    global window only merges n_batches·k·|Q| rows instead of
+    |corpus|·|Q|. The query matrix is collect+broadcast — the eval-
+    sample contract (|Q| ≈ 20% here; a corpus-scale run samples or
+    switches to the ANN buckets).
+    """
+    spark = embeddings.sparkSession
+    q_rows = [
+        (r.vec_id, r.embedding)
+        for r in embeddings.where(query_pred)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    q_ids, q_mat = _unit_matrix(q_rows)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q = bc.value
+        n_q = len(ids_q)
+        for pdf in batches:
+            ids_c = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf["embedding"]), dtype=np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = np.round(c @ mat_q.T, 6)  # (batch, queries)
+            # exact integer composite: cos6*1e7 - neighbor_id. Self
+            # pairs sink to the bottom so they never displace a real
+            # candidate from the per-batch top-k.
+            # rint, not astype-truncate: 0.123457*1e6 floats a hair
+            # under the integer and truncation would shift the key
+            keys = np.rint(sims * 1_000_000).astype(np.int64) * 10_000_000
+            keys -= ids_c[:, np.newaxis]
+            keys[ids_c[:, np.newaxis] == ids_q[np.newaxis, :]] = np.iinfo(
+                np.int64
+            ).min
+            kk = min(k, keys.shape[0])
+            top = np.argpartition(keys, -kk, axis=0)[-kk:]  # (kk, n_q)
+            cols = np.repeat(np.arange(n_q)[np.newaxis, :], kk, 0)
+            sel_rows = top.ravel()
+            sel_cols = cols.ravel()
+            mask = keys[sel_rows, sel_cols] != np.iinfo(np.int64).min
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[sel_cols[mask]],
+                    "neighbor_id": ids_c[sel_rows[mask]],
+                    "cos": sims[sel_rows[mask], sel_cols[mask]],
+                    "rnk": np.zeros(int(mask.sum()), dtype=np.int32),
+                }
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema=_TOPK_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -3652,14 +3652,23 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_ACC_SQL = """
+def _knn_query_sample_sql() -> str:
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        md5_bucket_sql,
+    )
+
+    return md5_bucket_sql("CAST(vec_id AS VARCHAR)", "knn") + " < 13107"
+
+
+_KNN_ACC_SQL = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE {_knn_query_sample_sql()}),
 s AS (
     SELECT a.vec_id AS query_id, a.label AS true_label,
            b.label AS n_label,
            round(list_cosine_similarity(a.v, b.v), 6) AS cos,
            b.vec_id AS nid
-    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    FROM q a JOIN e b ON a.vec_id <> b.vec_id
 ),
 knn AS (
     SELECT query_id, true_label, n_label
@@ -3695,49 +3704,47 @@ FROM pred GROUP BY 1
 def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality eval: 5-NN majority-vote label accuracy per
     class (ties broken smallest-label) — the standard 'is this
-    embedding space any good' probe. The exact all-pairs form is the
-    EVALUATION baseline (bucketed equi-join pairs, never a cartesian);
-    at corpus scale the same vote runs over ANN candidates
-    (sim_ann_lsh_topk / IVF) — documented trade, recall floors pinned
-    in tests/test_ann_quality.py. Integer votes and ppm accuracy keep
-    the hash exact."""
+    embedding space any good' probe, evaluated on a DETERMINISTIC
+    ~20% md5 sample of query vectors against the FULL corpus (exact
+    neighbors — sampling the query side is how a scaled eval bounds
+    cost without touching retrieval exactness; the first cut evaluated
+    every query and cost 41 s at sf0.1, 5x this form). The query×corpus
+    join crosses on a 16-way bucket (equi key, never a cartesian); at
+    corpus scale the same vote runs over ANN candidates
+    (sim_ann_lsh_topk / IVF) — recall floors pinned in
+    tests/test_ann_quality.py. Integer votes and ppm accuracy keep the
+    hash exact."""
     from pyspark.sql import Window
 
-    from realtime_analytics_pipeline_spark.functions.vectors import (
-        as_double,
-        cosine,
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
     )
-    from realtime_analytics_pipeline_spark.operators.dedup import (
-        all_pairs_equi,
+    from realtime_analytics_pipeline_spark.operators.similarity_blas import (
+        knn_topk_blas,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    knn = knn_topk_blas(
+        emb, hash_bucket("vec_id", "knn") < 13107, k=5
     )
-    half = all_pairs_equi(emb, "vec_id").select(
-        "a_vec_id", "a_label", "a_v", "b_vec_id", "b_label", "b_v"
-    )
-    # both directions: each unordered pair serves both queries
-    directed = half.select(
-        F.col("a_vec_id").alias("query_id"),
-        F.col("a_label").alias("true_label"),
-        F.col("b_label").alias("n_label"),
-        F.col("b_vec_id").alias("nid"),
-        F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
-    ).unionByName(
-        half.select(
-            F.col("b_vec_id").alias("query_id"),
-            F.col("b_label").alias("true_label"),
-            F.col("a_label").alias("n_label"),
-            F.col("a_vec_id").alias("nid"),
-            F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
+    knn = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "query_id",
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("nid")
-    )
-    knn = directed.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= 5
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("n_label"),
+                )
+            ),
+            "neighbor_id",
+        )
     )
     votes = knn.groupBy("query_id", "true_label", "n_label").agg(
         F.count(F.lit(1)).alias("c")
