@@ -90,21 +90,26 @@ def read_jdbc(
     return reader.load()
 
 
-def _jdbc_execute(spark: SparkSession, url: str, sql: str) -> bool:
+def _jdbc_execute(
+    spark: SparkSession, url: str, sql: str
+) -> tuple[bool, str]:
     """Run one DDL/DML statement through the JVM's DriverManager
     (driver-side; used only for bounded serving-table maintenance).
-    Returns False if the statement failed (e.g. table didn't exist)."""
+    Returns (ok, error_message) — callers must decide which failures
+    are benign (a missing table on the first micro-batch) and which
+    are correctness bugs (anything else: a silently failed DELETE
+    breaks the upsert's idempotence, see the round-6 quoting bug)."""
     jvm = spark.sparkContext._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
         stmt = conn.createStatement()
         try:
             stmt.execute(sql)
-            return True
+            return True, ""
         finally:
             stmt.close()
-    except Exception:
-        return False
+    except Exception as e:  # noqa: BLE001 — JVM exceptions surface here
+        return False, str(e)
     finally:
         conn.close()
 
@@ -133,9 +138,80 @@ def foreach_batch_jdbc_upsert(
         if not keys:
             return
         key_list = ", ".join(str(int(k)) for k in keys)
-        _jdbc_execute(
-            spark, url, f"DELETE FROM {table} WHERE {key_col} IN ({key_list})"
+        # the key column MUST be quoted: Spark's JDBC writer creates
+        # case-sensitive quoted columns, so an unquoted reference folds
+        # to uppercase and fails — and a swallowed DELETE failure
+        # silently breaks replay idempotence (caught in round 6 by the
+        # metered-sink test; the set-based replay assertion had masked
+        # it). The table name stays UNquoted — Spark emits it verbatim
+        # into CREATE TABLE, so the folded form is the real identifier.
+        ok, err = _jdbc_execute(
+            spark,
+            url,
+            f'DELETE FROM {table} WHERE "{key_col}" IN ({key_list})',
         )
+        if not ok and "does not exist" not in err:
+            raise RuntimeError(f"upsert DELETE failed on {table}: {err}")
         write_jdbc(batch_df, url, table, mode="append", driver=driver)
+
+    return write
+
+
+def foreach_batch_jdbc_upsert_metered(
+    url: str,
+    table: str,
+    key_col: str,
+    driver: str = DERBY_DRIVER,
+    metrics: dict | None = None,
+    max_retries: int = 3,
+    backoff_base: float = 0.5,
+) -> Callable[[DataFrame, int], None]:
+    """The storage processor's operational discipline wrapped around
+    the idempotent JDBC upsert (reference processor.py:95-145): a
+    bounded retry loop with capped exponential backoff around the
+    insert (STORAGE_RETRIES per attempt, STORAGE_ERRORS when
+    exhausted), batch-size/insert-latency/cycle histograms, in-flight
+    gauge, and a commit counter AFTER success — the commit-follows-
+    insert ordering the reference gets from committing Kafka offsets
+    only after every topic's insert landed. The retried unit is the
+    WHOLE delete+append upsert, which is idempotent by key, so a retry
+    after a partial failure converges instead of duplicating.
+
+    ``metrics``: a ``prom.storage_metrics()`` dict; pass None for the
+    bare unmetered sink (identical write path).
+    """
+    import time as _time
+
+    inner = foreach_batch_jdbc_upsert(url, table, key_col, driver)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if metrics is None:
+            inner(batch_df, batch_id)
+            return
+        cycle_t0 = _time.time()
+        n = batch_df.count()
+        metrics["batch_size"].observe(n)
+        metrics["in_flight"].inc()
+        insert_t0 = _time.time()
+        try:
+            attempts = 0
+            while True:
+                try:
+                    inner(batch_df, batch_id)
+                    break
+                except Exception:
+                    attempts += 1
+                    metrics["retries"].inc()
+                    if attempts >= max_retries:
+                        metrics["errors"].inc()
+                        raise
+                    _time.sleep(min(backoff_base * attempts, 2.0))
+            metrics["insert_latency"].observe(_time.time() - insert_t0)
+            metrics["batches"].inc()
+            metrics["records"].inc(n)
+            metrics["commits"].inc()  # commit follows successful insert
+        finally:
+            metrics["in_flight"].dec()
+            metrics["consume_cycle"].observe(_time.time() - cycle_t0)
 
     return write
