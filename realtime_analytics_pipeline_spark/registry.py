@@ -55,6 +55,11 @@ def register(name: str, oracle: str | None = None):
             tune_session(spark)
             return fn(spark, sf_dir, *a, **kw)
 
+        # a duplicate name would SILENTLY replace an existing (possibly
+        # in-window) query — round 6 shipped exactly that bug for a few
+        # hours (orders_cohort_ltv). Fail at import instead.
+        if name in QUERIES:
+            raise ValueError(f"duplicate gated query name: {name}")
         QUERIES[name] = tuned
         if oracle is not None:
             ORACLES[name] = oracle
@@ -476,7 +481,8 @@ _VERIFY_WINDOW = [
     # dedup_minhash_calibration, emb_pair_cosine_hist, events_cusum_drift,
     # lineitem_zorder_skipping, dedup_incremental_batch,
     # orders_salted_skew_join, events_minute_gap_fill,
-    # lineitem_sortedness_audit, orders_cohort_ltv, events_seasonal_anomaly,
+    # lineitem_sortedness_audit, orders_cohort_ltv_per_customer,
+    # events_seasonal_anomaly,
     # streaming_cusum_drift, emb_knn_label_accuracy.
     # Round-5 session additions (also never driver-run):
     # dedup_overlap_containment, dedup_cross_source_matrix, emb_dim_stats.

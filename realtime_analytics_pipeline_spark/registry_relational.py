@@ -1932,7 +1932,7 @@ def q_lineitem_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_COHORT_LTV_SQL = """
+_COHORT_LTV_PC_SQL = """
 WITH om AS (
     SELECT o_custkey,
            (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m,
@@ -1967,9 +1967,13 @@ FROM cum JOIN sizes s ON cum.cohort_m = s.cohort_m
 """
 
 
-@register("orders_cohort_ltv", _COHORT_LTV_SQL)
-def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort lifetime-value curves: for each first-order-month cohort,
+@register("orders_cohort_ltv_per_customer", _COHORT_LTV_PC_SQL)
+def q_orders_cohort_ltv_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-CUSTOMER cohort lifetime-value curves (the sibling of
+    orders_cohort_ltv above, which tracks total cohort revenue by
+    30-day period): for each first-order-month cohort,
     cumulative spend per cohort customer by months-since-first-order.
     The per-(cohort, age) cumulative needs NO per-customer month spine:
     cohort monthly totals cumsum over age, divided by the fixed cohort
