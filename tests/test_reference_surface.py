@@ -38,3 +38,22 @@ def test_complete_tpch_shape_matrix():
     got = {int(n.split("_")[1][1:]) for n in names}
     assert got == set(range(1, 23))
     assert all(n in ORACLES for n in names)
+
+
+def test_verify_window_integrity():
+    """The driver oracle-checks the FIRST 50 registered queries; the
+    window policy only works if (a) every _VERIFY_WINDOW name is
+    actually registered, (b) registration order puts exactly those
+    names first, and (c) each carries an oracle (a rows-only query in
+    the window wastes a slot). Guards against an accidental reorder or
+    a skipped-name typo during rotation."""
+    import __spark_entry__ as e
+    from realtime_analytics_pipeline_spark.registry import _VERIFY_WINDOW
+
+    qs = list(e.queries())
+    oracles = e.oracle_sql()
+    window = [n for n in _VERIFY_WINDOW if n in qs][:50]
+    assert len(window) == 50, f"window has {len(window)} registered names"
+    assert qs[:50] == window, "registration order diverges from window"
+    missing_oracle = [n for n in window if n not in oracles]
+    assert not missing_oracle, f"rows-only in window: {missing_oracle}"
