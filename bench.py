@@ -148,6 +148,16 @@ def main() -> None:
     registry.QUERIES["event_metrics_1m"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+    # ...and warm the PYTHON worker / Arrow path too: the gemm and
+    # Python-data-source headliners otherwise pay daemon spawn + Arrow
+    # init on their first rep, which is what kept flagging
+    # sim_cosine_topk_blas / pyds_feed_scan as 'contended' every round
+    registry.QUERIES["sim_cosine_topk_blas"](
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
+    registry.QUERIES["pyds_feed_scan"](
+        spark, "/root/testdata/sf0.001"
+    ).write.format("noop").mode("overwrite").save()
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
