@@ -841,8 +841,58 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_lite(pairs)
 
 
-@register("segment_overlap_kmv")  # rows-only: estimator; accuracy vs
-# exact intersections pinned in tests/test_sketches.py
+def _kmv_overlap_oracle() -> str:
+    from realtime_analytics_pipeline_spark.registry_docs import _hex_int_sql
+
+    h48 = _hex_int_sql("md5(CAST(key AS VARCHAR))", 12)
+
+    def pair(sa: str, sb: str) -> str:
+        return f"""
+SELECT '{sa}' AS segment_a, '{sb}' AS segment_b,
+       round(CASE WHEN m < 256 THEN CAST(nb AS DOUBLE)
+                  ELSE (nb / m) * (255.0 / tau) END, 6) AS est_overlap
+FROM (
+    SELECT count(*) AS m, max(h) AS tau,
+           CAST(sum(in_a * in_b) AS BIGINT) AS nb
+    FROM (
+        SELECT h, max(in_a) AS in_a, max(in_b) AS in_b,
+               row_number() OVER (ORDER BY h) AS rk
+        FROM (
+            SELECT h, CASE WHEN segment = '{sa}' THEN 1 ELSE 0 END AS in_a,
+                   CASE WHEN segment = '{sb}' THEN 1 ELSE 0 END AS in_b
+            FROM sk WHERE segment IN ('{sa}', '{sb}')
+        ) GROUP BY h
+        QUALIFY rk <= 256
+    )
+)"""
+
+    return f"""
+WITH keys AS (
+    SELECT DISTINCT event_type AS segment, CAST(user_id AS VARCHAR) AS key
+    FROM events
+),
+hs AS (
+    SELECT segment, {h48} / 281474976710656.0 AS h FROM keys
+),
+sk AS (
+    SELECT segment, h FROM (
+        SELECT segment, h,
+               row_number() OVER (PARTITION BY segment ORDER BY h) AS rk
+        FROM hs
+    ) WHERE rk <= 256
+)
+{pair("view", "purchase")}
+UNION ALL
+{pair("view", "click")}
+"""
+
+
+# Upgraded rows-only -> oracled in round 6: the KMV hash is md5-based
+# (sketches._hash_frac — 48-bit md5 fraction, exact in a double), so
+# DuckDB can replay the whole sketch + intersection estimate
+# bit-for-bit. Accuracy vs exact intersections additionally pinned in
+# tests/test_sketches.py.
+@register("segment_overlap_kmv", _kmv_overlap_oracle())
 def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation from KMV sketches alone: distinct
     users per event_type AND pairwise view∩purchase / view∩click
