@@ -5,7 +5,13 @@ Prints ONE SHORT JSON line (~200 bytes — the driver tail-captures
 stdout and anything KB-sized gets truncated; see VERDICT r03/r04):
 {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
  "n_queries": K, "reps": 3, "contended": C,
- "streaming_events_per_sec": R, "sf": 0.1, "detail": "BENCH_LOCAL.json"}
+ "streaming_events_per_sec": R, "calib_sec": S, "sf": 0.1,
+ "detail": "BENCH_LOCAL.json"}
+
+`calib_sec` is a fixed-work pure-CPU probe (64M-row hash-agg over
+spark.range, no data dependence) — compare it across BENCH_r{N}.json
+FIRST: if calib drifted, the query medians drifted with the machine,
+not the code.
 
 The FULL payload — per-query medians, min/max spread, contended-query
 names — is written to BENCH_LOCAL.json (committed) on every run.
@@ -159,6 +165,26 @@ def main() -> None:
         spark, "/root/testdata/sf0.001"
     ).write.format("noop").mode("overwrite").save()
 
+    # Machine-drift calibration (VERDICT r06 item 4): this VM shows
+    # 2-4x wall-clock noise round-to-round, and r06's uniform +28%
+    # cost a worktree bisect to exonerate. A fixed-work, data-free,
+    # pure-CPU probe — 64M-row hash-agg over spark.range, identical
+    # every round — turns "is the machine slow today?" into a
+    # one-line read: compare calib_sec across BENCH_r{N}.json before
+    # comparing query medians. Runs AFTER warmup so it measures
+    # steady-state JVM throughput, not bring-up.
+    def calib_run() -> float:
+        t0 = time.time()
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "id % 1048576 AS k", "xxhash64(id) AS h"
+        ).groupBy("k").agg({"h": "sum", "k": "count"}).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    calib_sec = round(statistics.median(calib_run() for _ in range(3)), 3)
+    print(f"  calibration probe: {calib_sec:.2f}s", file=sys.stderr)
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -211,6 +237,7 @@ def main() -> None:
         "reps": reps,
         "contended": contended,
         "streaming_events_per_sec": events_per_sec,
+        "calib_sec": calib_sec,
         "sf": sf,
     }
     # The driver tail-captures stdout and ~5.6 KB lines got truncated
@@ -229,6 +256,7 @@ def main() -> None:
         "reps": reps,
         "contended": len(contended),
         "streaming_events_per_sec": events_per_sec,
+        "calib_sec": calib_sec,
         "sf": sf,
         "detail": "BENCH_LOCAL.json",
     }
