@@ -148,6 +148,116 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    documents: DataFrame, n: int = 1, threshold: float = 0.9
+) -> DataFrame:
+    """Exact n-gram-set Jaccard ≥ threshold via PREFIX FILTERING — the
+    scale-exact form of ``jaccard_pairs``: identical pair set, but
+    candidates form only in the inverted index of each doc's RAREST
+    few shingles instead of all of them.
+
+    Prefix-filter principle (public all-pairs similarity-join
+    literature — the SSJoin/PPJoin family): fix one global canonical
+    shingle order (ascending document frequency, ties by shingle). If
+    J(a,b) ≥ t then |a∩b| ≥ ⌈t·|a|⌉, so the intersection cannot avoid
+    a's first |a| − ⌈t·|a|⌉ + 1 shingles in that order — any
+    qualifying pair shares a shingle between the two PREFIXES. At
+    t = 0.9 the prefix is ~10% of each doc, and frequency-ascending
+    ordering makes prefix shingles the rarest ones, so inverted lists
+    stay short even on boilerplate-heavy corpora (the hot common
+    shingles never enter the index). A size filter (t·max ≤ min of
+    the two set sizes, integer cross-multiplied) prunes further.
+    Verification computes the exact intersection from the two full
+    sorted shingle arrays.
+
+    All arithmetic is integer end-to-end: the threshold test is
+    ``inter·den ≥ union·num`` (threshold as an exact Fraction), and
+    the emitted score is ``jaccard_ppm = (inter·1e6) div union`` — no
+    float rounding anywhere, so the DuckDB oracle replays bit-for-bit.
+
+    Scale shape: shuffles are (shingle-df agg) + (df join back) +
+    (per-doc array build) + (prefix inverted join) + (verify join on
+    candidate ids) — every one keyed, none quadratic; total work is
+    near-linear in corpus size at high thresholds. This is the exact
+    verifier to run at 100 TB; ``jaccard_pairs`` stays as the naive
+    reference form.
+
+    Output: doc_a, doc_b (a < b), jaccard_ppm (BIGINT).
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    sh = _doc_shingles(documents, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle array in global (df, shingle) order + set size
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ord_fs"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.expr("transform(ord_fs, x -> x.shingle)").alias("shingles"),
+        )
+    )
+    prefix_len = f"sz - ((sz * {num} + {den - 1}) div {den}) + 1"
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.expr(f"slice(shingles, 1, {prefix_len})")).alias(
+            "shingle"
+        ),
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.greatest("sz_a", "sz_b") * num
+                <= F.least("sz_a", "sz_b") * den
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    fb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .where(F.col("inter") * den >= F.col("uni") * num)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(CAST(inter AS BIGINT) * 1000000) div uni").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
 def overlap_pairs(
     documents: DataFrame, n: int = 1, threshold: float = 0.9
 ) -> DataFrame:
@@ -567,6 +677,7 @@ def edit_distance_banded(
     prefix_chars: int = 64,
     max_distance: int = 12,
     band_chars: int = 16,
+    band_cap: int = 256,
 ) -> DataFrame:
     """Fuzzy near-dup verification by Levenshtein distance on banded
     candidate pairs.
@@ -577,10 +688,20 @@ def edit_distance_banded(
     the documented recall cost of single-key banding; MinHash-LSH is
     the recall path, this is the cheap precise verifier). Distance is
     computed on the first ``prefix_chars`` chars, bounding per-pair
-    cost at O(prefix²) regardless of doc size. One shuffle on the band
-    key; within-band pairing is quadratic in BAND size only — at scale
-    band_chars trades skew (hot bands) against recall, and a salt cap
-    as in minhash_lsh_pairs applies if a band runs hot.
+    cost at O(prefix²) regardless of doc size.
+
+    Salt cap (the 100 TB guard): a band holding n docs is split into
+    ``(n + band_cap - 1) // band_cap`` sub-bands by an md5 hash of
+    doc_id (engine-portable — the DuckDB oracle replays the split
+    bit-for-bit). Pairs form only WITHIN a sub-band, so per-key work
+    is O(band_cap²) and total work is O(corpus × band_cap) — linear in
+    the corpus, never quadratic, and a hot band (boilerplate-heavy
+    length bucket) is spread structurally instead of landing in one
+    task. Documented recall cost: a true near-dup pair inside a band
+    split s ways survives with probability 1/s — acceptable for a
+    VERIFIER whose recall path is MinHash-LSH; set band_cap high (or
+    the corpus small) to disable the split entirely (n ≤ band_cap ⇒
+    one sub-band ⇒ output identical to the uncapped join).
     """
     banded = documents.select(
         F.col("doc_id"),
@@ -588,11 +709,31 @@ def edit_distance_banded(
         (F.col("n_chars") / band_chars).cast("long").alias("len_band"),
         F.substring(F.lower("text"), 1, prefix_chars).alias("prefix"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # band populations are tiny next to the corpus (one row per
+    # (lang, len_band)) — broadcast them back; the corpus shuffles once
+    # on the sub-band key in the self-join below, same as before.
+    sizes = banded.groupBy("lang", "len_band").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    from realtime_analytics_pipeline_spark.operators.sampling import hash_bucket
+
+    sub = (
+        banded.join(F.broadcast(sizes), ["lang", "len_band"])
+        .withColumn(
+            "sub",
+            F.pmod(
+                hash_bucket("doc_id", "edb"),
+                F.expr(f"(_n + {band_cap - 1}) div {band_cap}"),
+            ),
+        )
+        .drop("_n")
+    )
+    a, b = sub.alias("a"), sub.alias("b")
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.len_band") == F.col("b.len_band"))
+        & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     return (

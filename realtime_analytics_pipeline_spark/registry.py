@@ -389,7 +389,90 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # ROUND 6 window: 50 queries. 49 never-driver-verified names from
+    # ROUND 8 window: the 50-name prefix of propose_window.py's 55-name
+    # never-driver-verified pool (the rotation VERDICT r07 item 2 asked
+    # for — round 7 never swapped the r06 list out, so the r07 driver
+    # run re-verified 50 already-green names). Zero overlap with the
+    # CORRECTNESS_r01-r07 green union. Flagships called out by VERDICT
+    # r06 item 6 / r07 item 3 are in: emb_knn_label_accuracy (gemm +
+    # in-kernel partial top-k), streaming_cusum_drift (stateful online
+    # drift), docs_tfidf_top_terms / docs_bm25_topk (lexical retrieval),
+    # dedup_bloom_prescreen, emb_dim_stats, dedup_overlap_containment.
+    # All 50 replica-verified at sf0.001 + sf0.01 pre-swap this round.
+    "lineitem_sortedness_audit",  # registry_relational
+    "orders_cohort_ltv_per_customer",  # registry_relational
+    "dedup_overlap_containment",  # registry_docs
+    "dedup_cross_source_matrix",  # registry_docs
+    "emb_dim_stats",  # registry_docs
+    "docs_unigram_entropy_by_source",  # registry_docs
+    "emb_standardized_sample",  # registry_docs
+    "docs_tfidf_top_terms",  # registry_docs
+    "docs_bm25_topk",  # registry_docs
+    "dedup_bloom_prescreen",  # registry_docs
+    "dedup_edit_distance_banded",  # registry_docs
+    "docs_ngram_novelty",  # registry_docs
+    "docs_quality_linear_hashed",  # registry_docs
+    "dedup_minhash_calibration",  # registry_docs
+    "emb_pair_cosine_hist",  # registry_docs
+    "dedup_incremental_batch",  # registry_docs
+    "emb_knn_label_accuracy",  # registry_docs
+    "streaming_cusum_drift",  # registry_streaming
+    "multimodal_shard_manifest",  # registry_multimodal
+    "doc_length_zscores",  # registry_analytics
+    "value_trend_by_type",  # registry_analytics
+    "events_decayed_engagement",  # registry_analytics
+    "orders_monthly_growth",  # registry_analytics
+    "events_hourly_seasonality",  # registry_analytics
+    "events_time_weighted_avg_daily",  # registry_analytics
+    "sessions_bounce_rate_daily",  # registry_analytics
+    "performance_daily_percentiles",  # registry_analytics
+    "events_value_equidepth",  # registry_analytics
+    "events_error_slo_5m",  # registry_analytics
+    "events_new_vs_returning",  # registry_analytics
+    "orders_priority_mix_drift",  # registry_analytics
+    "events_user_streaks",  # registry_analytics
+    "events_weekly_engagement_histogram",  # registry_analytics
+    "orders_interpurchase_time",  # registry_analytics
+    "events_type_correlation",  # registry_analytics
+    "events_ab_power",  # registry_analytics
+    "orders_revenue_trend_ols",  # registry_analytics
+    "parts_abc_xyz_matrix",  # registry_analytics
+    "events_type_hour_mi",  # registry_analytics
+    "events_daily_acf",  # registry_analytics
+    "orders_bullwhip_ratio",  # registry_analytics
+    "orders_open_aging",  # registry_analytics
+    "suppliers_return_outliers",  # registry_analytics
+    "users_velocity_features",  # registry_analytics
+    "orders_duplicate_invoices",  # registry_analytics
+    "orders_price_index_laspeyres",  # registry_analytics
+    "events_cusum_drift",  # registry_analytics
+    "orders_salted_skew_join",  # registry_analytics
+    "events_minute_gap_fill",  # registry_analytics
+    "events_seasonal_anomaly",  # registry_analytics
+    # --- pool note (machine-generated by propose_window.py) ---
+    # Oracled: 294. Driver-green (CORRECTNESS_r*): 239. Never-driver-verified pool: 55.
+    # Spilled to next round (5): events_value_histogram, segment_overlap_kmv, events_interarrival_stats, basket_graph_kcore, lineitem_zorder_skipping
+    #
+    # RE-VERIFICATION POLICY for r09+ (adopted 2026-08-15, VERDICT r07
+    # item 6): once this window lands green, every oracled query has a
+    # driver row and the rotation objective flips from coverage to
+    # FRESHNESS. The r09 window = the 5 spill names above (virgin,
+    # they lead), then re-verification slots filled oldest-green-first
+    # — CORRECTNESS_r01 rows first (earned against the retired
+    # nanos-bigint / pre-NTZ testdata+session regime), then r02, etc.,
+    # in registration order within a round. Rationale: an old green row
+    # certifies the query against data/flavors that no longer exist;
+    # freshness bounds how stale any certification can get (~every 5-6
+    # rounds at 50 slots/294 oracled). propose_window.py computes the
+    # never-verified pool; the oldest-green ordering reads each
+    # CORRECTNESS_r*.json's earliest green round per name.
+]
+
+_VERIFY_WINDOW_R06 = [
+    # ROUND 6 window (historical record; superseded by the r08 rotation
+    # above — every name below has a green row in CORRECTNESS_r06 and
+    # was redundantly re-verified green in CORRECTNESS_r07):
+    # 49 never-driver-verified names from
     # the 80-name remaining pool (propose_window.py --all), plus
     # `http_ingestion_roundtrip` retained in slot 1: it was round 5's
     # only red row (virgin-session TIMESTAMP_NTZ trap) and must earn
@@ -459,117 +542,8 @@ _VERIFY_WINDOW = [
     "events_ohlc_hourly",
     "sessions_max_concurrency_daily",
     "rollup_incremental_refresh",
-    # NOTE for round 7: the remaining 30 never-driver-verified names —
-    # doc_length_zscores, value_trend_by_type, events_decayed_engagement,
-    # orders_monthly_growth, events_hourly_seasonality,
-    # events_time_weighted_avg_daily, sessions_bounce_rate_daily,
-    # performance_daily_percentiles, events_value_equidepth,
-    # events_error_slo_5m, events_new_vs_returning,
-    # orders_priority_mix_drift, events_user_streaks,
-    # events_weekly_engagement_histogram, orders_interpurchase_time,
-    # events_type_correlation, events_ab_power, orders_revenue_trend_ols,
-    # parts_abc_xyz_matrix, events_type_hour_mi, events_daily_acf,
-    # orders_bullwhip_ratio, orders_open_aging, suppliers_return_outliers,
-    # users_velocity_features, orders_duplicate_invoices,
-    # orders_price_index_laspeyres, events_value_histogram,
-    # events_interarrival_stats, basket_graph_kcore — they fill the r07
-    # window exactly (30 + 20 free slots for round-7 additions).
-    # Round-6 additions for the 20 free r07 slots (all replica-green at
-    # sf0.001 + sf0.01 when registered): docs_tfidf_top_terms,
-    # docs_bm25_topk, dedup_bloom_prescreen, dedup_edit_distance_banded,
-    # docs_ngram_novelty, docs_quality_linear_hashed,
-    # dedup_minhash_calibration, emb_pair_cosine_hist, events_cusum_drift,
-    # lineitem_zorder_skipping, dedup_incremental_batch,
-    # orders_salted_skew_join, events_minute_gap_fill,
-    # lineitem_sortedness_audit, orders_cohort_ltv_per_customer,
-    # events_seasonal_anomaly,
-    # streaming_cusum_drift, emb_knn_label_accuracy.
-    # Round-5 session additions (also never driver-run):
-    # dedup_overlap_containment, dedup_cross_source_matrix, emb_dim_stats.
-    # Total never-driver-verified oracled outside this window: 53
-    # (propose_window.py --all) — the r07 window takes 50, the last 3
-    # spill to r08.
 ]
 
-_VERIFY_WINDOW_R05 = [
-    # ROUND 5 window: 50 queries, ZERO overlap with CORRECTNESS_r01-r04 —
-    # every name below is replica-green at sf0.001+sf0.01 but has never
-    # had a driver row. Chosen per VERDICT r04 item 1: the 13 round-4
-    # capability anchors lead (HTTP front door, streaming JDBC upsert,
-    # keyed feed, format/partition stores, winnowing, blocklist index,
-    # coercions, multimodal kernels), then capability-diverse fills from
-    # the enumerated pool (streaming shapes, relational analytics,
-    # sampling/curation siblings). The 50 r04-green queries are demoted
-    # to tier 2 (they keep their oracles; the driver already checked
-    # them).
-    #
-    # Round-4 capability anchors (replica-green, no driver row):
-    "http_ingestion_roundtrip",
-    "streaming_jdbc_upsert",
-    "feed_keyed_roundtrip",
-    "events_formats_roundtrip",
-    "events_partitioned_store",
-    "docs_winnowing_fingerprints",
-    "docs_winnowing_overlap",
-    "docs_winnowing_fingerprints_kernel",
-    "docs_blocklist_indexed",
-    "events_iso_ts_coercion",
-    "serving_dynamic_coercion",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # Streaming shapes never driver-run (event-time interval join,
-    # per-window outliers/histograms, bitmap daily users, SLO):
-    "streaming_interval_join",
-    "streaming_value_outliers",
-    "streaming_histogram_per_window",
-    "streaming_daily_users_bitmap",
-    "streaming_error_slo",
-    # Relational analytics suite (fuzzy join, hierarchy share, rolling
-    # AOV, shipping-delay stats, cohort LTV, seasonality, HHI, ABC,
-    # elasticity, trade balance):
-    "customers_fuzzy_name_pairs",
-    "revenue_share_hierarchy",
-    "orders_rolling_aov_28d",
-    "orders_shipping_delay_stats",
-    "orders_cohort_ltv",
-    "orders_seasonal_index",
-    "suppliers_nation_hhi",
-    "customers_abc_classification",
-    "parts_price_elasticity",
-    "nations_trade_balance",
-    # Docs / sampling / curation-pipeline siblings:
-    "sample_docs_hash",
-    "sample_docs_stratified",
-    "train_eval_split",
-    "pipeline_quality_dedup_sample",
-    "source_mixing_weights",
-    "pipeline_decontaminated_corpus",
-    "text_dup_ngram_fraction",
-    "text_boilerplate_chunks",
-    "docs_zipf_fit",
-    "docs_pmi_collocations",
-    # Analytics shapes (set-op union, unpivot, CUBE, entropy, Gini,
-    # incremental merge, null semantics, bitmap distinct):
-    "customer_supplier_union",
-    "serving_unpivot",
-    "events_cube_day_type",
-    "events_user_entropy",
-    "customers_gini_revenue",
-    "incremental_metric_merge",
-    "events_null_semantics",
-    "events_distinct_users_bitmap",
-    # Curation / behavioral anchors:
-    "events_dau_wau_mau",
-    "customers_rfm_segments",
-    "orders_market_basket",
-    "session_metrics_dynamic_gap",
-    # NOTE for round 6: promote from the remaining never-driver-verified
-    # replica-green pool (79 oracled names after this rotation — run
-    # `python scripts/propose_window.py --all` for the authoritative
-    # list; favor capability diversity again: the remaining
-    # text/embedding analytics, attribution/AB suite, rate-limit and
-    # survival shapes, point-in-time/as-of curation queries).
-]
 
 
 def _apply_verify_window() -> None:

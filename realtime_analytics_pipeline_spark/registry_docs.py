@@ -241,6 +241,55 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(capped, n=1, threshold=0.9)
 
 
+_JACCARD_PREFIX_SQL = f"""
+WITH sample_docs AS (
+    -- md5-ordered 2000-doc cap bounds the ORACLE's naive O(n^2) cost;
+    -- the Spark side runs the prefix-filtered plan on the same sample,
+    -- so hash-equality IS the losslessness proof of the prefix filter
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 2000
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM sample_docs
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (i * 1000000) // (sa.sz + sb.sz - i) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 10 >= (sa.sz + sb.sz - i) * 9
+"""
+
+
+@register("dedup_jaccard_prefix_filtered", _JACCARD_PREFIX_SQL)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.9 via prefix filtering (round-8): the
+    scale-exact form of the verifier — candidates form only in the
+    inverted index of each doc's rarest ~10% shingles, integer
+    arithmetic end-to-end. The ORACLE is the naive all-pairs SQL on
+    the same md5-capped sample: a hash match proves the prefix filter
+    loses no pair. operators/dedup.py::jaccard_pairs_prefix is the
+    uncapped library form (swept in SCALING.md; jaccard_pairs stays
+    as the naive reference)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(2000)
+    )
+    capped = docs.join(F.broadcast(sample), "doc_id", "left_semi")
+    return D.jaccard_pairs_prefix(capped, n=1, threshold=0.9)
+
+
 @register("dedup_minhash_lsh")  # rows-only: sketch hashes are engine-native
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
@@ -3416,16 +3465,30 @@ def q_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDIT_SQL = """
+_EDIT_SQL = f"""
+WITH banded AS (
+    SELECT doc_id, lang, n_chars // 16 AS len_band,
+           substr(lower(text), 1, 64) AS prefix
+    FROM documents
+),
+sizes AS (
+    SELECT lang, len_band, count(*) AS n FROM banded GROUP BY 1, 2
+),
+sub AS (
+    SELECT b.doc_id, b.lang, b.len_band, b.prefix,
+           ({_hex_int_sql("md5('edb' || CAST(doc_id AS VARCHAR))", 4)})
+               % ((n + 255) // 256) AS sub
+    FROM banded b JOIN sizes USING (lang, len_band)
+)
 SELECT doc_a, doc_b, edit_distance
 FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(lower(a.text), 1, 64),
-                       substr(lower(b.text), 1, 64)) AS edit_distance
-    FROM documents a
-    JOIN documents b
+           levenshtein(a.prefix, b.prefix) AS edit_distance
+    FROM sub a
+    JOIN sub b
       ON a.lang = b.lang
-     AND a.n_chars // 16 = b.n_chars // 16
+     AND a.len_band = b.len_band
+     AND a.sub = b.sub
      AND a.doc_id < b.doc_id
 )
 WHERE edit_distance <= 12
@@ -3435,7 +3498,10 @@ WHERE edit_distance <= 12
 @register("dedup_edit_distance_banded", _EDIT_SQL)
 def q_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup verification on (lang, length-band)
-    candidates, prefix-capped at 64 chars."""
+    candidates, prefix-capped at 64 chars. Gated form runs the
+    production salt cap (band_cap=256 md5 sub-banding — VERDICT r06
+    item 5): the oracle replays the split bit-for-bit, so the split is
+    itself driver-verified."""
     return D.edit_distance_banded(load_table(spark, sf_dir, "documents"))
 
 

@@ -91,12 +91,14 @@ SWEEP = [
     ("docs_tfidf_top_terms", "documents", 3, "tokenize + 2-level agg", True),
     ("docs_ngram_novelty", "documents", 3, "explode + 2 hash aggs", True),
     ("events_cusum_drift", "events", 3, "prefix-scan windows", True),
-    ("lineitem_zorder_skipping", "lineitem", 3, "global range layout", True),
+    ("lineitem_zorder_skipping", "lineitem", 3,
+     "zorder value-range layout (map-side split)", True),
     ("orders_salted_skew_join", "orders", 3, "salted x8 shuffle join", True),
-    # banded levenshtein is a documented within-band quadratic verifier
-    # (the LSH family is the recall/scale path) — sweep to sf0.1 only
+    # round-8: banded levenshtein gained the md5 salt cap (band_cap=256
+    # sub-banding) — per-key work is O(cap^2), total linear in corpus;
+    # sweep extends past sf0.1 now that the quadratic is capped
     ("dedup_edit_distance_banded", "documents", 3,
-     "EXACT banded pair verifier (within-band O(n^2))", False),
+     "banded pair verifier, salt cap 256 (linear)", True),
 ]
 
 def _winnow_spec(spark, d):
