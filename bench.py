@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_3gram",
     "dedup_simhash",
+    "dedup_jaccard_prefix_filtered",  # round-8: prefix-filtered exact
+    "dedup_duplicate_spans",  # round-8: ExactSubstr positional spans
     "sim_cosine_topk",
     "sim_cosine_topk_blas",
     "dedup_embedding_cosine_blas",

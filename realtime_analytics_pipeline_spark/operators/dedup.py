@@ -213,7 +213,12 @@ def jaccard_pairs_prefix(
         F.explode(F.expr(f"slice(shingles, 1, {prefix_len})")).alias(
             "shingle"
         ),
-    )
+        # pin the candidate-join parallelism: prefix rows are tiny but
+        # each shared shingle fans out into candidate pairs — AQE's
+        # byte-based coalescing would serialize the join (same trap as
+        # edit_distance_banded; an explicit numPartitions exchange is
+        # exempt from coalescing)
+    ).repartition(64, "shingle")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
     )
@@ -231,6 +236,9 @@ def jaccard_pairs_prefix(
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # the verify join below does an array_intersect per candidate —
+        # compute-bound again; keep it spread
+        .repartition(64, "doc_a")
     )
     fa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
@@ -677,7 +685,7 @@ def edit_distance_banded(
     prefix_chars: int = 64,
     max_distance: int = 12,
     band_chars: int = 16,
-    band_cap: int = 256,
+    band_cap: int = 128,
 ) -> DataFrame:
     """Fuzzy near-dup verification by Levenshtein distance on banded
     candidate pairs.
@@ -727,6 +735,14 @@ def edit_distance_banded(
             ),
         )
         .drop("_n")
+        # pin the pair-join parallelism: each (lang, len_band, sub) key
+        # fans out into O(band_cap²) levenshtein calls, so the join is
+        # COMPUTE-bound while its shuffled bytes are tiny — AQE's
+        # byte-based coalescing would squash it onto 1-2 tasks and
+        # serialize the work (measured: 58 s single-threaded at sf0.3
+        # vs seconds when spread). An explicit numPartitions exchange
+        # is exempt from AQE coalescing.
+        .repartition(64, "lang", "len_band", "sub")
     )
     a, b = sub.alias("a"), sub.alias("b")
     pairs = a.join(
@@ -745,6 +761,161 @@ def edit_distance_banded(
             ),
         )
         .where(F.col("edit_distance") <= max_distance)
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, window_tokens: int = 8
+) -> DataFrame:
+    """Cross-document exact-substring duplicated SPANS — the positional
+    form of the Lee-et-al-2022 ExactSubstr dedup signal (the fraction
+    form is text_analysis.dup_ngram_stats; this one emits the merged
+    token ranges a curation pass would actually cut).
+
+    Every ``window_tokens``-token rolling window is md5-fingerprinted;
+    a window is duplicated when its fingerprint occurs in ≥2 DISTINCT
+    documents; per doc, overlapping/adjacent duplicated windows merge
+    into maximal spans (gaps-and-islands on the 1-based start
+    positions — two windows merge iff the later start is ≤ earlier
+    start + W).
+
+    Scale shape: one explode (×windows/doc), one groupBy on the window
+    hash (vocabulary-sized), one semi-join back, one per-doc window
+    function (partitioned by doc_id — never global). Linear in corpus
+    token count. All positions integer; md5 keeps the fingerprint
+    engine-portable for the oracle.
+
+    Output: doc_id, span_start, span_end (1-based inclusive token
+    positions), span_tokens — one row per merged span.
+    """
+    from pyspark.sql import Window as Wnd
+
+    W = window_tokens
+    toks = F.split(F.col("text"), " ")
+    win_structs = F.when(
+        F.size(toks) >= W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - W + 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, W))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    wins = documents.select(
+        "doc_id", F.explode(win_structs).alias("w")
+    ).select("doc_id", "w.pos", "w.h")
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = wins.join(dup_hashes, "h", "left_semi")
+    w_ord = Wnd.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + W),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_span").over(w_ord.rowsBetween(Wnd.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + W - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def span_removal(
+    documents: DataFrame, window_tokens: int = 8
+) -> DataFrame:
+    """Apply ExactSubstr span removal: rewrite each document with its
+    cross-corpus duplicated spans (``duplicate_spans``) cut out, and
+    report the per-doc accounting a curation pipeline needs.
+
+    The cleaned text is emitted as an md5 digest (the full rewritten
+    string would bloat the gate; the digest pins it bit-for-bit — the
+    oracle rebuilds the same string with an ORDER BY position
+    string_agg). Token keep/cut is decided by an anti-join of token
+    positions against span ranges — equi-keyed on doc_id with the
+    BETWEEN as residual, so it shuffles once on doc_id and never goes
+    quadratic.
+
+    Output: doc_id, n_tokens, dup_tokens, n_spans, dup_ppm
+    (⌊dup/total·1e6⌋), clean_md5.
+    """
+    W = window_tokens
+    spans = duplicate_spans(documents, W)
+    # disambiguate the self-joined lineage (spans derives from the same
+    # `documents` plan as the token explode)
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"),
+        F.col("span_start").alias("s_lo"),
+        F.col("span_end").alias("s_hi"),
+    )
+    toks_pos = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks_pos.join(
+        sp,
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("p") >= F.col("s_lo"))
+        & (F.col("p") <= F.col("s_hi")),
+        "left_anti",
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(p, tok))),"
+                    " x -> x.tok)"
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    span_stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        base.join(clean, "doc_id", "left")
+        .join(span_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0))
+            ).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.expr(
+                "(CAST(n_tokens - coalesce(kept_tokens, 0) AS BIGINT)"
+                " * 1000000) div n_tokens"
+            ).alias("dup_ppm"),
+            F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
+        )
     )
 
 

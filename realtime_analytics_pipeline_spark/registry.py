@@ -450,10 +450,10 @@ _VERIFY_WINDOW = [
     "events_minute_gap_fill",  # registry_analytics
     "events_seasonal_anomaly",  # registry_analytics
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 295. Driver-green (CORRECTNESS_r*): 239. Never-driver-verified pool: 56.
-    # Spilled to next round (6): events_value_histogram, segment_overlap_kmv, events_interarrival_stats, basket_graph_kcore, lineitem_zorder_skipping, dedup_jaccard_prefix_filtered
-    # (the 6th spill, dedup_jaccard_prefix_filtered, was registered
-    # mid-round-8 AFTER this window shipped — replica-green both SFs)
+    # Oracled: 297. Driver-green (CORRECTNESS_r*): 239. Never-driver-verified pool: 58.
+    # Spilled to next round (8): events_value_histogram, segment_overlap_kmv, events_interarrival_stats, basket_graph_kcore, lineitem_zorder_skipping, dedup_jaccard_prefix_filtered, dedup_duplicate_spans, dedup_span_removal
+    # (the last 3 spills were registered mid-round-8 AFTER this window
+    # shipped — all replica-green both SFs; they lead the r09 window)
     #
     # RE-VERIFICATION POLICY for r09+ (adopted 2026-08-15, VERDICT r07
     # item 6): once this window lands green, every oracled query has a

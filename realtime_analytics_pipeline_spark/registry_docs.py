@@ -290,6 +290,111 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs_prefix(capped, n=1, threshold=0.9)
 
 
+_SPAN_W = 8
+
+_SPANS_CTE = f"""
+toks AS (SELECT doc_id, text, {_SPLIT} AS ws FROM documents),
+wins AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(ws[pos:pos + {_SPAN_W - 1}], ' ')) AS h
+    FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_W} + 2)) AS pos
+        FROM toks WHERE len(ws) >= {_SPAN_W}
+    )
+),
+duph AS (
+    SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+dupw AS (SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos > lag(pos) OVER w + {_SPAN_W}
+                THEN 1 ELSE 0 END AS new_span
+    FROM dupw
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+islands AS (
+    SELECT doc_id, pos,
+           sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) + {_SPAN_W - 1} - min(pos) + 1 AS BIGINT)
+               AS span_tokens
+    FROM islands GROUP BY doc_id, island
+)"""
+
+_DUP_SPANS_SQL = f"""
+WITH {_SPANS_CTE}
+SELECT doc_id, span_start, span_end, span_tokens FROM spans
+"""
+
+
+@register("dedup_duplicate_spans", _DUP_SPANS_SQL)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr positional form (round-8): merged token spans whose
+    8-token rolling windows occur in >= 2 distinct documents — the
+    ranges a curation pass would cut (Lee et al. 2022; the fraction
+    form is text_dup_ngram_fraction). Linear plan: window-hash agg +
+    semi-join + per-doc islands window."""
+    return D.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), window_tokens=_SPAN_W
+    )
+
+
+_SPAN_REMOVAL_SQL = f"""
+WITH {_SPANS_CTE},
+tok_pos AS (
+    SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, ws
+    FROM toks
+),
+kept AS (
+    SELECT t.doc_id, t.p, t.ws[t.p] AS tok
+    FROM tok_pos t
+    LEFT JOIN spans s
+      ON t.doc_id = s.doc_id AND t.p BETWEEN s.span_start AND s.span_end
+    WHERE s.doc_id IS NULL
+),
+clean AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS kept_tokens,
+           md5(string_agg(tok, ' ' ORDER BY p)) AS clean_md5
+    FROM kept GROUP BY doc_id
+),
+span_stats AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_tokens,
+       CAST(len(d.ws) - coalesce(c.kept_tokens, 0) AS BIGINT) AS dup_tokens,
+       coalesce(s.n_spans, 0) AS n_spans,
+       (CAST(len(d.ws) - coalesce(c.kept_tokens, 0) AS BIGINT) * 1000000)
+           // len(d.ws) AS dup_ppm,
+       coalesce(c.clean_md5, md5('')) AS clean_md5
+FROM toks d
+LEFT JOIN clean c USING (doc_id)
+LEFT JOIN span_stats s USING (doc_id)
+"""
+
+
+@register("dedup_span_removal", _SPAN_REMOVAL_SQL)
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL applied (round-8): per-doc token
+    accounting + md5 of the rewritten text with duplicated spans cut.
+    The keep/cut decision is an anti-join of token positions against
+    span ranges, equi-keyed on doc_id."""
+    return D.span_removal(
+        load_table(spark, sf_dir, "documents"), window_tokens=_SPAN_W
+    )
+
+
 @register("dedup_minhash_lsh")  # rows-only: sketch hashes are engine-native
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
@@ -3477,7 +3582,7 @@ sizes AS (
 sub AS (
     SELECT b.doc_id, b.lang, b.len_band, b.prefix,
            ({_hex_int_sql("md5('edb' || CAST(doc_id AS VARCHAR))", 4)})
-               % ((n + 255) // 256) AS sub
+               % ((n + 127) // 128) AS sub
     FROM banded b JOIN sizes USING (lang, len_band)
 )
 SELECT doc_a, doc_b, edit_distance
@@ -3499,7 +3604,7 @@ WHERE edit_distance <= 12
 def q_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup verification on (lang, length-band)
     candidates, prefix-capped at 64 chars. Gated form runs the
-    production salt cap (band_cap=256 md5 sub-banding — VERDICT r06
+    production salt cap (band_cap=128 md5 sub-banding — VERDICT r06
     item 5): the oracle replays the split bit-for-bit, so the split is
     itself driver-verified."""
     return D.edit_distance_banded(load_table(spark, sf_dir, "documents"))
