@@ -52,6 +52,12 @@ QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh_3gram",
     "dedup_semantic_clustered",
+    # round-8 additions
+    "dedup_jaccard_prefix_filtered",
+    "dedup_edit_distance_banded",
+    "dedup_duplicate_spans",
+    "dedup_span_removal",
+    "lineitem_zorder_skipping",
     "sim_cosine_topk",
     "text_stats",
     "text_pii_redaction",
