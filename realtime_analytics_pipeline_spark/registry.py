@@ -467,7 +467,11 @@ _VERIFY_WINDOW = [
     # freshness bounds how stale any certification can get (~every 5-6
     # rounds at 50 slots/294 oracled). propose_window.py computes the
     # never-verified pool; the oldest-green ordering reads each
-    # CORRECTNESS_r*.json's earliest green round per name.
+    # CORRECTNESS_r*.json's earliest green round per name
+    # (`--refresh` emits the list once CORRECTNESS_r08 lands).
+    # PRE-VERIFIED 2026-08-15: the full prospective r09 window (the 8
+    # virgin spills + the 42 oldest r01/r02 greens) ran replica-green
+    # at sf0.01 this round — ALL MATCH, 50/50.
 ]
 
 _VERIFY_WINDOW_R06 = [
