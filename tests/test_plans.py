@@ -440,3 +440,26 @@ def test_incremental_refresh_scans_are_pruned(spark):
     assert plan.count("GreaterThanOrEqual(ts") >= 1
     assert plan.count("LessThan(ts") >= 1
     assert pushed >= 0  # presence asserted by the two range filters above
+
+
+def test_compute_bound_pair_joins_pin_parallelism(spark):
+    """Round-8 regression gate: the salt-capped edit-distance verifier
+    and the prefix-filtered Jaccard verifier shuffle TINY rows that
+    each fan out into heavy per-pair compute (levenshtein /
+    array_intersect). AQE's byte-based coalescing would squash those
+    joins onto 1-2 tasks (measured: 58 s single-threaded at sf0.3), so
+    both operators pin an explicit numPartitions exchange — the
+    REPARTITION_BY_NUM shuffle origin, which AQE never coalesces."""
+    from realtime_analytics_pipeline_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    edit_plan = plan_of(D.edit_distance_banded(docs))
+    # both self-join sides carry the pinned 64-way sub-band exchange
+    assert edit_plan.count("REPARTITION_BY_NUM") >= 2
+    assert "sub" in edit_plan and ", 64)" in edit_plan
+    assert "CartesianProduct" not in edit_plan
+
+    jac_plan = plan_of(D.jaccard_pairs_prefix(docs))
+    # prefix inverted-index join (shingle) + verify join (doc_a) pinned
+    assert jac_plan.count("REPARTITION_BY_NUM") >= 2
+    assert "CartesianProduct" not in jac_plan
