@@ -275,3 +275,127 @@ def knn_topk_blas(
         .where(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+_ACT_PART_SCHEMA = StructType(
+    [
+        StructField("u1", LongType()),
+        StructField("u2", LongType()),
+        StructField("raw", DoubleType()),
+        StructField("shared_days", LongType()),
+    ]
+)
+
+
+def activity_topk_pairs_blas(
+    daily: DataFrame,
+    n_days: int,
+    top_k: int = 10,
+    n_blocks: int | None = None,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Partial top-k candidate pairs for user-activity cosine — the
+    vectorized twin of the day-bucketed self-join in
+    registry_analytics._users_activity_similarity (round-8).
+
+    Input: ``daily`` = (user_id BIGINT, idx INT, c BIGINT) — each
+    user's sparse day-count vector on a global 0-based day spine of
+    width ``n_days``. Users hash into blocks; every block PAIR
+    (gi ≤ gj) runs one dense int-count gemm and emits its local top-k
+    pairs by (raw DESC, u1, u2) — the partial-top-k combiner: any
+    global top-k pair is in its block pair's local top-k, so the
+    caller's global window merges ~B²/2·k rows instead of users².
+
+    Bit-exactness vs the join form (why this twin can share the SQL
+    oracle): counts are INTEGERS, so dot = Σ c_a·c_b and s2 = Σ c²
+    are exact in float64 gemm (< 2^53), and raw = dot/sqrt(s2a·s2b)
+    performs the identical IEEE ops (exact int multiply → sqrt →
+    divide) as the JVM/DuckDB expressions. Unlike the embedding
+    kernels (fractional floats ⇒ rows-only), nothing here depends on
+    summation order.
+
+    Work is still Θ(users²·days) flops — exact all-pairs is
+    inherently quadratic — but vectorized ~100× over the interpreted
+    pair join, and pairs with no shared day never materialize rows.
+    The LSH sibling (users_activity_similarity_lsh) remains the
+    sub-quadratic path.
+    """
+    vecs = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("idx", "c"))).alias("ic")
+    )
+    if n_blocks is None:
+        n = vecs.count()
+        mem_blocks = -(-n // block_rows)
+        par_blocks = min(16, max(2, n // 64))
+        n_blocks = min(512, max(mem_blocks, par_blocks))
+
+    def dense(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        ids = pdf["user_id"].to_numpy(dtype=np.int64)
+        m = np.zeros((len(ids), n_days), dtype=np.float64)
+        for row, ic in enumerate(pdf["ic"]):
+            for e in ic:
+                m[row, int(e["idx"])] = float(e["c"])
+        return ids, m
+
+    def pair_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {"u1": [], "u2": [], "raw": [], "shared_days": []}
+        )
+        if gi == gj:
+            ids_l, m_l = dense(pdf.drop_duplicates("user_id"))
+            ids_r, m_r = ids_l, m_l
+        else:
+            left = pdf[pdf["blk"] == gi]
+            right = pdf[pdf["blk"] == gj]
+            if left.empty or right.empty:
+                return empty
+            ids_l, m_l = dense(left)
+            ids_r, m_r = dense(right)
+        dot = m_l @ m_r.T  # exact: integer values in float64
+        s2_l = (m_l * m_l).sum(axis=1)
+        s2_r = (m_r * m_r).sum(axis=1)
+        shared = (m_l > 0).astype(np.float64) @ (m_r > 0).astype(
+            np.float64
+        ).T
+        # identical IEEE sequence to the join form / SQL oracle:
+        # exact integer product, sqrt, divide
+        raw = dot / np.sqrt(s2_l[:, None] * s2_r[None, :])
+        mask = (dot >= 1.0) & (ids_l[:, None] != ids_r[None, :])
+        if gi == gj:
+            mask &= ids_l[:, None] < ids_r[None, :]
+        ai, bi = np.nonzero(mask)
+        if len(ai) == 0:
+            return empty
+        u1 = np.minimum(ids_l[ai], ids_r[bi])
+        u2 = np.maximum(ids_l[ai], ids_r[bi])
+        r = raw[ai, bi]
+        order = np.lexsort((u2, u1, -r))[: min(top_k, len(ai))]
+        return pd.DataFrame(
+            {
+                "u1": u1[order],
+                "u2": u2[order],
+                "raw": r[order],
+                "shared_days": shared[ai, bi][order].astype(np.int64),
+            }
+        )
+
+    blk = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_blocks)).cast("int")
+    e = vecs.select("user_id", "ic", blk.alias("blk"))
+    pair_of = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least("blk", F.lit(j)).alias("gi"),
+                    F.greatest("blk", F.lit(j)).alias("gj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    )
+    return (
+        e.select("user_id", "ic", "blk", pair_of.alias("g"))
+        .select("user_id", "ic", "blk", "g.gi", "g.gj")
+        .groupBy("gi", "gj")
+        .applyInPandas(pair_gemm, schema=_ACT_PART_SCHEMA)
+    )

@@ -450,9 +450,9 @@ _VERIFY_WINDOW = [
     "events_minute_gap_fill",  # registry_analytics
     "events_seasonal_anomaly",  # registry_analytics
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 297. Driver-green (CORRECTNESS_r*): 239. Never-driver-verified pool: 58.
-    # Spilled to next round (8): events_value_histogram, segment_overlap_kmv, events_interarrival_stats, basket_graph_kcore, lineitem_zorder_skipping, dedup_jaccard_prefix_filtered, dedup_duplicate_spans, dedup_span_removal
-    # (the last 3 spills were registered mid-round-8 AFTER this window
+    # Oracled: 298. Driver-green (CORRECTNESS_r*): 239. Never-driver-verified pool: 59.
+    # Spilled to next round (9): events_value_histogram, segment_overlap_kmv, events_interarrival_stats, basket_graph_kcore, lineitem_zorder_skipping, dedup_jaccard_prefix_filtered, dedup_duplicate_spans, dedup_span_removal, users_activity_similarity_blas
+    # (the last 4 spills were registered mid-round-8 AFTER this window
     # shipped — all replica-green both SFs; they lead the r09 window)
     #
     # RE-VERIFICATION POLICY for r09+ (adopted 2026-08-15, VERDICT r07

@@ -2456,6 +2456,90 @@ def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _users_activity_similarity(spark, sf_dir, user_cap=500)
 
 
+_TS_SIM_BLAS_SQL = """
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS d,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2),
+norms AS (
+    SELECT user_id, sum(c * c) AS s2 FROM daily GROUP BY user_id),
+pair_dot AS (
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           sum(a.c * b.c) AS dot,
+           count(*) AS shared_days
+    FROM daily a JOIN daily b ON a.d = b.d AND a.user_id < b.user_id
+    GROUP BY 1, 2)
+SELECT CAST(u1 AS BIGINT) AS u1, CAST(u2 AS BIGINT) AS u2,
+       round(dot / sqrt(n1.s2 * n2.s2), 6) + 0.0 AS cos_sim,
+       shared_days
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY dot / sqrt(n1s2 * n2s2) DESC, u1, u2) AS rnk
+    FROM (
+        SELECT p.*, n1.s2 AS n1s2, n2.s2 AS n2s2
+        FROM pair_dot p
+        JOIN norms n1 ON p.u1 = n1.user_id
+        JOIN norms n2 ON p.u2 = n2.user_id))
+JOIN norms n1 ON u1 = n1.user_id
+JOIN norms n2 ON u2 = n2.user_id
+WHERE rnk <= 10
+"""
+
+
+@register("users_activity_similarity_blas", _TS_SIM_BLAS_SQL)
+def q_users_activity_similarity_blas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNCAPPED exact activity-similarity top-10 via block-pair gemm
+    (round-8) — the vectorized library path the md5-capped gated form
+    above points at. Unlike the embedding gemm kernels (fractional
+    floats ⇒ rows-only), user-day COUNTS are integers: dot and s2 are
+    exact in float64, and raw = dot/sqrt(s2a·s2b) performs the same
+    IEEE op sequence as the SQL — so this form carries the FULL
+    uncapped DuckDB oracle. Each block pair emits only its local
+    top-10 (partial-top-k combiner); the global window merges
+    ~B²/2·10 rows, never users². See
+    similarity_blas.activity_topk_pairs_blas."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_pipeline_spark.operators.similarity_blas import (
+        activity_topk_pairs_blas,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_trunc("day", "event_time").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    spine = (
+        daily.select("d")
+        .distinct()
+        .withColumn(
+            "idx",
+            (
+                F.row_number().over(Window.orderBy("d")) - 1
+            ).cast("int"),
+        )
+    )
+    n_days = spine.count()
+    daily_idx = daily.join(F.broadcast(spine), "d").select(
+        "user_id", "idx", "c"
+    )
+    parts = activity_topk_pairs_blas(daily_idx, n_days, top_k=10)
+    w = Window.orderBy(F.col("raw").desc(), F.col("u1"), F.col("u2"))
+    return (
+        parts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "u1",
+            "u2",
+            (F.round("raw", 6) + F.lit(0.0)).alias("cos_sim"),
+            "shared_days",
+        )
+    )
+
+
 def _users_activity_similarity(
     spark: SparkSession, sf_dir: str, user_cap: int | None = None
 ) -> DataFrame:

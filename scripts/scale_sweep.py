@@ -108,6 +108,12 @@ SWEEP = [
     # sweep extends past sf0.1 now that the quadratic is capped
     ("dedup_edit_distance_banded", "documents", 3,
      "banded pair verifier, salt cap 128 (linear)", True),
+    # round-8: UNCAPPED exact activity top-10 via block-pair gemm —
+    # integer counts make the kernel bit-exact vs the join form, so it
+    # carries the full uncapped oracle; the join form stays below as
+    # the documented baseline
+    ("users_activity_similarity_blas", "events", 3,
+     "EXACT activity pair top-10, block gemm (uncapped)", True),
 ]
 
 def _winnow_spec(spark, d):
@@ -137,7 +143,7 @@ UNCAPPED = [
     ("jaccard_pairs_prefix (uncapped)", _uncapped_jaccard_prefix, "documents",
      "EXACT prefix-filtered verifier (output-bound on this corpus)", False),
     ("activity_similarity (uncapped)", _uncapped_activity, "events",
-     "pair join (day-bucketed, documented alpha~1.26)", False),
+     "pair join baseline (gemm twin is the path)", False),
 ]
 
 

@@ -26,3 +26,25 @@ def test_pairs_blas_matches_exact(spark):
     exact = {tuple(r) for r in embedding_dup_pairs(embs).collect()}
     blas = {tuple(r) for r in embedding_dup_pairs_blas(embs).collect()}
     assert exact == blas
+
+
+def test_activity_blas_equals_join_form(spark):
+    """The block-pair gemm activity top-10 (round-8) must equal the
+    day-bucketed join form EXACTLY — same pairs, same floats — because
+    integer counts make dot/s2 exact in float64 and raw repeats the
+    same IEEE op sequence."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+    from realtime_analytics_pipeline_spark.registry_analytics import (
+        _users_activity_similarity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    blas = [
+        (r.u1, r.u2, r.cos_sim, r.shared_days)
+        for r in QUERIES["users_activity_similarity_blas"](spark, sf).collect()
+    ]
+    join = [
+        (r.u1, r.u2, r.cos_sim, r.shared_days)
+        for r in _users_activity_similarity(spark, sf, user_cap=None).collect()
+    ]
+    assert blas == join and len(blas) == 10
