@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard_prefix_filtered",  # round-8: prefix-filtered exact
     "dedup_duplicate_spans",  # round-8: ExactSubstr positional spans
+    "users_activity_similarity_blas",  # round-8: uncapped gemm top-10
     "sim_cosine_topk",
     "sim_cosine_topk_blas",
     "dedup_embedding_cosine_blas",
