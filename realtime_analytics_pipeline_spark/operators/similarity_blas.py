@@ -57,6 +57,43 @@ def _unit_matrix(rows: list) -> tuple[np.ndarray, np.ndarray]:
     return ids, m
 
 
+def gemm_block_count(n: int, block_rows: int = 2048) -> int:
+    """Block-count sizing shared by the all-pairs gemm kernels: at
+    least ceil(n/block_rows) so a block pair fits in task memory at any
+    corpus size, at least min(16, n/64) so small corpora still fan out
+    ~B²/2 concurrent gemm tasks, capped at 512."""
+    mem_blocks = -(-n // block_rows)  # per-task memory bound
+    par_blocks = min(16, max(2, n // 64))  # small-corpus parallelism
+    return min(512, max(mem_blocks, par_blocks))
+
+
+def _block_pair_groups(df: DataFrame, id_col: str, n_blocks: int):
+    """All-pairs block fan-out shared by the gemm kernels: each row
+    hashes into one of ``n_blocks`` blocks and is exploded to every
+    block PAIR (gi ≤ gj) it belongs to, so each unordered row pair
+    meets in exactly ONE applyInPandas group. Returns the grouped
+    frame (columns: df's + blk, grouped by gi, gj)."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    pair_of = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.least("blk", F.lit(j)).alias("gi"),
+                    F.greatest("blk", F.lit(j)).alias("gj"),
+                )
+                for j in range(n_blocks)
+            ]
+        )
+    )
+    cols = df.columns
+    return (
+        df.withColumn("blk", blk)
+        .select(*cols, "blk", pair_of.alias("g"))
+        .select(*cols, "blk", "g.gi", "g.gj")
+        .groupBy("gi", "gj")
+    )
+
+
 def cosine_topk_blas(
     embeddings: DataFrame, query_max_id: int = 10, k: int = 5
 ) -> DataFrame:
@@ -137,10 +174,7 @@ def embedding_dup_pairs_blas(
     all-pairs, paid deliberately.
     """
     if n_blocks is None:
-        n = embeddings.count()
-        mem_blocks = -(-n // block_rows)  # per-task memory bound
-        par_blocks = min(16, max(2, n // 64))  # small-corpus parallelism
-        n_blocks = min(512, max(mem_blocks, par_blocks))
+        n_blocks = gemm_block_count(embeddings.count(), block_rows)
 
     def pair_gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         gi, gj = int(key[0]), int(key[1])
@@ -181,26 +215,9 @@ def embedding_dup_pairs_blas(
             }
         )
 
-    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
-    e = embeddings.select("vec_id", "embedding", blk.alias("blk"))
-    # every block pair (gi<=gj) this row participates in — B entries
-    pair_of = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.least("blk", F.lit(j)).alias("gi"),
-                    F.greatest("blk", F.lit(j)).alias("gj"),
-                )
-                for j in range(n_blocks)
-            ]
-        )
-    )
-    exploded = e.select("vec_id", "embedding", "blk", pair_of.alias("g"))
-    return (
-        exploded.select("vec_id", "embedding", "blk", "g.gi", "g.gj")
-        .groupBy("gi", "gj")
-        .applyInPandas(pair_gemm, schema=_PAIRS_SCHEMA)
-    )
+    return _block_pair_groups(
+        embeddings.select("vec_id", "embedding"), "vec_id", n_blocks
+    ).applyInPandas(pair_gemm, schema=_PAIRS_SCHEMA)
 
 
 def knn_topk_blas(
@@ -324,10 +341,7 @@ def activity_topk_pairs_blas(
         F.sort_array(F.collect_list(F.struct("idx", "c"))).alias("ic")
     )
     if n_blocks is None:
-        n = vecs.count()
-        mem_blocks = -(-n // block_rows)
-        par_blocks = min(16, max(2, n // 64))
-        n_blocks = min(512, max(mem_blocks, par_blocks))
+        n_blocks = gemm_block_count(vecs.count(), block_rows)
 
     def dense(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         ids = pdf["user_id"].to_numpy(dtype=np.int64)
@@ -343,7 +357,8 @@ def activity_topk_pairs_blas(
             {"u1": [], "u2": [], "raw": [], "shared_days": []}
         )
         if gi == gj:
-            ids_l, m_l = dense(pdf.drop_duplicates("user_id"))
+            # each user reaches group (g, g) exactly once (j == blk)
+            ids_l, m_l = dense(pdf)
             ids_r, m_r = ids_l, m_l
         else:
             left = pdf[pdf["blk"] == gi]
@@ -380,22 +395,6 @@ def activity_topk_pairs_blas(
             }
         )
 
-    blk = F.pmod(F.xxhash64(F.col("user_id")), F.lit(n_blocks)).cast("int")
-    e = vecs.select("user_id", "ic", blk.alias("blk"))
-    pair_of = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.least("blk", F.lit(j)).alias("gi"),
-                    F.greatest("blk", F.lit(j)).alias("gj"),
-                )
-                for j in range(n_blocks)
-            ]
-        )
-    )
-    return (
-        e.select("user_id", "ic", "blk", pair_of.alias("g"))
-        .select("user_id", "ic", "blk", "g.gi", "g.gj")
-        .groupBy("gi", "gj")
-        .applyInPandas(pair_gemm, schema=_ACT_PART_SCHEMA)
+    return _block_pair_groups(vecs, "user_id", n_blocks).applyInPandas(
+        pair_gemm, schema=_ACT_PART_SCHEMA
     )

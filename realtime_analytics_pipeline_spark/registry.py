@@ -458,8 +458,8 @@ _VERIFY_WINDOW = [
     # RE-VERIFICATION POLICY for r09+ (adopted 2026-08-15, VERDICT r07
     # item 6): once this window lands green, every oracled query has a
     # driver row and the rotation objective flips from coverage to
-    # FRESHNESS. The r09 window = the 5 spill names above (virgin,
-    # they lead), then re-verification slots filled oldest-green-first
+    # FRESHNESS. The r09 window = the 9 spill names above (virgin,
+    # they lead), then 41 re-verification slots filled oldest-green-first
     # — CORRECTNESS_r01 rows first (earned against the retired
     # nanos-bigint / pre-NTZ testdata+session regime), then r02, etc.,
     # in registration order within a round. Rationale: an old green row
@@ -469,9 +469,12 @@ _VERIFY_WINDOW = [
     # never-verified pool; the oldest-green ordering reads each
     # CORRECTNESS_r*.json's earliest green round per name
     # (`--refresh` emits the list once CORRECTNESS_r08 lands).
-    # PRE-VERIFIED 2026-08-15: the full prospective r09 window (the 8
+    # PRE-VERIFIED 2026-08-15: an earlier 50-name r09 prospect (8
     # virgin spills + the 42 oldest r01/r02 greens) ran replica-green
-    # at sf0.01 this round — ALL MATCH, 50/50.
+    # at sf0.01 — ALL MATCH, 50/50. The 9th virgin name
+    # (users_activity_similarity_blas, registered after that batch)
+    # was separately oracle-verified at BOTH SFs; with 9 virgins the
+    # r09 window takes the 41 oldest greens instead of 42.
 ]
 
 _VERIFY_WINDOW_R06 = [

@@ -2504,6 +2504,7 @@ def q_users_activity_similarity_blas(
 
     from realtime_analytics_pipeline_spark.operators.similarity_blas import (
         activity_topk_pairs_blas,
+        gemm_block_count,
     )
     from realtime_analytics_pipeline_spark.sources.batch import load_events
 
@@ -2512,6 +2513,14 @@ def q_users_activity_similarity_blas(
         F.col("user_id").cast("bigint").alias("user_id"),
         F.date_trunc("day", "event_time").alias("d"),
     ).agg(F.count("*").alias("c"))
+    # ONE driver action sizes everything (n_days for the dense matrix
+    # width, n_users for the block count) — the kernel's own
+    # vecs.count() fallback would re-aggregate the events scan
+    stats = daily.agg(
+        F.countDistinct("d").alias("nd"),
+        F.countDistinct("user_id").alias("nu"),
+    ).collect()[0]
+    n_days = stats.nd
     spine = (
         daily.select("d")
         .distinct()
@@ -2522,11 +2531,15 @@ def q_users_activity_similarity_blas(
             ).cast("int"),
         )
     )
-    n_days = spine.count()
     daily_idx = daily.join(F.broadcast(spine), "d").select(
         "user_id", "idx", "c"
     )
-    parts = activity_topk_pairs_blas(daily_idx, n_days, top_k=10)
+    parts = activity_topk_pairs_blas(
+        daily_idx,
+        n_days,
+        top_k=10,
+        n_blocks=gemm_block_count(stats.nu, block_rows=4096),
+    )
     w = Window.orderBy(F.col("raw").desc(), F.col("u1"), F.col("u2"))
     return (
         parts.withColumn("rnk", F.row_number().over(w))

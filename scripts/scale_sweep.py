@@ -103,7 +103,7 @@ SWEEP = [
     ("lineitem_zorder_skipping", "lineitem", 3,
      "zorder value-range layout (map-side split)", True),
     ("orders_salted_skew_join", "orders", 3, "salted x8 shuffle join", True),
-    # round-8: banded levenshtein gained the md5 salt cap (band_cap=256
+    # round-8: banded levenshtein gained the md5 salt cap (band_cap=128
     # sub-banding) — per-key work is O(cap^2), total linear in corpus;
     # sweep extends past sf0.1 now that the quadratic is capped
     ("dedup_edit_distance_banded", "documents", 3,
@@ -233,7 +233,7 @@ def main() -> None:
         "zorder's gated form now uses the production layout's deterministic",
         "twin (value-range split of the key, map-side after a broadcast",
         "bounds agg — no global sort); banded levenshtein carries the md5",
-        "salt cap (band_cap=256 sub-banding ⇒ linear total work) and sweeps",
+        "salt cap (band_cap=128 sub-banding ⇒ linear total work) and sweeps",
         "both decades; jaccard_pairs_prefix is the EXACT scale path for the",
         "pair verifier (prefix filtering — same output as jaccard_pairs,",
         "candidates only from each doc's rarest shingles; 3.4x candidate",
