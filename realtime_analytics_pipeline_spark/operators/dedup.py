@@ -37,6 +37,26 @@ from realtime_analytics_pipeline_spark.functions.text import (
 from realtime_analytics_pipeline_spark.functions.vectors import as_double, dot, unit
 
 
+def _pair_join_partitions(df: DataFrame) -> int:
+    """Parallelism pin for compute-bound pair joins (ADVICE r08).
+
+    Derived from ``spark.sql.shuffle.partitions`` so cluster sizing
+    flows through (a 1000-executor cluster sets it in the thousands),
+    with a floor of 64 so small local configs still spread the
+    per-row fan-out. The EXPLICIT numPartitions is the point: an
+    exchange with user-specified numPartitions is exempt from AQE's
+    byte-based partition coalescing, which would otherwise squash a
+    join whose shuffled rows are tiny but whose per-row compute is
+    huge (levenshtein / array_intersect per candidate) onto 1-2 tasks
+    — measured 58 s single-threaded at sf0.3 before the pin.
+    """
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = 64
+    return max(n, 64)
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup: group identical texts, keep the smallest doc_id.
 
@@ -218,7 +238,7 @@ def jaccard_pairs_prefix(
         # byte-based coalescing would serialize the join (same trap as
         # edit_distance_banded; an explicit numPartitions exchange is
         # exempt from coalescing)
-    ).repartition(64, "shingle")
+    ).repartition(_pair_join_partitions(documents), "shingle")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
     )
@@ -238,7 +258,7 @@ def jaccard_pairs_prefix(
         .distinct()
         # the verify join below does an array_intersect per candidate —
         # compute-bound again; keep it spread
-        .repartition(64, "doc_a")
+        .repartition(_pair_join_partitions(documents), "doc_a")
     )
     fa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
@@ -685,7 +705,7 @@ def edit_distance_banded(
     prefix_chars: int = 64,
     max_distance: int = 12,
     band_chars: int = 16,
-    band_cap: int = 128,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Fuzzy near-dup verification by Levenshtein distance on banded
     candidate pairs.
@@ -698,18 +718,24 @@ def edit_distance_banded(
     computed on the first ``prefix_chars`` chars, bounding per-pair
     cost at O(prefix²) regardless of doc size.
 
-    Salt cap (the 100 TB guard): a band holding n docs is split into
-    ``(n + band_cap - 1) // band_cap`` sub-bands by an md5 hash of
-    doc_id (engine-portable — the DuckDB oracle replays the split
-    bit-for-bit). Pairs form only WITHIN a sub-band, so per-key work
-    is O(band_cap²) and total work is O(corpus × band_cap) — linear in
-    the corpus, never quadratic, and a hot band (boilerplate-heavy
-    length bucket) is spread structurally instead of landing in one
-    task. Documented recall cost: a true near-dup pair inside a band
-    split s ways survives with probability 1/s — acceptable for a
-    VERIFIER whose recall path is MinHash-LSH; set band_cap high (or
-    the corpus small) to disable the split entirely (n ≤ band_cap ⇒
-    one sub-band ⇒ output identical to the uncapped join).
+    Salt cap (the 100 TB guard, OPT-IN): with ``band_cap`` set, a band
+    holding n docs is split into ``(n + band_cap - 1) // band_cap``
+    sub-bands by an md5 hash of doc_id (engine-portable — the DuckDB
+    oracle replays the split bit-for-bit). Pairs form only WITHIN a
+    sub-band, so per-key work is O(band_cap²) and total work is
+    O(corpus × band_cap) — linear in the corpus, never quadratic, and
+    a hot band (boilerplate-heavy length bucket) is spread
+    structurally instead of landing in one task. Documented recall
+    cost: a true near-dup pair inside a band split s ways survives
+    with probability 1/s — acceptable for a VERIFIER whose recall
+    path is MinHash-LSH.
+
+    The DEFAULT is ``band_cap=None`` — uncapped, lossless: the
+    library function keeps exact verifier semantics for every caller
+    (ADVICE r08: a capped default silently costs recall repo-wide).
+    The gated query / production path opts into ``band_cap=128``
+    (sweep-tuned r08: binds from sf0.1 with zero recall loss on this
+    corpus, α 0.89 over the top decade) at the registry call site.
     """
     banded = documents.select(
         F.col("doc_id"),
@@ -720,29 +746,37 @@ def edit_distance_banded(
     # band populations are tiny next to the corpus (one row per
     # (lang, len_band)) — broadcast them back; the corpus shuffles once
     # on the sub-band key in the self-join below, same as before.
-    sizes = banded.groupBy("lang", "len_band").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    from realtime_analytics_pipeline_spark.operators.sampling import hash_bucket
-
-    sub = (
-        banded.join(F.broadcast(sizes), ["lang", "len_band"])
-        .withColumn(
-            "sub",
-            F.pmod(
-                hash_bucket("doc_id", "edb"),
-                F.expr(f"(_n + {band_cap - 1}) div {band_cap}"),
-            ),
+    if band_cap is None:
+        # uncapped: one (trivial) sub-band per band — exact semantics
+        sub = banded.withColumn("sub", F.lit(0))
+    else:
+        sizes = banded.groupBy("lang", "len_band").agg(
+            F.count(F.lit(1)).alias("_n")
         )
-        .drop("_n")
-        # pin the pair-join parallelism: each (lang, len_band, sub) key
-        # fans out into O(band_cap²) levenshtein calls, so the join is
-        # COMPUTE-bound while its shuffled bytes are tiny — AQE's
-        # byte-based coalescing would squash it onto 1-2 tasks and
-        # serialize the work (measured: 58 s single-threaded at sf0.3
-        # vs seconds when spread). An explicit numPartitions exchange
-        # is exempt from AQE coalescing.
-        .repartition(64, "lang", "len_band", "sub")
+        from realtime_analytics_pipeline_spark.operators.sampling import (
+            hash_bucket,
+        )
+
+        sub = (
+            banded.join(F.broadcast(sizes), ["lang", "len_band"])
+            .withColumn(
+                "sub",
+                F.pmod(
+                    hash_bucket("doc_id", "edb"),
+                    F.expr(f"(_n + {band_cap - 1}) div {band_cap}"),
+                ),
+            )
+            .drop("_n")
+        )
+    # pin the pair-join parallelism: each (lang, len_band, sub) key
+    # fans out into O(band_cap²) levenshtein calls, so the join is
+    # COMPUTE-bound while its shuffled bytes are tiny — AQE's
+    # byte-based coalescing would squash it onto 1-2 tasks and
+    # serialize the work (measured: 58 s single-threaded at sf0.3
+    # vs seconds when spread). An explicit numPartitions exchange
+    # is exempt from AQE coalescing.
+    sub = sub.repartition(
+        _pair_join_partitions(documents), "lang", "len_band", "sub"
     )
     a, b = sub.alias("a"), sub.alias("b")
     pairs = a.join(

@@ -72,7 +72,19 @@ def _block_pair_groups(df: DataFrame, id_col: str, n_blocks: int):
     hashes into one of ``n_blocks`` blocks and is exploded to every
     block PAIR (gi ≤ gj) it belongs to, so each unordered row pair
     meets in exactly ONE applyInPandas group. Returns the grouped
-    frame (columns: df's + blk, grouped by gi, gj)."""
+    frame (columns: df's + blk, grouped by gi, gj).
+
+    Shuffle cost (ADVICE r08): the explode replicates every row —
+    INCLUDING its full vector payload — ``n_blocks`` times, so shuffle
+    volume is O(n · B · row_bytes). This is the deliberate trade for
+    all-pairs exactness: B is sized by ``gemm_block_count`` so blocks
+    fit task memory, and its 512 cap bounds replication at ≤512×.
+    When vectors are wide and B is large, the scale-out alternative is
+    shipping only (id, blk) into the pair groups and joining the
+    vector payload per block — one extra shuffle, n·row_bytes each
+    side, in exchange for dropping the ×B replication; the current
+    form wins while n·B·row_bytes fits comfortably in cluster shuffle
+    capacity (true for every gated corpus here: ≤ a few GiB)."""
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     pair_of = F.explode(
         F.array(

@@ -315,10 +315,12 @@ def winnowing_fingerprints(
     overlap join — the same index-bucket bound as the shingle family.
 
     BENCH NOTE: this is the READABLE SPEC TWIN — linear (α 0.96) but
-    with a ~4 ms/doc constant, ~10x the Arrow kernel's. The benched /
-    scale form is ``winnowing_fingerprints_kernel`` (fingerprint-for-
-    fingerprint identical, pinned by the parity test); never promote
-    this spec form into the bench headline set.
+    with a ~4 ms/doc constant, ~10x the Arrow kernel's. Since r09 it
+    is PYTEST-ONLY: every gated query routes through
+    ``winnowing_fingerprints_kernel`` (fingerprint-for-fingerprint
+    identical, pinned by the parity test); this form exists to pin
+    the algorithm's semantics readably at fixed n. Never promote it
+    into a gated query or the bench headline set.
     """
     # substr(text, i, 1) re-scans UTF-8 byte boundaries from the
     # string head, so the hash pass is O(n^2 k) in CHARACTERS — but n

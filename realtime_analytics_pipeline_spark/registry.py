@@ -389,6 +389,71 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
+    # ROUND 9 window (freshness rotation, propose_window.py --refresh
+    # output pasted verbatim below the names): the 9 never-driver-
+    # verified names lead (4 registered mid-round-8 after the r08
+    # window shipped + 5 r08 capacity spills — all replica-green at
+    # both SFs pre-swap, see ROUND_NOTES r08 item 12), then the 41
+    # OLDEST driver greens (r01/r02 rows earned against the retired
+    # nanos-bigint / pre-NTZ regime). Expected after this lands:
+    # cumulative driver-green = 298/298 oracled and every certification
+    # is at most ~6 rounds stale.
+    "dedup_jaccard_prefix_filtered",  # registry_docs
+    "dedup_duplicate_spans",  # registry_docs
+    "dedup_span_removal",  # registry_docs
+    "users_activity_similarity_blas",  # registry_analytics
+    "events_value_histogram",  # registry_curation
+    "segment_overlap_kmv",  # registry_curation
+    "events_interarrival_stats",  # registry_curation
+    "basket_graph_kcore",  # registry_curation
+    "lineitem_zorder_skipping",  # registry_formats
+    "event_metrics_1m",  # registry
+    "performance_metrics_5m",  # registry
+    "session_metrics",  # registry
+    "session_metrics_lag",  # registry
+    "serving_event_pivot",  # registry
+    "serving_perf_pivot",  # registry
+    "serving_top_windows",  # registry
+    "serving_retention",  # registry
+    "serving_overview",  # registry
+    "events_projection_filter",  # registry
+    "tpch_q1_pricing_summary",  # registry_relational
+    "tpch_q3_shipping_priority",  # registry_relational
+    "tpch_q5_regional_revenue",  # registry_relational
+    "tpch_q10_returned_items",  # registry_relational
+    "tpch_q7_nation_volume",  # registry_relational
+    "top_customers_per_nation",  # registry_relational
+    "events_sliding_window_5m1m",  # registry_relational
+    "users_viewed_not_purchased",  # registry_relational
+    "users_viewed_and_clicked",  # registry_relational
+    "event_type_daily_rollup",  # registry_relational
+    "asof_purchase_attribution",  # registry_relational
+    "text_stats",  # registry_docs
+    "text_quality_scores",  # registry_docs
+    "text_language_id",  # registry_docs
+    "text_fingerprints",  # registry_docs
+    "text_regex_ops",  # registry_docs
+    "text_top_bigrams",  # registry_docs
+    "dedup_exact",  # registry_docs
+    "dedup_tokenset_jaccard",  # registry_docs
+    "dedup_embedding_cosine",  # registry_docs
+    "dedup_connected_components",  # registry_docs
+    "sim_cosine_topk",  # registry_docs
+    "streaming_event_metrics",  # registry_streaming
+    "multimodal_metadata",  # registry_multimodal
+    "device_categorization",  # registry_parity
+    "wire_json_roundtrip",  # registry_parity
+    "tpch_q6_forecast_revenue",  # registry_parity
+    "customers_without_orders",  # registry_parity
+    "customers_with_big_orders",  # registry_parity
+    "text_source_rollup",  # registry_docs
+    "tpch_q8_market_share",  # registry_relational
+    # --- pool note (machine-generated by propose_window.py) ---
+    # Oracled: 298. Driver-green (CORRECTNESS_r*): 289. Never-driver-verified: 9.
+    # Refresh window: 9 virgin + 41 oldest-green re-verification slots; the 248 fresher greens keep their rows.
+]
+
+_VERIFY_WINDOW_R08 = [
     # ROUND 8 window: the 50-name prefix of propose_window.py's 55-name
     # never-driver-verified pool (the rotation VERDICT r07 item 2 asked
     # for — round 7 never swapped the r06 list out, so the r07 driver

@@ -3043,12 +3043,20 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial rolling hash + rightmost-min winnow over w=4 windows —
     the brief's rolling-hash document fingerprint, fingerprint-for-
     fingerprint against a row-wise SQL replay of the identical
-    integer arithmetic and tie rule."""
+    integer arithmetic and tie rule.
+
+    Routed through the Arrow KERNEL (VERDICT r08 item 5): the
+    expression-tree spec form (text_analysis.winnowing_fingerprints,
+    ~4 ms/doc) is pytest-only now — its semantics are pinned by the
+    kernel-parity test at fixed n; the gated path runs the ~30 µs/doc
+    vectorized kernel, same oracle."""
     from realtime_analytics_pipeline_spark.operators.text_analysis import (
-        winnowing_fingerprints,
+        winnowing_fingerprints_kernel,
     )
 
-    fps = winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+    fps = winnowing_fingerprints_kernel(
+        load_table(spark, sf_dir, "documents")
+    )
     return fps.select(
         "doc_id",
         F.col("pos").cast("bigint").alias("pos"),
@@ -3082,13 +3090,15 @@ def q_docs_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DROPPED before the self-join (MOSS's over-common-fingerprint
     cull — hot buckets carry no discriminating signal and are exactly
     the quadratic blowup at scale). >=3 surviving shared fingerprints
-    is the candidate floor."""
+    is the candidate floor. Fingerprints come from the Arrow kernel
+    (the scale path — VERDICT r08 item 5); the expression-tree spec
+    form is pytest-only."""
     from realtime_analytics_pipeline_spark.operators.text_analysis import (
-        winnowing_fingerprints,
+        winnowing_fingerprints_kernel,
     )
 
     fps = (
-        winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+        winnowing_fingerprints_kernel(load_table(spark, sf_dir, "documents"))
         .select("doc_id", "fp_hash")
         .distinct()
     )
@@ -3606,8 +3616,11 @@ def q_edit_distance_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, prefix-capped at 64 chars. Gated form runs the
     production salt cap (band_cap=128 md5 sub-banding — VERDICT r06
     item 5): the oracle replays the split bit-for-bit, so the split is
-    itself driver-verified."""
-    return D.edit_distance_banded(load_table(spark, sf_dir, "documents"))
+    itself driver-verified. band_cap is opt-in HERE, not a library
+    default (ADVICE r08) — the bare function stays lossless."""
+    return D.edit_distance_banded(
+        load_table(spark, sf_dir, "documents"), band_cap=128
+    )
 
 
 _TRIGRAM_LIST = (

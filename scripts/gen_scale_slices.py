@@ -94,6 +94,59 @@ def gen_documents(sf: float, rng: np.random.Generator, lang_words: dict, lang_p)
     )
 
 
+def gen_documents_bounded(sf: float, rng: np.random.Generator) -> pa.Table:
+    """Bounded-cluster dup corpus for the prefix-Jaccard sweep
+    (VERDICT r08 item 4): the driver's synthetic documents are
+    template-heavy (7.7% of ALL pairs are true >=0.9 near-dups), so
+    every uncapped exact verifier's OUTPUT is Theta(n^2) on it and the
+    sweep measures the output term. This corpus models a REALISTIC
+    dedup workload instead: each base doc draws 30..80 words from a
+    50k-word synthetic vocabulary (two random docs share almost
+    nothing — cross-cluster Jaccard ~ 0), and ~3% of docs belong to
+    planted dup clusters of size 2..4 whose members differ by one
+    word (unigram Jaccard >= 0.9 guaranteed at these lengths). True
+    pair count = sum over clusters of C(size,2) — LINEAR in corpus
+    size, so the sweep measures algorithm overhead, not output."""
+    m = int(50_000 * sf)
+    vocab = np.array([f"w{i:05d}" for i in range(50_000)])
+    texts: list[str] = []
+    doc_words = [
+        vocab[rng.integers(0, len(vocab), rng.integers(30, 81))]
+        for _ in range(m)
+    ]
+    # plant clusters over ~3% of docs: walk ids in order, occasionally
+    # make the next (size-1) docs near-copies of the current one
+    i = 0
+    in_cluster = np.zeros(m, dtype=bool)
+    while i < m:
+        if rng.random() < 0.012 and i + 3 < m:  # ~3% of docs in clusters
+            size = int(rng.integers(2, 5))
+            base = doc_words[i]
+            for j in range(1, size):
+                clone = base.copy()
+                clone[int(rng.integers(0, len(clone)))] = vocab[
+                    int(rng.integers(0, len(vocab)))
+                ]
+                doc_words[i + j] = clone
+                in_cluster[i + j] = True
+            in_cluster[i] = True
+            i += size
+        else:
+            i += 1
+    texts = [" ".join(w) for w in doc_words]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(m, dtype="int64")),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * m),
+            "source": pa.array([f"src{j}" for j in rng.integers(0, 20, m)]),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype="int64")
+            ),
+        }
+    )
+
+
 _DAY_US = 86_400 * 1_000_000
 
 
@@ -179,6 +232,20 @@ def gen_tpch(sf: float, rng: np.random.Generator, out_dir: str) -> None:
 
 
 def main() -> None:
+    import sys
+
+    bounded_only = "--bounded-only" in sys.argv
+    if bounded_only:
+        for sf in (0.1, 0.3, 1.0):
+            rng = np.random.default_rng(20260815 + int(sf * 10))
+            d = os.path.join(OUT, f"sf{sf:g}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                gen_documents_bounded(sf, rng),
+                f"{d}/documents_bounded.parquet",
+            )
+            print(f"wrote {d}/documents_bounded.parquet: {int(5e4 * sf)} docs")
+        return
     con = duckdb.connect()
     values_pool = (
         con.sql(f"SELECT value FROM '{SRC}/events.parquet'").fetchnumpy()["value"]
@@ -206,6 +273,17 @@ def main() -> None:
             f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)} "
             f"lineitem={int(6e6 * sf)}"
         )
+
+    # bounded-dup corpus (VERDICT r08 item 4) — generated at sf0.1 too
+    # (driver testdata is read-only, so the 0.1 slice lives here)
+    for sf in (0.1, 0.3, 1.0):
+        rng = np.random.default_rng(20260815 + int(sf * 10))
+        d = os.path.join(OUT, f"sf{sf:g}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            gen_documents_bounded(sf, rng), f"{d}/documents_bounded.parquet"
+        )
+        print(f"wrote {d}/documents_bounded.parquet: {int(5e4 * sf)} docs")
 
 
 if __name__ == "__main__":

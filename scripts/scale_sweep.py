@@ -114,12 +114,24 @@ SWEEP = [
     # the documented baseline
     ("users_activity_similarity_blas", "events", 3,
      "EXACT activity pair top-10, block gemm (uncapped)", True),
+    # round-9: the ExactSubstr span operators claim linear shape
+    # (dedup.py duplicate_spans/span_removal docstrings) — VERDICT r08
+    # item 3 asks for the claim to be MEASURED, not argued
+    ("dedup_duplicate_spans", "documents", 3,
+     "exact-substr dup spans (explode + vocab agg + window)", True),
+    ("dedup_span_removal", "documents", 3,
+     "span removal (equi-keyed anti-join + rebuild)", True),
 ]
 
 def _winnow_spec(spark, d):
-    from realtime_analytics_pipeline_spark import registry
+    # the gated query routes through the Arrow kernel now (VERDICT r08
+    # item 5); this sweeps the pytest-only expression-tree SPEC form
+    from realtime_analytics_pipeline_spark.operators.text_analysis import (
+        winnowing_fingerprints,
+    )
+    from realtime_analytics_pipeline_spark.registry import load_table
 
-    return registry.QUERIES["docs_winnowing_fingerprints"](spark, d)
+    return winnowing_fingerprints(load_table(spark, d, "documents"))
 
 
 # uncapped library exact verifiers + constant-heavy spec forms.
@@ -144,6 +156,30 @@ UNCAPPED = [
      "EXACT prefix-filtered verifier (output-bound on this corpus)", False),
     ("activity_similarity (uncapped)", _uncapped_activity, "events",
      "pair join baseline (gemm twin is the path)", False),
+]
+
+
+def _prefix_bounded(spark, d):
+    # bounded-cluster dup corpus (VERDICT r08 item 4): lives under
+    # .scale for ALL sfs incl. 0.1 (driver testdata is read-only);
+    # ~3% of docs in planted clusters of size 2-4, cross-cluster
+    # Jaccard ~ 0 => TRUE pair output is LINEAR in corpus size, so
+    # this sweep measures the prefix filter's algorithm overhead
+    # rather than the Theta(n^2) output term the template-heavy
+    # driver corpus forces.
+    from realtime_analytics_pipeline_spark.operators import dedup as D
+
+    sf = os.path.basename(d.rstrip("/")).removeprefix("sf")
+    p = os.path.join(REPO, ".scale", f"sf{sf}", "documents_bounded.parquet")
+    return D.jaccard_pairs_prefix(
+        spark.read.parquet(p), n=1, threshold=0.9
+    )
+
+
+# swept on documents_bounded at sf{0.1,0.3,1}; alpha over 0.1->1
+BOUNDED = [
+    ("jaccard_pairs_prefix (bounded-dup corpus)", _prefix_bounded,
+     "EXACT prefix-filtered verifier, ~3% planted dup clusters (linear)"),
 ]
 
 
@@ -211,6 +247,28 @@ def main() -> None:
         a1 = alpha(med, counts[table], "0.01", "0.1")
         a2 = alpha(med, counts[table], "0.1", "1") if extend else None
         rows.append((name, klass, table, med, a1, a2))
+    # bounded-dup corpus sweep (sf0.1 -> sf1, all slices under .scale)
+    bounded_sfs = [
+        sf
+        for sf in ("0.1", "0.3", "1")
+        if os.path.isfile(
+            os.path.join(REPO, ".scale", f"sf{sf}", "documents_bounded.parquet")
+        )
+    ]
+    if len(bounded_sfs) >= 2:
+        bcounts = {
+            sf: spark.read.parquet(
+                os.path.join(
+                    REPO, ".scale", f"sf{sf}", "documents_bounded.parquet"
+                )
+            ).count()
+            for sf in bounded_sfs
+        }
+        for name, fn, klass in BOUNDED:
+            print(f"  {name}", file=sys.stderr)
+            med = time_query(fn, bounded_sfs, 3)
+            a2 = alpha(med, bcounts, "0.1", "1")
+            rows.append((name, klass, "documents_bounded", med, None, a2))
 
     def cell(med, sf):
         return f"{med[sf]:.2f}s" if sf in med else "—"
@@ -241,6 +299,12 @@ def main() -> None:
         "template-heavy — 7.7% of ALL doc pairs are true >=0.9 near-dups,",
         "so every uncapped exact verifier's OUTPUT is Theta(n^2) here and",
         "their rows measure the output term, not the algorithm overhead.",
+        "Round-9: the documents_bounded row measures the SAME prefix",
+        "verifier on a realistic corpus (~3% of docs in planted dup",
+        "clusters of size 2-4, cross-cluster Jaccard ~0, true output",
+        "linear in n) — the 'linear at realistic dup rates' claim as a",
+        "measured row; the span operators (duplicate_spans/span_removal)",
+        "sweep both decades to back their linear-shape docstrings.",
         "",
         "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | t(0.3) | t(1) | a(0.01->0.1) | a(0.1->1) |",
         "|---|---|---|---|---|---|---|---|---|---|",

@@ -188,3 +188,92 @@ def test_metered_upsert_storage_metrics_and_retry(spark, tmp_path):
         "storage_in_flight_inserts", "storage_adaptive_batch_target",
     ):
         assert f"# TYPE {fam} " in body, fam
+
+
+def test_streaming_jdbc_upsert_kill_restart_exactly_once(spark, tmp_path):
+    """Chaos drill (VERDICT r08 item 8): CRASH the stream after the
+    sink write but BEFORE Spark commits the epoch — the exact
+    at-least-once re-delivery window every foreachBatch sink lives
+    with (offset WAL written pre-batch, commit log written post-batch,
+    so a crash between them re-delivers the batch on restart). Restart
+    from the SAME checkpoint and assert the final table equals an
+    uninterrupted run bit-for-bit: the delete+append upsert turns
+    re-delivery into exactly-once EFFECT (X5), across a real
+    kill/restart boundary rather than the full-replay of the test
+    above."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from realtime_analytics_pipeline_spark.operators.event_metrics import (
+        event_metrics_exact_streaming,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        read_events_stream_from_dir,
+    )
+
+    src = str(tmp_path / "src")
+    write_time_ordered_stream_fixture(
+        load_table(spark, SF_SMOKE, "events"), src, 4
+    )
+    url = derby_url(str(tmp_path / "derbydb3"))
+
+    inner = foreach_batch_jdbc_upsert(url, "em_chaos", "window_start_ms")
+    crash_marker = tmp_path / "crashed_once"
+
+    def crashing_sink(batch_df, batch_id):
+        # append-mode + watermark ⇒ early batches can be EMPTY (no
+        # window finalized yet); crash on the first batch that really
+        # lands rows, so the re-delivery window contains data
+        n = batch_df.count()
+        inner(batch_df, batch_id)  # sink write SUCCEEDS...
+        if n > 0 and not crash_marker.exists():
+            crash_marker.write_text("x")
+            # ...then the "process dies" before the epoch commits
+            raise RuntimeError("injected crash post-write pre-commit")
+
+    def run(sink_fn, checkpoint, table_sel="em_chaos", expect_fail=False):
+        stream = read_events_stream_from_dir(spark, src)
+        em = event_metrics_exact_streaming(stream).select(
+            F.unix_millis("window_start").alias("window_start_ms"),
+            "event_type",
+            "event_count",
+            "user_count",
+        )
+        q = (
+            em.writeStream.outputMode("append")
+            .foreachBatch(sink_fn)
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if expect_fail:
+            with pytest.raises(StreamingQueryException):
+                q.awaitTermination(300)
+        else:
+            q.awaitTermination(300)
+
+    # run 1: dies after batch 0's rows are already in the table
+    run(crashing_sink, "ck_chaos", expect_fail=True)
+    assert crash_marker.exists()
+    partial = read_jdbc(spark, url, "em_chaos")
+    assert partial.count() > 0  # the write really landed pre-crash
+
+    # run 2: SAME checkpoint — batch 0 is re-delivered (uncommitted
+    # epoch), then the remaining batches stream through
+    run(crashing_sink, "ck_chaos")
+
+    # uninterrupted reference run: fresh checkpoint, fresh table
+    run(
+        foreach_batch_jdbc_upsert(url, "em_ref", "window_start_ms"),
+        "ck_ref",
+        table_sel="em_ref",
+    )
+
+    chaos_df = read_jdbc(spark, url, "em_chaos")
+    ref_df = read_jdbc(spark, url, "em_ref")
+    chaos, ref = _as_set(chaos_df), _as_set(ref_df)
+    assert chaos == ref
+    # COUNT equality too — a duplicated window row would survive the
+    # set comparison (same lesson as the round-6 quoting bug)
+    assert chaos_df.count() == ref_df.count() == len(ref)

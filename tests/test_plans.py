@@ -453,11 +453,19 @@ def test_compute_bound_pair_joins_pin_parallelism(spark):
     from realtime_analytics_pipeline_spark.operators import dedup as D
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    edit_plan = plan_of(D.edit_distance_banded(docs))
-    # both self-join sides carry the pinned 64-way sub-band exchange
+    # band_cap=128 is the gated/production form (the library default is
+    # uncapped — ADVICE r08); numPartitions derives from
+    # spark.sql.shuffle.partitions with a floor of 64, so at the test
+    # config (32) the pin is 64-way
+    edit_plan = plan_of(D.edit_distance_banded(docs, band_cap=128))
+    # both self-join sides carry the pinned sub-band exchange
     assert edit_plan.count("REPARTITION_BY_NUM") >= 2
     assert "sub" in edit_plan and ", 64)" in edit_plan
     assert "CartesianProduct" not in edit_plan
+    # the uncapped default keeps the pin too (trivial sub-band)
+    uncapped_plan = plan_of(D.edit_distance_banded(docs))
+    assert uncapped_plan.count("REPARTITION_BY_NUM") >= 2
+    assert "CartesianProduct" not in uncapped_plan
 
     jac_plan = plan_of(D.jaccard_pairs_prefix(docs))
     # prefix inverted-index join (shingle) + verify join (doc_a) pinned
