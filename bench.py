@@ -142,6 +142,9 @@ HEADLINE = [
     "streaming_cusum_drift",  # stateful online twin, full replay
     "events_seasonal_anomaly",
     "emb_knn_label_accuracy",
+    # round-9: two-phase skew-resilient sessionization (hot session_id
+    # spreads over time buckets; exact twin of session_metrics)
+    "session_metrics_bucketed",
 ]
 
 

@@ -17,8 +17,16 @@ Two implementations with identical results:
   batch plan (one window shuffle, no session-merge state).
 
 Session boundary semantics (both impls, and the oracle): an event
-starts a new session iff gap_to_previous >= session_gap — this matches
-Spark's half-open session window [first, last + gap).
+starts a new session iff gap_to_previous >= session_gap — the
+reference's Flink session windows ([t, t+gap) merging on overlap)
+split at exactly-gap the same way. Spark's native session_window,
+measured (round-9), MERGES at exactly-gap (closed boundary), so
+``session_metrics`` passes the engine ``gap − 1 µs``: at microsecond
+timestamp resolution ``diff <= gap − 1µs  ⟺  diff < gap``, making the
+native plan split at exactly-gap too — byte-identical to the lag twin
+and the oracle on ALL inputs, not just inputs where the boundary case
+never occurs. Output times are min/max event_time aggregates, so the
+shrunken engine gap never leaks into emitted values.
 
 Scale: both shuffle once on the session key. Skewed keys (one hot
 session_id) are the risk at 100 TB; AQE skew-join handling does not
@@ -34,6 +42,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+
+def flink_session_gap(gap: str) -> str:
+    """gap interval string -> (gap − 1 µs) interval string.
+
+    Spark's native session_window MERGES two events exactly ``gap``
+    apart (closed boundary, measured round-9); the reference's Flink
+    session windows — and every lag/oracle twin in this repo — SPLIT
+    there (half-open [t, t+gap)). At microsecond timestamp resolution
+    ``diff <= gap − 1µs ⟺ diff < gap``, so passing the shrunken gap
+    makes the native operator apply the half-open rule exactly.
+    Emitted values are min/max event_time aggregates everywhere, so
+    the shrunken engine gap never appears in output."""
+    import pandas as pd
+
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+    return f"{gap_us - 1} microseconds"
+
 
 _SESSION_OUT = [
     "session_id",
@@ -57,6 +82,10 @@ def session_metrics(
     appended by the streaming wire path where user_agent exists).
     """
     gap = gap or config.session_gap
+    try:
+        gap = flink_session_gap(gap)  # half-open boundary, see helper
+    except ValueError:
+        pass  # unparseable custom interval: keep engine semantics
     return (
         events.groupBy(
             F.session_window("event_time", gap), "session_id", "user_id"
@@ -128,4 +157,108 @@ def session_metrics_by_lag(
             .alias("duration"),
             "page_count",
         )
+    )
+
+
+def session_metrics_bucketed(
+    events: DataFrame,
+    gap_ms: int | None = None,
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Two-phase SKEW-RESILIENT sessionization — exact twin of
+    ``session_metrics`` whose shuffle key spreads a hot session_id
+    over time buckets (round-9; the mitigation the module docstring
+    promised for the one-hot-session 100 TB case).
+
+    Both single-pass forms shuffle ALL events of a key to one task
+    (window functions get no AQE skew handling) — a bot session_id
+    with 10^9 events serializes there. This form:
+
+    phase 1 — sessionize WITHIN (session_id, user_id, time-bucket)
+      by the same lag/gaps-and-islands rule ⇒ partial sessions. The
+      hot key now spreads over (key, bucket): a 30-day bot key does
+      30 tasks' worth of window work instead of one.
+    phase 2 — merge partials across adjacent buckets: partials of a
+      key are time-disjoint and start-ordered, so a partial starts a
+      new FINAL session iff ``start - lag(end) >= gap`` — the
+      identical rule applied between consecutive events, so the
+      composition is EXACT for any bucket size (within-bucket pairs
+      handled in phase 1, cross-bucket pairs by this merge; a
+      midnight-straddling session merges back). Phase 2's window
+      runs over PARTIALS (≤ buckets-touched + sessions per key),
+      orders of magnitude fewer rows than events on exactly the keys
+      that are hot.
+
+    Output contract identical to ``session_metrics``; equality is
+    oracle-checked (same driver SQL) and pytest-pinned on crafted
+    boundary-straddling fixtures.
+    """
+    if gap_ms is None:
+        gap_ms = 30 * 60 * 1000
+    gap_us = gap_ms * 1000
+    bucket_us = bucket_ms * 1000
+    t_us = F.unix_micros("event_time")
+    bucketed = events.withColumn("_bucket", (t_us / F.lit(bucket_us)).cast("long"))
+    w1 = Window.partitionBy("session_id", "user_id", "_bucket").orderBy(
+        "event_time", "event_id"
+    )
+    prev_us = F.lag(t_us).over(w1)
+    partials = (
+        bucketed.withColumn(
+            "_new",
+            F.when(prev_us.isNull() | ((t_us - prev_us) >= gap_us), 1).otherwise(0),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("session_id", "user_id", "_bucket", "_island")
+        .agg(
+            F.min("event_time").alias("start_time"),
+            F.max("event_time").alias("end_time"),
+            F.count(F.lit(1)).alias("page_count"),
+        )
+    )
+    # phase 2: merge partials whose cross-bucket gap is < gap. Partials
+    # per key are disjoint and start-ordered (bucket boundaries
+    # separate them), so the event-level rule reduces to this exact
+    # interval merge.
+    w2 = Window.partitionBy("session_id", "user_id").orderBy("start_time")
+    prev_end = F.lag(F.unix_micros("end_time")).over(w2)
+    merged = (
+        partials.withColumn(
+            "_new",
+            F.when(
+                prev_end.isNull()
+                | ((F.unix_micros("start_time") - prev_end) >= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("session_id", "user_id", "_sess")
+        .agg(
+            F.min("start_time").alias("start_time"),
+            F.max("end_time").alias("end_time"),
+            F.sum("page_count").alias("page_count"),
+        )
+    )
+    return merged.select(
+        "session_id",
+        "user_id",
+        "start_time",
+        "end_time",
+        (
+            (F.unix_micros("end_time") - F.unix_micros("start_time"))
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("duration"),
+        "page_count",
     )

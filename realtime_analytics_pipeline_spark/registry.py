@@ -179,6 +179,19 @@ def q_session_metrics_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_ms(session_metrics_by_lag(load_events(spark, sf_dir)))
 
 
+@register("session_metrics_bucketed", _SESSION_SQL)
+def q_session_metrics_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-resilient sessionization (round-9): sessionize
+    within (key, time-bucket), merge partials across boundaries — the
+    hot-session_id mitigation, exact by construction (same oracle as
+    session_metrics; boundary-straddling merges pytest-pinned)."""
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        session_metrics_bucketed,
+    )
+
+    return _session_ms(session_metrics_bucketed(load_events(spark, sf_dir)))
+
+
 # --------------------------------------------------------------------------
 # Serving operators T1-T6 (SURVEY §2.6)
 # --------------------------------------------------------------------------

@@ -31,6 +31,12 @@ LEFT JOIN (
 """
 
 
+
+# native session_window closes the exactly-gap boundary; the oracles'
+# rule is half-open — 1800 s shrunk by 1 µs applies the oracle rule at
+# timestamp resolution (operators/session_metrics.flink_session_gap)
+_HALF_OPEN_30M = "1799999999 microseconds"
+
 @register("nation_order_volume_outer", _OUTER_SQL)
 def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER join: every nation appears, null volume where the
@@ -1292,7 +1298,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance, same math, one extra day-level aggregation."""
     ev = load_events(spark, sf_dir)
     sess = ev.groupBy(
-        "user_id", F.session_window("event_time", "30 minutes")
+        "user_id", F.session_window("event_time", _HALF_OPEN_30M)
     ).agg(
         F.unix_micros(F.min("event_time")).alias("s_us"),
         F.unix_micros(F.max("event_time")).alias("e_us"),
@@ -1543,7 +1549,7 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ≥30 min break as the session-metrics family)."""
     ev = load_events(spark, sf_dir)
     sess = ev.groupBy(
-        "user_id", F.session_window("event_time", "30 minutes")
+        "user_id", F.session_window("event_time", _HALF_OPEN_30M)
     ).agg(
         F.unix_millis(F.min("event_time")).alias("start_ms"),
         F.count(F.lit(1)).alias("page_count"),

@@ -39,6 +39,12 @@ _UA_CASES = [
 ]
 
 
+
+# native session_window closes the exactly-gap boundary; the oracles'
+# rule is half-open — 1800 s shrunk by 1 µs applies the oracle rule at
+# timestamp resolution (operators/session_metrics.flink_session_gap)
+_HALF_OPEN_30M = "1799999999 microseconds"
+
 def _ua_expr():
     c = F.pmod(F.col("user_id").cast("long"), F.lit(len(_UA_CASES)))
     expr = F.lit(_UA_CASES[-1])
@@ -338,7 +344,7 @@ def q_session_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = (
         ev.groupBy(
-            F.session_window("event_time", "30 minutes"),
+            F.session_window("event_time", _HALF_OPEN_30M),
             "session_id",
             "user_id",
         )

@@ -129,7 +129,7 @@ def _winnow_spec(spark, d):
     from realtime_analytics_pipeline_spark.operators.text_analysis import (
         winnowing_fingerprints,
     )
-    from realtime_analytics_pipeline_spark.registry import load_table
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
 
     return winnowing_fingerprints(load_table(spark, d, "documents"))
 
