@@ -41,6 +41,7 @@ QUERIES = [
     "event_metrics_1m",
     "performance_metrics_5m",
     "session_metrics",
+    "session_metrics_bucketed",  # round-9 two-phase skew-resilient twin
     "serving_event_pivot",
     "events_sliding_window_5m1m",
     "asof_purchase_attribution",
