@@ -1,4 +1,4 @@
-"""Real Redis wire protocol (RESP2) — client codec, pipelined
+"""Real Redis wire protocol (RESP2 + RESP3) — client codec, pipelined
 repository, and an in-process mini server.
 
 The reference's cache persists windows to Redis through redis-py
@@ -19,6 +19,16 @@ stdlib-socketserver Redis subset (hashes, sorted sets, expiry,
 publish) faithful enough that redis-cli could talk to it. Swapping a
 production Redis for the mini server is a host:port change — the
 client/repository side is production-shaped.
+
+Round-9 adds RESP3 parity (the protocol redis-py ≥5 negotiates by
+default via HELLO 3): typed frames (map ``%``, set ``~``, boolean
+``#``, double ``,``, big number ``(``, null ``_``, verbatim ``=``),
+out-of-band push frames (``>``) with REAL pub/sub delivery in the mini
+server (SUBSCRIBE under RESP3; PUBLISH fans the message out to
+subscriber connections and returns the true receiver count), HGETALL
+as a map reply, and a repository that reads identically under either
+protocol — the cache read API the reference's WebSocket layer listens
+on (repository.py PUBLISH → cache:updates) now has both wire halves.
 
 Scale note: the repository write path is designed for foreachBatch —
 one pipeline round-trip per micro-batch partition of serving-sized
@@ -68,8 +78,18 @@ def encode_command(*args: Any) -> bytes:
     return b"".join(out)
 
 
+class Push(list):
+    """A RESP3 out-of-band push frame (``>``) — e.g. pub/sub message
+    delivery. Distinct type so callers can tell pushes from replies."""
+
+
 class _Reader:
-    """Incremental RESP2 reply parser over a socket."""
+    """Incremental RESP2/RESP3 reply parser over a socket.
+
+    RESP2 frames: ``+ - : $ *``. RESP3 additions (public Redis
+    protocol spec, negotiated via HELLO 3): ``%`` map, ``~`` set,
+    ``#`` boolean, ``,`` double, ``(`` big number, ``_`` null,
+    ``=`` verbatim string, ``>`` push."""
 
     def __init__(self, sock: socket.socket) -> None:
         self._sock = sock
@@ -108,16 +128,56 @@ class _Reader:
         if kind == b"*":
             n = int(rest)
             return None if n == -1 else [self.read_reply() for _ in range(n)]
+        # --- RESP3 frame types ---
+        if kind == b"%":
+            n = int(rest)
+            out: dict[Any, Any] = {}
+            for _ in range(n):
+                k = self.read_reply()
+                if isinstance(k, bytes):  # hashable, decoded keys
+                    k = k.decode()
+                out[k] = self.read_reply()
+            return out
+        if kind == b"~":
+            return [self.read_reply() for _ in range(int(rest))]
+        if kind == b"#":
+            return rest == b"t"
+        if kind == b",":
+            return float(rest)  # handles inf/-inf/nan spellings
+        if kind == b"(":
+            return int(rest)
+        if kind == b"_":
+            return None
+        if kind == b"=":
+            # verbatim string: n bytes of "fmt:payload"
+            return self._read_exact(int(rest))
+        if kind == b">":
+            return Push(self.read_reply() for _ in range(int(rest)))
         raise RuntimeError(f"bad RESP type byte: {kind!r}")
 
 
 class RespClient:
-    """Minimal synchronous Redis client with true pipelining."""
+    """Minimal synchronous Redis client with true pipelining.
+
+    Speaks RESP2 by default; ``hello(3)`` upgrades the connection to
+    RESP3 (map replies, typed frames, out-of-band pushes). Push frames
+    that arrive interleaved with replies are buffered on ``pushes``
+    (the RESP3 contract: a push may precede any reply)."""
 
     def __init__(self, host: str, port: int, timeout: float = 30.0) -> None:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._reader = _Reader(self._sock)
         self._lock = threading.Lock()
+        self.protocol = 2
+        self.pushes: list[Push] = []
+
+    def hello(self, proto: int = 3) -> dict | list:
+        """HELLO negotiation; on success the connection speaks
+        ``proto``. Returns the server's handshake reply (a map under
+        RESP3, a flat array under RESP2)."""
+        reply = self.execute("HELLO", proto)
+        self.protocol = proto
+        return reply
 
     def execute(self, *args: Any) -> Any:
         return self.pipeline([args])[0]
@@ -131,7 +191,38 @@ class RespClient:
         payload = b"".join(encode_command(*c) for c in commands)
         with self._lock:
             self._sock.sendall(payload)
-            return [self._reader.read_reply() for _ in commands]
+            out = []
+            for _ in commands:
+                reply = self._reader.read_reply()
+                while isinstance(reply, Push):
+                    self.pushes.append(reply)
+                    reply = self._reader.read_reply()
+                out.append(reply)
+            return out
+
+    def subscribe(self, channel: str) -> Push:
+        """SUBSCRIBE (RESP3 connections): the confirmation arrives AS a
+        push frame, so ``execute`` (which waits for a regular reply
+        past any pushes) would block — read the one frame directly."""
+        with self._lock:
+            self._sock.sendall(encode_command("SUBSCRIBE", channel))
+            reply = self._reader.read_reply()
+        if not isinstance(reply, Push):
+            raise RuntimeError(f"expected subscribe push, got {reply!r}")
+        return reply
+
+    def read_push(self, timeout: float | None = None) -> Push:
+        """Block until a push frame arrives (RESP3 pub/sub delivery).
+        Buffered pushes (seen interleaved with replies) drain first."""
+        if self.pushes:
+            return self.pushes.pop(0)
+        if timeout is not None:
+            self._sock.settimeout(timeout)
+        with self._lock:
+            reply = self._reader.read_reply()
+        if not isinstance(reply, Push):
+            raise RuntimeError(f"expected push frame, got {reply!r}")
+        return reply
 
     def close(self) -> None:
         try:
@@ -254,13 +345,20 @@ class RespCacheRepository:
             self.r.execute("ZREMRANGEBYRANK", index_key, 0, excess - 1)
 
     @staticmethod
-    def _convert(data: list[bytes]) -> dict[str, Any]:
-        """HGETALL flat reply -> typed dict via the reference's
-        int->float->str cascade (repository.py:117-127)."""
-        pairs = {
-            data[i].decode(): data[i + 1].decode()
-            for i in range(0, len(data), 2)
-        }
+    def _convert(data: list[bytes] | dict) -> dict[str, Any]:
+        """HGETALL reply -> typed dict via the reference's
+        int->float->str cascade (repository.py:117-127). Accepts both
+        wire shapes: the RESP2 flat array and the RESP3 map."""
+        if isinstance(data, dict):  # RESP3 map reply (keys pre-decoded)
+            pairs = {
+                k: v.decode() if isinstance(v, bytes) else str(v)
+                for k, v in data.items()
+            }
+        else:
+            pairs = {
+                data[i].decode(): data[i + 1].decode()
+                for i in range(0, len(data), 2)
+            }
         return convert_types(pairs)
 
     def _get_last_windows(
@@ -289,6 +387,14 @@ class _Store:
         self.hashes: dict[str, dict[str, str]] = {}
         self.zsets: dict[str, dict[str, float]] = {}
         self.expiry: dict[str, float] = {}
+        # channel -> list of subscribed RESP3 handler connections
+        self.subscribers: dict[str, list] = {}
+
+    def drop_subscriber(self, handler) -> None:
+        with self.lock:
+            for subs in self.subscribers.values():
+                if handler in subs:
+                    subs.remove(handler)
 
     def _evict_if_due(self, key: str) -> None:
         dl = self.expiry.get(key)
@@ -302,28 +408,39 @@ class _MiniHandler(socketserver.BaseRequestHandler):
     def handle(self) -> None:  # noqa: C901 — a flat command switch
         reader = _Reader(self.request)
         store: _Store = self.server.store  # type: ignore[attr-defined]
-        while True:
-            try:
-                cmd = reader.read_reply()
-            except (ConnectionError, OSError):
-                return
-            if not isinstance(cmd, list) or not cmd:
-                self.request.sendall(b"-ERR protocol error\r\n")
-                return
-            name = cmd[0].decode().upper()
-            args = [a.decode() for a in cmd[1:]]
-            try:
-                reply = self._dispatch(store, name, args)
-            except Exception as e:  # noqa: BLE001 — -ERR is the contract
-                reply = b"-ERR %s\r\n" % str(e).encode()
-            try:
-                self.request.sendall(reply)
-            except OSError:
-                return
+        self.proto = 2  # per-connection; HELLO 3 upgrades
+        self.send_lock = threading.Lock()  # vs pub/sub push delivery
+        try:
+            while True:
+                try:
+                    cmd = reader.read_reply()
+                except (ConnectionError, OSError):
+                    return
+                if not isinstance(cmd, list) or not cmd:
+                    self.request.sendall(b"-ERR protocol error\r\n")
+                    return
+                name = cmd[0].decode().upper()
+                args = [a.decode() for a in cmd[1:]]
+                try:
+                    reply = self._dispatch(store, name, args)
+                except Exception as e:  # noqa: BLE001 — -ERR is the contract
+                    reply = b"-ERR %s\r\n" % str(e).encode()
+                try:
+                    with self.send_lock:
+                        self.request.sendall(reply)
+                except OSError:
+                    return
+        finally:
+            store.drop_subscriber(self)
 
     @staticmethod
     def _int_reply(n: int) -> bytes:
         return b":%d\r\n" % n
+
+    @staticmethod
+    def _bulk(s: str) -> bytes:
+        b = s.encode()
+        return b"$%d\r\n%s\r\n" % (len(b), b)
 
     @staticmethod
     def _array_reply(items: list[str]) -> bytes:
@@ -333,10 +450,63 @@ class _MiniHandler(socketserver.BaseRequestHandler):
             out.append(b"$%d\r\n%s\r\n" % (len(b), b))
         return b"".join(out)
 
+    def _map_reply(self, pairs: list[tuple[str, bytes]]) -> bytes:
+        """RESP3 ``%`` map of (bulk key, pre-encoded value frame)."""
+        out = [b"%%%d\r\n" % len(pairs)]
+        for k, vframe in pairs:
+            out.append(self._bulk(k))
+            out.append(vframe)
+        return b"".join(out)
+
+    def _push_frame(self, items: list[str]) -> bytes:
+        out = [b">%d\r\n" % len(items)]
+        for s in items:
+            out.append(self._bulk(s))
+        return b"".join(out)
+
     def _dispatch(self, store: _Store, name: str, a: list[str]) -> bytes:
         with store.lock:
             if name == "PING":
                 return b"+PONG\r\n"
+            if name == "HELLO":
+                want = int(a[0]) if a else 2
+                if want not in (2, 3):
+                    raise ValueError("unsupported protocol version")
+                self.proto = want
+                info = [
+                    ("server", self._bulk("mini-redis")),
+                    ("version", self._bulk("7.0-mini")),
+                    ("proto", self._int_reply(want)),
+                    ("mode", self._bulk("standalone")),
+                ]
+                if want == 3:
+                    return self._map_reply(info)
+                # RESP2 HELLO: the same pairs as a flat array
+                out = [b"*%d\r\n" % (2 * len(info))]
+                for k, vframe in info:
+                    out.append(self._bulk(k))
+                    out.append(vframe)
+                return b"".join(out)
+            if name == "SUBSCRIBE":
+                if self.proto != 3:
+                    # the mini server supports pub/sub delivery only as
+                    # RESP3 push frames (the parity point); RESP2
+                    # subscriber connections are out of scope
+                    raise ValueError("SUBSCRIBE requires HELLO 3")
+                channel = a[0]
+                subs = store.subscribers.setdefault(channel, [])
+                if self not in subs:
+                    subs.append(self)
+                n_ch = sum(
+                    1 for s in store.subscribers.values() if self in s
+                )
+                # real Redis confirms with a push: bulk, bulk, integer
+                return (
+                    b">3\r\n"
+                    + self._bulk("subscribe")
+                    + self._bulk(channel)
+                    + self._int_reply(n_ch)
+                )
             if name == "HSET":
                 key, flat = a[0], a[1:]
                 store._evict_if_due(key)
@@ -350,6 +520,10 @@ class _MiniHandler(socketserver.BaseRequestHandler):
             if name == "HGETALL":
                 store._evict_if_due(a[0])
                 h = store.hashes.get(a[0], {})
+                if self.proto == 3:  # RESP3: HGETALL is a map reply
+                    return self._map_reply(
+                        [(k, self._bulk(v)) for k, v in h.items()]
+                    )
                 flat: list[str] = []
                 for k, v in h.items():
                     flat.extend((k, v))
@@ -393,7 +567,22 @@ class _MiniHandler(socketserver.BaseRequestHandler):
                     sel = list(reversed(members))[lo : hi + 1] if lo <= hi else []
                 return self._array_reply(sel)
             if name == "PUBLISH":
-                return self._int_reply(0)  # no subscribers in-process
+                channel, payload = a[0], a[1]
+                frame = (
+                    b">3\r\n"
+                    + self._bulk("message")
+                    + self._bulk(channel)
+                    + self._bulk(payload)
+                )
+                delivered = 0
+                for sub in list(store.subscribers.get(channel, [])):
+                    try:
+                        with sub.send_lock:
+                            sub.request.sendall(frame)
+                        delivered += 1
+                    except OSError:
+                        store.subscribers[channel].remove(sub)
+                return self._int_reply(delivered)
             if name == "DEL":
                 n = 0
                 for key in a:
