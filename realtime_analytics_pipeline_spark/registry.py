@@ -545,7 +545,8 @@ _VERIFY_WINDOW_R08 = [
     # freshness bounds how stale any certification can get (~every 5-6
     # rounds at 50 slots/294 oracled). propose_window.py computes the
     # never-verified pool; the oldest-green ordering reads each
-    # CORRECTNESS_r*.json's earliest green round per name
+    # CORRECTNESS_r*.json's LATEST green round per name (a
+    # re-verified name is fresh and rotates to the back; fixed r09)
     # (`--refresh` emits the list once CORRECTNESS_r08 lands).
     # PRE-VERIFIED 2026-08-15: an earlier 50-name r09 prospect (8
     # virgin spills + the 42 oldest r01/r02 greens) ran replica-green

@@ -22,7 +22,10 @@ NOTE, adopted 2026-08-15): once every oracled query has a driver row,
 the window = never-verified names first (virgin coverage still wins),
 then re-verification slots oldest-green-first — a query certified in
 r01 was certified against a testdata/session regime that no longer
-exists, so staleness is bounded at ~⌈oracled/50⌉ rounds.
+exists, so staleness is bounded at ~⌈oracled/50⌉ rounds. "Oldest"
+means the LATEST green round per name (a re-verified name is fresh
+and rotates to the back); keying on earliest-green would re-pick the
+same names forever (bug found+fixed r09).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     green: set[str] = set()
-    first_green: dict[str, int] = {}  # name -> earliest green round number
+    last_green: dict[str, int] = {}  # name -> LATEST green round number
     # key on the parsed round NUMBER, not the filename: lexicographic
     # ordering breaks if an unpadded round file ever lands (ADVICE r08)
     def _round_num(p: str) -> int:
@@ -56,14 +59,20 @@ def main() -> None:
                 and r.get("hash_match") is not False
             ):
                 green.add(q)
-                first_green.setdefault(q, _round_num(path))
+                # LATEST green wins: once a name is re-verified its
+                # certification is fresh and it must go to the BACK of
+                # the rotation — keying on earliest-green would re-pick
+                # the same oldest-r01 names every refresh forever
+                # (latent policy bug found while pre-verifying the r10
+                # window in round 9)
+                last_green[q] = _round_num(path)
     pool = [q for q in qs if q in oracles and q not in green]
     if "--refresh" in sys.argv:
         # freshness mode: virgin names lead, then oldest-green-first
         # (registration order within a round — sorted() is stable)
         stale = sorted(
             (q for q in qs if q in oracles and q in green),
-            key=lambda q: first_green[q],
+            key=lambda q: last_green[q],
         )
         pool = pool + stale
     exclude: list[str] = []
