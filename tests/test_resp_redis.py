@@ -184,3 +184,90 @@ def test_prom_registry_render_order_and_gauge_math():
         "# TYPE g_now gauge"
     ) < lines.index("# TYPE h_seconds histogram")
     assert body.endswith("\n")
+
+
+def test_streaming_resp_sink_kill_restart_exactly_once(spark, tmp_path):
+    """Chaos drill for the CACHE sink (round-9, mirrors the JDBC one in
+    test_jdbc_connector): crash after the RESP pipeline applied a
+    non-empty batch but BEFORE the epoch commit; restart from the SAME
+    checkpoint re-delivers the batch. HSET overwrites the same fields
+    and ZADD re-adds the same member, so the store converges to the
+    uninterrupted run's state exactly — the reference's Redis cache has
+    the same re-delivery window (Kafka offsets commit after the write,
+    cache consumer) and relies on the same idempotence."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.operators import serving
+    from realtime_analytics_pipeline_spark.operators.event_metrics import (
+        event_metrics_exact_streaming,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+    from realtime_analytics_pipeline_spark.streaming.jobs import (
+        read_events_stream_from_dir,
+    )
+    from realtime_analytics_pipeline_spark.streaming.sinks import (
+        foreach_batch_resp_sink,
+    )
+    from tests.conftest import SF_SMOKE, write_time_ordered_stream_fixture
+
+    src = str(tmp_path / "src")
+    write_time_ordered_stream_fixture(
+        load_table(spark, SF_SMOKE, "events"), src, 4
+    )
+    types = ["view", "click", "purchase", "signup"]
+
+    def run(repo, checkpoint, crash_marker=None):
+        base = foreach_batch_resp_sink(repo, "event")
+
+        def sink(batch_df, batch_id):
+            pivot = serving.pivot_event_metrics(batch_df, types)
+            n = pivot.count()
+            base(pivot, batch_id)  # RESP pipeline applied...
+            if crash_marker is not None and n > 0 and not crash_marker.exists():
+                crash_marker.write_text("x")
+                raise RuntimeError("injected crash post-write pre-commit")
+
+        stream = read_events_stream_from_dir(spark, src)
+        em = event_metrics_exact_streaming(stream).select(
+            "window_start", "window_end", "event_type",
+            "event_count", "user_count",
+        )
+        q = (
+            em.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except StreamingQueryException:
+            assert crash_marker is not None and crash_marker.exists()
+
+    srv1, srv2 = MiniRedisServer(), MiniRedisServer()
+    try:
+        repo1 = RespCacheRepository(RespClient("127.0.0.1", srv1.port))
+        repo2 = RespCacheRepository(RespClient("127.0.0.1", srv2.port))
+        marker = tmp_path / "crashed_once"
+        run(repo1, "ck_chaos", crash_marker=marker)  # dies mid-stream
+        assert marker.exists()
+        assert repo1.get_last_event_windows(5)  # the write landed
+        run(repo1, "ck_chaos", crash_marker=marker)  # restart, same ckpt
+        run(repo2, "ck_ref")  # uninterrupted reference run
+
+        got = repo1.get_last_event_windows(120)
+        want = repo2.get_last_event_windows(120)
+        assert got == want
+        # index cardinality equal too — a duplicated window member
+        # would change ZCARD even if reads looked converged
+        c1 = RespClient("127.0.0.1", srv1.port)
+        c2 = RespClient("127.0.0.1", srv2.port)
+        assert c1.execute("ZCARD", WINDOW_EVENT_INDEX) == c2.execute(
+            "ZCARD", WINDOW_EVENT_INDEX
+        )
+        c1.close()
+        c2.close()
+    finally:
+        srv1.close()
+        srv2.close()
