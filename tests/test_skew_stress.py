@@ -251,3 +251,66 @@ def test_bucketed_sessionization_equals_native_under_hot_key(spark):
     # phase-1 window partitions by (session_id, user_id, _bucket) —
     # the bucket key IS the skew spread
     assert "_bucket" in plan
+
+
+def test_dynamic_gap_exact_boundary_splits(spark):
+    """The dynamic-gap session query's per-event-type gap must apply
+    the same half-open rule as the fixed-gap family: an error event
+    exactly 300 s after the previous one starts a NEW session (the
+    oracle's running-max rule), and Spark's native session_window only
+    agrees because each branch literal is flink_session_gap-shrunken
+    (round-9)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        flink_session_gap,
+    )
+
+    rows = [
+        # error events: 5-min gap rule. t2 - t1 == exactly 300 s
+        (1, "2024-01-01T10:00:00", "error"),
+        (2, "2024-01-01T10:05:00", "error"),
+        # 1 µs under the error gap — merges
+        (3, "2024-01-01T12:00:00", "error"),
+        (4, "2024-01-01T12:04:59.999999", "error"),
+    ]
+    ev = _canon_events_typed(spark, rows)
+    gap = F.when(
+        F.col("event_type") == "error", F.lit(flink_session_gap("5 minutes"))
+    ).otherwise(F.lit(flink_session_gap("30 minutes")))
+    sess = (
+        ev.groupBy(F.session_window("event_time", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = sorted(r.n for r in sess)
+    assert counts == [1, 1, 2]  # exact-gap split, under-gap merged
+
+
+def _canon_events_typed(spark, rows):
+    return spark.createDataFrame(
+        [
+            (str(eid), dt.datetime.fromisoformat(ts), et, "k", "k", None, 0, 0.0, "{}")
+            for eid, ts, et in rows
+        ],
+        "event_id string, event_time timestamp, event_type string,"
+        " user_id string, session_id string, user_agent string,"
+        " load_time long, value double, props string",
+    )
+
+
+def test_flink_session_gap_fallback():
+    """Unparseable custom intervals fall back to engine semantics in
+    session_metrics (documented) rather than raising."""
+    import pytest
+
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        flink_session_gap,
+    )
+
+    assert flink_session_gap("30 minutes") == "1799999999 microseconds"
+    assert flink_session_gap("1 hour") == "3599999999 microseconds"
+    with pytest.raises(ValueError):
+        flink_session_gap("not an interval")
