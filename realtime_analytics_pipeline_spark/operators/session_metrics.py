@@ -262,3 +262,39 @@ def session_metrics_bucketed(
         .alias("duration"),
         "page_count",
     )
+
+
+def session_partials_bucketed(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Phase 1 of two-phase sessionization as a (batch- and
+    streaming-legal) native session-window aggregation keyed by
+    (session_id, user_id, time-bucket): one partial session per
+    within-bucket island. In streaming append mode a partial is
+    emitted when the watermark passes its end + gap — the input to
+    ``streaming.stateful.merge_partials_stateful`` (phase 2). The
+    batch twin's phase 2 is the interval merge in
+    ``session_metrics_bucketed``."""
+    bucket_us = bucket_ms * 1000
+    ev = events.withColumn(
+        "_bucket",
+        (F.unix_micros("event_time") / F.lit(bucket_us)).cast("long"),
+    )
+    return (
+        ev.groupBy(
+            F.session_window("event_time", flink_session_gap(gap)),
+            "session_id",
+            "user_id",
+            "_bucket",
+        )
+        .agg(
+            F.min("event_time").alias("start_time"),
+            F.max("event_time").alias("end_time"),
+            F.count(F.lit(1)).alias("page_count"),
+        )
+        .select(
+            "session_id", "user_id", "start_time", "end_time", "page_count"
+        )
+    )

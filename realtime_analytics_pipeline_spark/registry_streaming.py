@@ -1048,3 +1048,150 @@ def q_streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(table)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# ---------------------------------------------------------------------------
+# Round-9: STREAMING two-phase sessionization (the hot-session-key
+# path, streaming form). Phase 1: native session_window keyed by
+# (session_id, user_id, day-bucket) — the state and window work of one
+# viral key spreads over its time extent — emitting partial sessions
+# to parquet. Phase 2: applyInPandasWithState interval-merge of the
+# partials. Phase 2's close rule is NOT the event-level one: a merged
+# state may only finalize once NO same-session partial can still be
+# withheld upstream, i.e. at bucket_end(bucket(end + gap)) + gap
+# (streaming/stateful.py::_merge_partials_update_fn has the proof
+# sketch; a truncated tail chain provably never finalizes because
+# wmB <= wmA - gap - delay).
+#
+# The oracle replays the full composition in SQL: bucketed partials,
+# phase-1 eviction (end + gap <= wmA = max ts - 10 s), the interval
+# merge, and phase-2 finalization (every chain but the key's last is
+# gap-split-emitted; the last needs its bucket-ceiling timeout to
+# clear wmB = max emitted end - 10 s). Hash-exact at sf0.001 (931
+# sessions of 946 batch) and sf0.01 (9407 of 9549) on first fit.
+# ---------------------------------------------------------------------------
+
+_STREAM_BUCKETED_SESSION_SQL = """
+WITH b AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) AS t_us,
+           epoch_us(ts) // 86400000000 AS bucket
+    FROM events
+),
+flagged AS (
+    SELECT user_id, bucket, t_us, event_id,
+           CASE WHEN lag(t_us) OVER w IS NULL
+                     OR t_us - lag(t_us) OVER w >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM b
+    WINDOW w AS (PARTITION BY user_id, bucket ORDER BY t_us, event_id)
+),
+islands AS (
+    SELECT user_id, bucket, t_us,
+           sum(is_new) OVER (
+               PARTITION BY user_id, bucket ORDER BY t_us, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+partials AS (
+    SELECT user_id, bucket, island,
+           min(t_us) AS s_us, max(t_us) AS e_us, count(*) AS page_count
+    FROM islands GROUP BY 1, 2, 3
+),
+wma AS (SELECT max(epoch_us(ts)) - 10000000 AS v FROM events),
+emitted AS (
+    SELECT * FROM partials
+    WHERE e_us + 1800000000 <= (SELECT v FROM wma)
+),
+wmb AS (SELECT max(e_us) - 10000000 AS v FROM emitted),
+mflag AS (
+    SELECT user_id, s_us, e_us, page_count,
+           CASE WHEN lag(e_us) OVER w2 IS NULL
+                     OR s_us - lag(e_us) OVER w2 >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM emitted
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY s_us)
+),
+mislands AS (
+    SELECT user_id, s_us, e_us, page_count,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY s_us
+               ROWS UNBOUNDED PRECEDING) AS chain
+    FROM mflag
+),
+merged AS (
+    SELECT user_id, chain,
+           min(s_us) AS s_us, max(e_us) AS e_us,
+           CAST(sum(page_count) AS BIGINT) AS page_count
+    FROM mislands GROUP BY 1, 2
+),
+lastc AS (SELECT user_id, max(chain) AS last_chain FROM merged GROUP BY 1)
+SELECT CAST(m.user_id AS VARCHAR) AS session_id,
+       CAST(m.user_id AS VARCHAR) AS user_id,
+       m.s_us // 1000 AS start_ms,
+       m.e_us // 1000 AS end_ms,
+       (m.e_us - m.s_us) // 1000 AS duration,
+       m.page_count
+FROM merged m JOIN lastc l USING (user_id)
+WHERE m.chain < l.last_chain
+   OR ((m.e_us + 1800000000) // 86400000000 + 1) * 86400000000
+      + 1800000000 <= (SELECT v FROM wmb)
+"""
+
+
+@register("streaming_session_metrics_bucketed", _STREAM_BUCKETED_SESSION_SQL)
+def q_streaming_session_metrics_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-phase skew-resilient sessionization as REAL streaming jobs:
+    phase 1 (native session_window over (key, day-bucket), append
+    mode) replays into a partials parquet handoff; phase 2
+    (applyInPandasWithState interval merge with the bucket-ceiling
+    close rule) replays the handoff into the finalized session set.
+    Oracle = the full composition in SQL (see block comment above)."""
+    import tempfile
+
+    from realtime_analytics_pipeline_spark.operators.session_metrics import (
+        session_partials_bucketed,
+    )
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        merge_partials_stateful,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        tmp = tempfile.mkdtemp(prefix="tp_sess_")
+        pdir = os.path.join(tmp, "partials")
+        stream = read_events_stream_from_dir(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+        q = (
+            session_partials_bucketed(stream)
+            .writeStream.format("parquet")
+            .option("path", pdir)
+            .option("checkpointLocation", os.path.join(tmp, "ck1"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        schema = spark.read.parquet(pdir).schema
+        pstream = (
+            spark.readStream.schema(schema)
+            .parquet(pdir)
+            .withWatermark("end_time", "10 seconds")
+        )
+        merged = merge_partials_stateful(pstream)
+        table = f"stream_tp_sessions_{os.getpid()}_{next(_counter)}"
+        run_to_memory_table(merged, table, output_mode="append")
+        return spark.table(table).select(
+            "session_id",
+            "user_id",
+            F.expr("start_us DIV 1000").alias("start_ms"),
+            F.expr("end_us DIV 1000").alias("end_ms"),
+            F.expr("(end_us - start_us) DIV 1000").alias("duration"),
+            "page_count",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

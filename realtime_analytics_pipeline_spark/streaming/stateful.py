@@ -454,3 +454,111 @@ def cusum_stateful(events: DataFrame, bucket_ms: int = 60_000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: phase 2 of STREAMING two-phase sessionization — merge the
+# bucketed partial sessions that phase 1 (native session_window keyed
+# by (session_id, user_id, time-bucket)) emits. The batch twin is
+# operators/session_metrics.session_metrics_bucketed; this is the
+# streaming form of the same hot-key mitigation: phase 1's state key
+# carries the bucket, so one viral session_id spreads its state and
+# window work across its time extent.
+# ---------------------------------------------------------------------------
+
+
+def _merge_partials_update_fn(gap_us: int, bucket_us: int):
+    """Keyed interval-merge over phase-1 partials.
+
+    Correctness subtlety (the reason this is NOT the event-level
+    update fn re-used): when the merged state would close (no partial
+    within ``gap`` of its end), a SAME-session successor partial can
+    still be withheld inside phase 1 — a partial is only emitted once
+    phase 1's watermark passes ITS OWN end + gap, and its end can be
+    as late as its bucket's boundary. Closing on ``state.end + gap``
+    (the event-level rule) would emit a TRUNCATED prefix and then
+    wrongly start a new session when the successor finally arrives.
+    The sound close rule: a successor must START in
+    (state.end, state.end + gap), so it lives in the bucket of
+    ``state.end + gap`` at the latest and ends by that bucket's
+    boundary — time out at ``bucket_end(bucket(state.end + gap)) +
+    gap`` instead. Receiving the successor earlier extends the state
+    and re-arms the (later) timeout; the induction covers arbitrarily
+    long bucket chains.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        session_id, user_id = key
+        done: list[tuple[int, int, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                done.append(tuple(state.get))
+                state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            parts: list[tuple[int, int, int]] = []
+            for pdf in pdfs:
+                s = pdf["start_time"].astype("datetime64[us]").astype("int64")
+                e = pdf["end_time"].astype("datetime64[us]").astype("int64")
+                c = pdf["page_count"].astype("int64")
+                parts.extend(
+                    (int(si), int(ei), int(ci))
+                    for si, ei, ci in zip(s, e, c)
+                )
+            parts.sort()
+            for s_us, e_us, cnt in parts:
+                if cur is None:
+                    cur = (s_us, e_us, cnt)
+                elif s_us - cur[1] >= gap_us:
+                    done.append(cur)  # gap split: previous merged final
+                    cur = (s_us, e_us, cnt)
+                else:
+                    cur = (cur[0], max(cur[1], e_us), cur[2] + cnt)
+            if cur is not None:
+                b1 = (cur[1] + gap_us) // bucket_us
+                expiry_ms = ((b1 + 1) * bucket_us + gap_us) // 1000
+                wm_ms = state.getCurrentWatermarkMs()
+                if expiry_ms <= wm_ms:
+                    done.append(cur)
+                    if state.exists:
+                        state.remove()
+                else:
+                    state.update(cur)
+                    state.setTimeoutTimestamp(expiry_ms)
+
+        if done:
+            yield pd.DataFrame(
+                {
+                    "session_id": [session_id] * len(done),
+                    "user_id": [user_id] * len(done),
+                    "start_us": [d[0] for d in done],
+                    "end_us": [d[1] for d in done],
+                    "page_count": [d[2] for d in done],
+                }
+            )
+
+    return update
+
+
+def merge_partials_stateful(
+    partials: DataFrame,
+    gap_us: int = 1800 * 1_000_000,
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Phase 2 of streaming two-phase sessionization: FINALIZED merged
+    sessions from a watermarked stream of phase-1 partials
+    (session_id, user_id, start_time, end_time, page_count). The input
+    must be watermarked on ``end_time``."""
+    prepared = partials.select(
+        "session_id", "user_id", "start_time", "end_time", "page_count"
+    )
+    return prepared.groupBy("session_id", "user_id").applyInPandasWithState(
+        _merge_partials_update_fn(gap_us, bucket_ms * 1000),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
