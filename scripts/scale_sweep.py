@@ -121,6 +121,10 @@ SWEEP = [
      "exact-substr dup spans (explode + vocab agg + window)", True),
     ("dedup_span_removal", "documents", 3,
      "span removal (equi-keyed anti-join + rebuild)", True),
+    # round-9: streaming two-phase sessionization (phase-1 bucketed
+    # session windows -> parquet handoff -> phase-2 stateful merge)
+    ("streaming_session_metrics_bucketed", "events", 1,
+     "two-phase streaming sessions (replay)", True),
 ]
 
 def _winnow_spec(spark, d):
