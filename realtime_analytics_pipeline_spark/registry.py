@@ -402,68 +402,68 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # ROUND 9 window (freshness rotation, propose_window.py --refresh
-    # output pasted verbatim below the names): the 9 never-driver-
-    # verified names lead (4 registered mid-round-8 after the r08
-    # window shipped + 5 r08 capacity spills — all replica-green at
-    # both SFs pre-swap, see ROUND_NOTES r08 item 12), then the 41
-    # OLDEST driver greens (r01/r02 rows earned against the retired
-    # nanos-bigint / pre-NTZ regime). Expected after this lands:
-    # cumulative driver-green = 298/298 oracled and every certification
-    # is at most ~6 rounds stale.
-    "dedup_jaccard_prefix_filtered",  # registry_docs
-    "dedup_duplicate_spans",  # registry_docs
-    "dedup_span_removal",  # registry_docs
-    "users_activity_similarity_blas",  # registry_analytics
-    "events_value_histogram",  # registry_curation
-    "segment_overlap_kmv",  # registry_curation
-    "events_interarrival_stats",  # registry_curation
-    "basket_graph_kcore",  # registry_curation
-    "lineitem_zorder_skipping",  # registry_formats
-    "event_metrics_1m",  # registry
-    "performance_metrics_5m",  # registry
-    "session_metrics",  # registry
-    "session_metrics_lag",  # registry
-    "serving_event_pivot",  # registry
-    "serving_perf_pivot",  # registry
-    "serving_top_windows",  # registry
-    "serving_retention",  # registry
-    "serving_overview",  # registry
-    "events_projection_filter",  # registry
-    "tpch_q1_pricing_summary",  # registry_relational
-    "tpch_q3_shipping_priority",  # registry_relational
-    "tpch_q5_regional_revenue",  # registry_relational
-    "tpch_q10_returned_items",  # registry_relational
-    "tpch_q7_nation_volume",  # registry_relational
-    "top_customers_per_nation",  # registry_relational
-    "events_sliding_window_5m1m",  # registry_relational
-    "users_viewed_not_purchased",  # registry_relational
-    "users_viewed_and_clicked",  # registry_relational
-    "event_type_daily_rollup",  # registry_relational
-    "asof_purchase_attribution",  # registry_relational
-    "text_stats",  # registry_docs
-    "text_quality_scores",  # registry_docs
-    "text_language_id",  # registry_docs
-    "text_fingerprints",  # registry_docs
-    "text_regex_ops",  # registry_docs
-    "text_top_bigrams",  # registry_docs
-    "dedup_exact",  # registry_docs
-    "dedup_tokenset_jaccard",  # registry_docs
-    "dedup_embedding_cosine",  # registry_docs
-    "dedup_connected_components",  # registry_docs
-    "sim_cosine_topk",  # registry_docs
-    "streaming_event_metrics",  # registry_streaming
-    "multimodal_metadata",  # registry_multimodal
-    "device_categorization",  # registry_parity
-    "wire_json_roundtrip",  # registry_parity
-    "tpch_q6_forecast_revenue",  # registry_parity
-    "customers_without_orders",  # registry_parity
-    "customers_with_big_orders",  # registry_parity
-    "text_source_rollup",  # registry_docs
-    "tpch_q8_market_share",  # registry_relational
+    # ROUND 10 window (freshness rotation, propose_window.py --refresh
+    # output pasted verbatim below): the 2 never-driver-verified names
+    # lead (session_metrics_bucketed + streaming_session_metrics_bucketed,
+    # registered mid-round-9 after the r09 window shipped, both
+    # replica-green at both SFs — ROUND_NOTES r09 items 8/18), then the
+    # 48 OLDEST-latest-green re-verification slots (the r02-era rows:
+    # tpch shapes, docs sampling/packing/quality, the streaming family,
+    # parity + analytics + curation anchors). Expected after this lands:
+    # cumulative driver-green = 300/300 oracled.
+    "session_metrics_bucketed",  # registry
+    "streaming_session_metrics_bucketed",  # registry_streaming
+    "tpch_q9_product_profit",  # registry_relational
+    "tpch_q4_order_priority",  # registry_relational
+    "tpch_q19_discounted_revenue",  # registry_relational
+    "tpch_q13_order_distribution",  # registry_relational
+    "tpch_q22_idle_customers",  # registry_relational
+    "tpch_q2_min_cost_supplier",  # registry_relational
+    "tpch_q21_sole_blamed_supplier",  # registry_relational
+    "sample_docs_weighted",  # registry_docs
+    "pack_token_budget",  # registry_docs
+    "text_gopher_flags",  # registry_docs
+    "emb_quantize_int8",  # registry_docs
+    "decontaminate_eval_overlap",  # registry_docs
+    "streaming_session_metrics",  # registry_streaming
+    "streaming_stateful_sessions",  # registry_streaming
+    "streaming_exact_dedup",  # registry_streaming
+    "streaming_topk_per_window",  # registry_streaming
+    "streaming_static_enrichment",  # registry_streaming
+    "streaming_interval_join_outer",  # registry_streaming
+    "multimodal_features",  # registry_multimodal
+    "orders_range_join_buckets",  # registry_parity
+    "performance_by_device",  # registry_parity
+    "session_metrics_devices",  # registry_parity
+    "props_json_extraction",  # registry_parity
+    "sql_interface_demo",  # registry_parity
+    "nation_order_volume_outer",  # registry_analytics
+    "events_running_totals",  # registry_analytics
+    "event_counts_salted",  # registry_analytics
+    "value_stats_by_type",  # registry_analytics
+    "event_types_per_user",  # registry_analytics
+    "cascade_rollup_1m_to_1h",  # registry_analytics
+    "tpch_q17_small_quantity",  # registry_analytics
+    "latest_event_per_user",  # registry_analytics
+    "value_percentiles_by_type",  # registry_analytics
+    "value_window_ranks",  # registry_analytics
+    "events_daily_gapfill_ma7",  # registry_analytics
+    "value_drift_daily",  # registry_analytics
+    "funnel_view_click_purchase",  # registry_analytics
+    "customer_spend_scd2",  # registry_analytics
+    "dq_constraint_report",  # registry_analytics
+    "value_p95_sketch_rollup_1h",  # registry_analytics
+    "text_pii_redaction",  # registry_curation
+    "text_tfidf_top_terms",  # registry_curation
+    "dedup_canonical_docs",  # registry_curation
+    "events_cohort_retention",  # registry_curation
+    "events_value_mad_outliers",  # registry_curation
+    "text_token_counts",  # registry_curation
+    "dedup_semantic_clustered",  # registry_curation
+    "pyds_feed_scan",  # registry_feed
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 298. Driver-green (CORRECTNESS_r*): 289. Never-driver-verified: 9.
-    # Refresh window: 9 virgin + 41 oldest-green re-verification slots; the 248 fresher greens keep their rows.
+    # Oracled: 300. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 2.
+    # Refresh window: 2 virgin + 48 oldest-green re-verification slots; the 250 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R08 = [
