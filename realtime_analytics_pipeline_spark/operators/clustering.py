@@ -227,7 +227,24 @@ def clustered_dup_pairs(
     quantizer cell; cross-cluster duplicates are missed — raise k for
     smaller cells, or run LSH (similarity.py) when probabilistic
     guarantees are needed. Returns (cluster, id_a, id_b, cos).
+
+    Skew (round-10): cell populations are data-dependent and a HOT
+    cell (most of the corpus in one quantizer cell — exactly what a
+    boilerplate-heavy embedding corpus produces) would serialize a
+    plain cluster-equi-join onto one task. Candidates therefore form
+    through the salted pair join (``dedup._salted_pairs`` — the same
+    countermeasure the LSH/simhash bucket joins use) over NARROW
+    (cluster, vec_id) rows, so the hot cell spreads over 32 chunk
+    tasks and the wide unit vectors are joined back afterwards on an
+    explicitly repartitioned candidate set (AQE's byte-based
+    coalescing is exempted — the per-candidate dot product is
+    compute-bound on tiny rows, the r08 trap).
     """
+    from realtime_analytics_pipeline_spark.operators.dedup import (
+        _pair_join_partitions,
+        _salted_pairs,
+    )
+
     assigned = kmeans_lite(embeddings, k, iterations).select(
         "vec_id", "cluster"
     )
@@ -235,20 +252,24 @@ def clustered_dup_pairs(
         embeddings.select("vec_id", unit(as_double("embedding")).alias("v"))
         .join(assigned, "vec_id")
     )
-    a = ev.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = ev.select(
-        F.col("cluster").alias("cl_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("cl_b"))
-            & (F.col("id_a") < F.col("id_b")),
+    # each vec_id belongs to exactly one cluster, so the salted join
+    # emits every qualifying (a < b) pair exactly once — no distinct
+    cands = (
+        _salted_pairs(
+            ev.select("cluster", "vec_id"), ["cluster"], id_col="vec_id"
         )
+        .select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        .repartition(_pair_join_partitions(embeddings), "id_a")
+    )
+    va = ev.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    vb = ev.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("cluster", "id_a", "id_b", "cos")

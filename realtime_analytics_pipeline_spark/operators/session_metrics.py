@@ -16,17 +16,19 @@ Two implementations with identical results:
   exactly; kept both as the oracle twin and as the shuffle-cheaper
   batch plan (one window shuffle, no session-merge state).
 
-Session boundary semantics (both impls, and the oracle): an event
-starts a new session iff gap_to_previous >= session_gap — the
-reference's Flink session windows ([t, t+gap) merging on overlap)
-split at exactly-gap the same way. Spark's native session_window,
-measured (round-9), MERGES at exactly-gap (closed boundary), so
-``session_metrics`` passes the engine ``gap − 1 µs``: at microsecond
-timestamp resolution ``diff <= gap − 1µs  ⟺  diff < gap``, making the
-native plan split at exactly-gap too — byte-identical to the lag twin
-and the oracle on ALL inputs, not just inputs where the boundary case
-never occurs. Output times are min/max event_time aggregates, so the
-shrunken engine gap never leaks into emitted values.
+Session boundary semantics (both impls, and the oracle): two events
+exactly ``gap`` apart MERGE into one session — an event starts a new
+session iff gap_to_previous > session_gap (closed boundary). This is
+what BOTH engines do natively: Spark's session_window merges at
+exactly-gap (measured, round-9), and the reference's Flink session
+windows do too — Flink merges windows when ``TimeWindow.intersects``
+(flink-streaming-java TimeWindow.java: ``start <= other.getEnd() &&
+end >= other.getStart()``), which treats *touching* windows
+[t, t+gap) / [t+gap, t+2gap) as intersecting. The lag twins and every
+DuckDB oracle therefore split with the STRICT rule ``diff > gap``
+(round-10; round-9 had briefly inverted this by shrinking the native
+gap 1 µs to force a half-open split — that diverged from Flink at the
+boundary and is removed).
 
 Scale: both shuffle once on the session key. Skewed keys (one hot
 session_id) are the risk at 100 TB; AQE skew-join handling does not
@@ -42,23 +44,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from realtime_analytics_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
-
-def flink_session_gap(gap: str) -> str:
-    """gap interval string -> (gap − 1 µs) interval string.
-
-    Spark's native session_window MERGES two events exactly ``gap``
-    apart (closed boundary, measured round-9); the reference's Flink
-    session windows — and every lag/oracle twin in this repo — SPLIT
-    there (half-open [t, t+gap)). At microsecond timestamp resolution
-    ``diff <= gap − 1µs ⟺ diff < gap``, so passing the shrunken gap
-    makes the native operator apply the half-open rule exactly.
-    Emitted values are min/max event_time aggregates everywhere, so
-    the shrunken engine gap never appears in output."""
-    import pandas as pd
-
-    gap_us = int(pd.Timedelta(gap).value // 1000)
-    return f"{gap_us - 1} microseconds"
-
 
 _SESSION_OUT = [
     "session_id",
@@ -82,10 +67,9 @@ def session_metrics(
     appended by the streaming wire path where user_agent exists).
     """
     gap = gap or config.session_gap
-    try:
-        gap = flink_session_gap(gap)  # half-open boundary, see helper
-    except ValueError:
-        pass  # unparseable custom interval: keep engine semantics
+    # native session_window applies the closed boundary (merge at
+    # exactly-gap) for any interval spelling — no gap adjustment, so
+    # boundary semantics are uniform for all gap inputs
     return (
         events.groupBy(
             F.session_window("event_time", gap), "session_id", "user_id"
@@ -129,7 +113,7 @@ def session_metrics_by_lag(
     prev_us = F.lag(t_us).over(w)
     flagged = events.withColumn(
         "_new_session",
-        F.when(prev_us.isNull() | ((t_us - prev_us) >= gap_us), 1).otherwise(0),
+        F.when(prev_us.isNull() | ((t_us - prev_us) > gap_us), 1).otherwise(0),
     )
     islands = flagged.withColumn(
         "_island",
@@ -180,7 +164,7 @@ def session_metrics_bucketed(
       30 tasks' worth of window work instead of one.
     phase 2 — merge partials across adjacent buckets: partials of a
       key are time-disjoint and start-ordered, so a partial starts a
-      new FINAL session iff ``start - lag(end) >= gap`` — the
+      new FINAL session iff ``start - lag(end) > gap`` — the
       identical rule applied between consecutive events, so the
       composition is EXACT for any bucket size (within-bucket pairs
       handled in phase 1, cross-bucket pairs by this merge; a
@@ -206,7 +190,7 @@ def session_metrics_bucketed(
     partials = (
         bucketed.withColumn(
             "_new",
-            F.when(prev_us.isNull() | ((t_us - prev_us) >= gap_us), 1).otherwise(0),
+            F.when(prev_us.isNull() | ((t_us - prev_us) > gap_us), 1).otherwise(0),
         )
         .withColumn(
             "_island",
@@ -232,7 +216,7 @@ def session_metrics_bucketed(
             "_new",
             F.when(
                 prev_end.isNull()
-                | ((F.unix_micros("start_time") - prev_end) >= gap_us),
+                | ((F.unix_micros("start_time") - prev_end) > gap_us),
                 1,
             ).otherwise(0),
         )
@@ -284,7 +268,7 @@ def session_partials_bucketed(
     )
     return (
         ev.groupBy(
-            F.session_window("event_time", flink_session_gap(gap)),
+            F.session_window("event_time", gap),
             "session_id",
             "user_id",
             "_bucket",

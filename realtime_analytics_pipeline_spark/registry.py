@@ -134,7 +134,7 @@ _SESSION_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -32,10 +32,6 @@ LEFT JOIN (
 
 
 
-# native session_window closes the exactly-gap boundary; the oracles'
-# rule is half-open — 1800 s shrunk by 1 µs applies the oracle rule at
-# timestamp resolution (operators/session_metrics.flink_session_gap)
-_HALF_OPEN_30M = "1799999999 microseconds"
 
 @register("nation_order_volume_outer", _OUTER_SQL)
 def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,7 +1246,7 @@ _CONCURRENCY_SQL = """
 WITH g AS (
     SELECT user_id, epoch_us(ts) AS us,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS brk
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1298,7 +1294,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance, same math, one extra day-level aggregation."""
     ev = load_events(spark, sf_dir)
     sess = ev.groupBy(
-        "user_id", F.session_window("event_time", _HALF_OPEN_30M)
+        "user_id", F.session_window("event_time", "30 minutes")
     ).agg(
         F.unix_micros(F.min("event_time")).alias("s_us"),
         F.unix_micros(F.max("event_time")).alias("e_us"),
@@ -1519,7 +1515,7 @@ _BOUNCE_SQL = """
 WITH flagged AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 islands AS (
@@ -1549,7 +1545,7 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ≥30 min break as the session-metrics family)."""
     ev = load_events(spark, sf_dir)
     sess = ev.groupBy(
-        "user_id", F.session_window("event_time", _HALF_OPEN_30M)
+        "user_id", F.session_window("event_time", "30 minutes")
     ).agg(
         F.unix_millis(F.min("event_time")).alias("start_ms"),
         F.count(F.lit(1)).alias("page_count"),

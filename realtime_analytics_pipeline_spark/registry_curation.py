@@ -69,10 +69,6 @@ SELECT doc_id, n_emails, n_ips, n_phones, t3 AS clean_text FROM s3
 
 
 
-# native session_window closes the exactly-gap boundary; the oracles'
-# rule is half-open — 1800 s shrunk by 1 µs applies the oracle rule at
-# timestamp resolution (operators/session_metrics.flink_session_gap)
-_HALF_OPEN_30M = "1799999999 microseconds"
 
 @register("text_pii_redaction", _REDACT_SQL)
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1331,7 +1327,7 @@ flagged AS (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                 ) IS NULL
-                OR epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER (
+                OR epoch_us(ts) > max(epoch_us(ts) + gap_us) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 THEN 1 ELSE 0 END AS is_new
@@ -1361,15 +1357,12 @@ def q_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the next event — for a constant gap this degenerates to the
     plain lag formulation)."""
     ev = load_events(spark, sf_dir)
-    from realtime_analytics_pipeline_spark.operators.session_metrics import (
-        flink_session_gap,
-    )
-
-    # each branch shrunk 1 µs: native session_window closes the
-    # exactly-gap boundary, the oracle's rule is half-open (round-9)
+    # closed boundary on both sides: native session_window merges an
+    # event landing exactly at a prior window's end, and the oracle's
+    # running-max rule splits only on the STRICT inequality
     gap = F.when(
-        F.col("event_type") == "error", F.lit(flink_session_gap("5 minutes"))
-    ).otherwise(F.lit(flink_session_gap("30 minutes")))
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
     return (
         ev.groupBy(
             F.session_window("event_time", gap), F.col("user_id")
@@ -1460,7 +1453,7 @@ _SESSION_OUTCOME_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts, event_type,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1500,7 +1493,7 @@ def q_session_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     sess = (
         ev.groupBy(
-            F.session_window("event_time", _HALF_OPEN_30M), "user_id"
+            F.session_window("event_time", "30 minutes"), "user_id"
         )
         .agg(
             F.count(F.lit(1)).alias("page_count"),

@@ -40,10 +40,6 @@ _UA_CASES = [
 
 
 
-# native session_window closes the exactly-gap boundary; the oracles'
-# rule is half-open — 1800 s shrunk by 1 µs applies the oracle rule at
-# timestamp resolution (operators/session_metrics.flink_session_gap)
-_HALF_OPEN_30M = "1799999999 microseconds"
 
 def _ua_expr():
     c = F.pmod(F.col("user_id").cast("long"), F.lit(len(_UA_CASES)))
@@ -311,7 +307,7 @@ cat AS (
 flagged AS (
     SELECT user_id, event_id, ts, device_category,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM cat
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -344,7 +340,7 @@ def q_session_devices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = (
         ev.groupBy(
-            F.session_window("event_time", _HALF_OPEN_30M),
+            F.session_window("event_time", "30 minutes"),
             "session_id",
             "user_id",
         )

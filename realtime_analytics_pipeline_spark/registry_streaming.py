@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from realtime_analytics_pipeline_spark.operators.event_metrics import (
     event_metrics_exact_streaming,
@@ -131,7 +132,7 @@ _STREAMING_SESSION_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -227,7 +228,7 @@ _STATEFUL_SESSION_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1081,7 +1082,7 @@ WITH b AS (
 flagged AS (
     SELECT user_id, bucket, t_us, event_id,
            CASE WHEN lag(t_us) OVER w IS NULL
-                     OR t_us - lag(t_us) OVER w >= 1800000000
+                     OR t_us - lag(t_us) OVER w > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM b
     WINDOW w AS (PARTITION BY user_id, bucket ORDER BY t_us, event_id)
@@ -1107,7 +1108,7 @@ wmb AS (SELECT max(e_us) - 10000000 AS v FROM emitted),
 mflag AS (
     SELECT user_id, s_us, e_us, page_count,
            CASE WHEN lag(e_us) OVER w2 IS NULL
-                     OR s_us - lag(e_us) OVER w2 >= 1800000000
+                     OR s_us - lag(e_us) OVER w2 > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM emitted
     WINDOW w2 AS (PARTITION BY user_id ORDER BY s_us)
@@ -1176,7 +1177,19 @@ def q_streaming_session_metrics_bucketed(
             .start()
         )
         q.awaitTermination()
-        schema = spark.read.parquet(pdir).schema
+        # phase-1 output schema is fixed by session_partials_bucketed —
+        # pass it explicitly so an empty handoff (tiny slice, watermark
+        # never clearing end+gap) yields an empty result, not an
+        # unable-to-infer-schema crash
+        schema = T.StructType(
+            [
+                T.StructField("session_id", T.StringType()),
+                T.StructField("user_id", T.StringType()),
+                T.StructField("start_time", T.TimestampType()),
+                T.StructField("end_time", T.TimestampType()),
+                T.StructField("page_count", T.LongType()),
+            ]
+        )
         pstream = (
             spark.readStream.schema(schema)
             .parquet(pdir)

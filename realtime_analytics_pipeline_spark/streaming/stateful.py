@@ -156,7 +156,7 @@ def _sessionize_update_fn(gap_us: int):
             for t in times:
                 if cur is None:
                     cur = (t, t, 1)
-                elif t - cur[1] >= gap_us:
+                elif t - cur[1] > gap_us:
                     done.append(cur)  # gap split: previous session final
                     cur = (t, t, 1)
                 else:
@@ -266,7 +266,7 @@ def _tws_session_processor(gap_us: int):
             for t in times:
                 if cur is None:
                     cur = (t, t, 1)
-                elif t - cur[1] >= gap_us:
+                elif t - cur[1] > gap_us:
                     done.append(cur)
                     cur = (t, t, 1)
                 else:
@@ -479,7 +479,7 @@ def _merge_partials_update_fn(gap_us: int, bucket_us: int):
     (the event-level rule) would emit a TRUNCATED prefix and then
     wrongly start a new session when the successor finally arrives.
     The sound close rule: a successor must START in
-    (state.end, state.end + gap), so it lives in the bucket of
+    (state.end, state.end + gap], so it lives in the bucket of
     ``state.end + gap`` at the latest and ends by that bucket's
     boundary — time out at ``bucket_end(bucket(state.end + gap)) +
     gap`` instead. Receiving the successor earlier extends the state
@@ -512,7 +512,7 @@ def _merge_partials_update_fn(gap_us: int, bucket_us: int):
             for s_us, e_us, cnt in parts:
                 if cur is None:
                     cur = (s_us, e_us, cnt)
-                elif s_us - cur[1] >= gap_us:
+                elif s_us - cur[1] > gap_us:
                     done.append(cur)  # gap split: previous merged final
                     cur = (s_us, e_us, cnt)
                 else:

@@ -2,8 +2,10 @@
 gaps-and-islands (lag) sessionization must agree on arbitrary event
 streams — including boundary gaps of exactly the session timeout.
 
-This pins the half-open [first, last + gap) semantics both engines and
-the DuckDB oracle rely on (SURVEY §7 hard-part 1).
+This pins the closed-boundary semantics (events exactly gap apart
+merge — native session_window's touch-merge, matched by the lag twin's
+strict > split) both engines and the DuckDB oracle rely on (SURVEY §7
+hard-part 1).
 """
 
 from __future__ import annotations
@@ -212,7 +214,7 @@ def test_stateful_sessionizer_protocol_property(events, n_batches):
         for t in ts_list:
             if cur is None:
                 cur = [t, t, 1]
-            elif t - cur[1] >= GAP_US:
+            elif t - cur[1] > GAP_US:
                 sessions.append((str(user), tuple(cur)))
                 cur = [t, t, 1]
             else:

@@ -2,12 +2,13 @@
 
 The gate pins Spark == DuckDB and test_skew_stress pins the three Spark
 plans against each other; this file adds a THIRD truth source — a
-direct Python reimplementation of the half-open session rule (an event
-starts a new session iff gap-to-previous >= session_gap, the Flink
-[t, t+gap) merge-on-overlap semantics) — on randomized corpora that
-DELIBERATELY include exact-gap collisions at microsecond resolution,
-the boundary where Spark's native session_window diverges unless fed
-the flink_session_gap-shrunken interval.
+direct Python reimplementation of the closed-boundary session rule (an
+event starts a new session iff gap-to-previous > session_gap; two
+events exactly gap apart MERGE — what both Spark's native
+session_window and Flink's TimeWindow.intersects touch-merge do) — on
+randomized corpora that DELIBERATELY include exact-gap collisions at
+microsecond resolution, the boundary where the lag twins and the SQL
+oracles would diverge if they used the non-strict inequality.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ def _random_events(seed: int, n: int = 300) -> list[tuple[int, int, str]]:
             eid += 1
             r = rng.random()
             if r < 0.15:
-                gap = GAP_US  # exact boundary — must SPLIT
+                gap = GAP_US  # exact boundary — must MERGE (closed)
             elif r < 0.3:
                 gap = GAP_US - 1  # 1 µs under — must MERGE
             elif r < 0.4:
@@ -51,7 +52,7 @@ def _random_events(seed: int, n: int = 300) -> list[tuple[int, int, str]]:
 
 
 def _py_sessions(rows) -> set[tuple[str, int, int, int]]:
-    """(key, start_us, end_us, page_count) under the half-open rule."""
+    """(key, start_us, end_us, page_count) under the closed rule."""
     by_key: dict[str, list[int]] = {}
     for _, ts, k in rows:
         by_key.setdefault(k, []).append(ts)
@@ -61,7 +62,7 @@ def _py_sessions(rows) -> set[tuple[str, int, int, int]]:
         start = prev = times[0]
         count = 1
         for t in times[1:]:
-            if t - prev >= GAP_US:
+            if t - prev > GAP_US:
                 out.add((k, start, prev, count))
                 start, count = t, 0
             count += 1

@@ -179,10 +179,10 @@ def _sess_set(df):
 def test_bucketed_sessionization_boundary_merges(spark):
     """The two-phase form must merge a session that straddles the
     bucket boundary (midnight) back into ONE session, keep distinct
-    sessions distinct, and handle the exact-gap edge (>= gap splits —
-    the Flink/oracle half-open rule; Spark's native session_window
-    closes that boundary, which is why session_metrics shrinks the
-    engine gap by 1 µs — flink_session_gap, found round-9)."""
+    sessions distinct, and handle the exact-gap edge (diff == gap
+    MERGES — the closed boundary both Spark's native session_window
+    and Flink's touch-inclusive TimeWindow.intersects apply; the lag
+    twins and oracles split only on the strict > gap, round-10)."""
     from realtime_analytics_pipeline_spark.operators.session_metrics import (
         session_metrics,
         session_metrics_bucketed,
@@ -196,9 +196,13 @@ def test_bucketed_sessionization_boundary_merges(spark):
         (4, "2024-01-02T00:02:30", "a"),
         # session B: same key, far later the same day — separate
         (5, "2024-01-02T12:00:00", "a"),
-        # key c: gap EXACTLY 1800 s across midnight — must SPLIT
+        # key c: gap EXACTLY 1800 s across midnight — must MERGE
+        # (closed boundary), even across the bucket seam
         (6, "2024-01-02T23:45:00", "c"),
         (7, "2024-01-03T00:15:00", "c"),
+        # key e: 1 µs OVER the gap — must SPLIT
+        (10, "2024-01-05T08:00:00", "e"),
+        (11, "2024-01-05T08:30:00.000001", "e"),
         # key d: gap 1799.999999 s within a day — must MERGE
         (8, "2024-01-04T10:00:00", "d"),
         (9, "2024-01-04T10:29:59.999999", "d"),
@@ -213,8 +217,10 @@ def test_bucketed_sessionization_boundary_merges(spark):
     assert len(by_key["a"]) == 2  # midnight straddle merged, noon apart
     a_sessions = sorted(by_key["a"])
     assert a_sessions[0][4] == 4  # the merged straddler has all 4 events
-    assert len(by_key["c"]) == 2  # exact-gap boundary splits
+    assert len(by_key["c"]) == 1  # exact-gap boundary MERGES (closed)
+    assert by_key["c"][0][4] == 2
     assert len(by_key["d"]) == 1  # just-under-gap merges
+    assert len(by_key["e"]) == 2  # just-over-gap splits
 
 
 def test_bucketed_sessionization_equals_native_under_hot_key(spark):
@@ -253,40 +259,39 @@ def test_bucketed_sessionization_equals_native_under_hot_key(spark):
     assert "_bucket" in plan
 
 
-def test_dynamic_gap_exact_boundary_splits(spark):
+def test_dynamic_gap_exact_boundary_merges(spark):
     """The dynamic-gap session query's per-event-type gap must apply
-    the same half-open rule as the fixed-gap family: an error event
-    exactly 300 s after the previous one starts a NEW session (the
-    oracle's running-max rule), and Spark's native session_window only
-    agrees because each branch literal is flink_session_gap-shrunken
-    (round-9)."""
+    the same closed-boundary rule as the fixed-gap family: an error
+    event exactly 300 s after the previous one MERGES into its session
+    (native session_window's touch-merge), matching the oracle's
+    running-max rule with the strict > split (round-10); an event 1 µs
+    past the gap starts a new session."""
     import datetime as dt
 
     from pyspark.sql import functions as F
 
-    from realtime_analytics_pipeline_spark.operators.session_metrics import (
-        flink_session_gap,
-    )
-
     rows = [
-        # error events: 5-min gap rule. t2 - t1 == exactly 300 s
+        # error events: 5-min gap rule. t2 - t1 == exactly 300 s — MERGE
         (1, "2024-01-01T10:00:00", "error"),
         (2, "2024-01-01T10:05:00", "error"),
         # 1 µs under the error gap — merges
         (3, "2024-01-01T12:00:00", "error"),
         (4, "2024-01-01T12:04:59.999999", "error"),
+        # 1 µs OVER the error gap — splits
+        (5, "2024-01-01T14:00:00", "error"),
+        (6, "2024-01-01T14:05:00.000001", "error"),
     ]
     ev = _canon_events_typed(spark, rows)
     gap = F.when(
-        F.col("event_type") == "error", F.lit(flink_session_gap("5 minutes"))
-    ).otherwise(F.lit(flink_session_gap("30 minutes")))
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
     sess = (
         ev.groupBy(F.session_window("event_time", gap), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     counts = sorted(r.n for r in sess)
-    assert counts == [1, 1, 2]  # exact-gap split, under-gap merged
+    assert counts == [1, 1, 2, 2]  # exact-gap + under-gap merge, over splits
 
 
 def _canon_events_typed(spark, rows):
@@ -301,16 +306,180 @@ def _canon_events_typed(spark, rows):
     )
 
 
-def test_flink_session_gap_fallback():
-    """Unparseable custom intervals fall back to engine semantics in
-    session_metrics (documented) rather than raising."""
-    import pytest
+def test_native_session_window_merges_at_exact_gap(spark):
+    """Pin the measured engine fact the whole convention rests on:
+    Spark's native session_window treats two events exactly gap apart
+    as ONE session (closed boundary) with the plain, unadjusted
+    interval string — the same touch-merge Flink's
+    TimeWindow.intersects performs."""
+    from pyspark.sql import functions as F
 
-    from realtime_analytics_pipeline_spark.operators.session_metrics import (
-        flink_session_gap,
+    rows = [
+        (1, "2024-01-01T10:00:00", "view"),
+        (2, "2024-01-01T10:30:00", "view"),  # exactly 1800 s later
+    ]
+    ev = _canon_events_typed(spark, rows)
+    sess = (
+        ev.groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert [r.n for r in sess] == [2]
+
+
+# --------------------------------------------------------------------------
+# Round-10 (VERDICT r09 item 5): the PAIR-JOIN family under planted hot
+# buckets — a hot LSH band-bucket (identical-doc cluster), a hot
+# boilerplate shingle in the prefix inverted index, and a hot k-means
+# cell. Truth is pure Python over the same in-memory rows; the
+# countermeasure (salted pair join / explicit repartition) is asserted
+# structurally in the plan.
+# --------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    """rows: (doc_id, text) -> documents-layout frame."""
+    return spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id string, text string, lang string, source string,"
+        " n_chars long",
     )
 
-    assert flink_session_gap("30 minutes") == "1799999999 microseconds"
-    assert flink_session_gap("1 hour") == "3599999999 microseconds"
-    with pytest.raises(ValueError):
-        flink_session_gap("not an interval")
+
+def test_lsh_hot_bucket_exact_and_salted(spark):
+    """40 byte-identical docs collide into ONE (band, bucket) in all 8
+    bands — the hottest possible LSH bucket. The salted pair join must
+    still emit exactly the C(40,2) identical pairs (est 1.0), nothing
+    for the 200 disjoint-vocab cold docs, and the salt columns must be
+    in the plan (the hot bucket spreads over 32 chunk tasks)."""
+    from realtime_analytics_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    hot_text = " ".join(f"tpl{i}" for i in range(30))
+    rows = [(f"h{i:03d}", hot_text) for i in range(40)]
+    rows += [
+        (f"c{i:03d}", " ".join(f"u{i}_{j}" for j in range(30)))
+        for i in range(200)
+    ]
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(_docs_df(spark, rows)).collect()
+    }
+    hot_ids = sorted(f"h{i:03d}" for i in range(40))
+    want = {
+        (a, b, 1.0)
+        for i, a in enumerate(hot_ids)
+        for b in hot_ids[i + 1 :]
+    }
+    assert got == want
+    plan = plan_of(minhash_lsh_pairs(_docs_df(spark, rows)))
+    assert "partner_chunk" in plan  # the salt spread, _salted_pairs
+
+
+def test_prefix_jaccard_hot_shingle_exact(spark):
+    """Every doc shares 5 boilerplate words (a df=n hot shingle class);
+    6 planted one-word-edit clones are the only true >=0.9 pairs. The
+    prefix filter must return EXACTLY the Python all-pairs truth (the
+    frequency-ascending prefix keeps the hot shingles out of the
+    inverted index, but correctness must hold regardless), with the
+    explicit AQE-exempt repartition in the plan."""
+    from realtime_analytics_pipeline_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    boiler = [f"tpl{k}" for k in range(5)]
+    rows = []
+    token_sets = {}
+    for i in range(300):
+        uniq = [f"u{i}_{j}" for j in range(20)]
+        words = boiler + uniq
+        did = f"d{i:03d}"
+        rows.append((did, " ".join(words)))
+        token_sets[did] = set(words)
+        if i < 6:  # planted clone: one unique word edited
+            cw = uniq.copy()
+            cw[0] = f"edit{i}"
+            cid = f"d{i:03d}_v"
+            rows.append((cid, " ".join(boiler + cw)))
+            token_sets[cid] = set(boiler + cw)
+    ids = sorted(token_sets)
+    want = set()
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            i_ = len(token_sets[a] & token_sets[b])
+            u_ = len(token_sets[a] | token_sets[b])
+            if i_ * 10 >= u_ * 9:
+                want.add((a, b, i_ * 1_000_000 // u_))
+    assert want, "fixture must plant real pairs"
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
+        for r in jaccard_pairs_prefix(_docs_df(spark, rows)).collect()
+    }
+    assert got == want
+    plan = plan_of(jaccard_pairs_prefix(_docs_df(spark, rows)))
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_kmeans_hot_cell_salted_equals_plain_join(spark):
+    """60% of vectors collapse into one quantizer cell (hot cell). The
+    round-10 salted candidate form of clustered_dup_pairs must produce
+    IDENTICAL rows to the plain cluster-equi-join (recomputed inline
+    here), and carry the salt + explicit repartition in the plan."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.functions.vectors import (
+        as_double,
+        dot,
+        unit,
+    )
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        clustered_dup_pairs,
+        kmeans_lite,
+    )
+
+    rows = []
+    for i in range(150):
+        if i % 5 < 3:  # hot direction, integer jitter in one slot
+            v = [100.0, 1.0, 0.0, 0.0, float(i % 7), 0.0, 0.0, 1.0]
+        else:
+            v = [0.0] * 8
+            v[i % 8] = 50.0
+            v[(i + 3) % 8] = float(5 + i % 11)
+        rows.append((f"v{i:03d}", v))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    got = {
+        tuple(r)
+        for r in clustered_dup_pairs(emb, threshold=0.3).collect()
+    }
+
+    assigned = kmeans_lite(emb, 8, 3).select("vec_id", "cluster")
+    ev = emb.select(
+        "vec_id", unit(as_double("embedding")).alias("v")
+    ).join(assigned, "vec_id")
+    a = ev.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = ev.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    want = {
+        tuple(r)
+        for r in (
+            a.join(
+                b,
+                (F.col("cluster") == F.col("cl_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .withColumn("cos", F.round(dot(F.col("va"), F.col("vb")), 6))
+            .where(F.col("cos") >= 0.3)
+            .select("cluster", "id_a", "id_b", "cos")
+        ).collect()
+    }
+    assert got == want and got, (len(got), len(want))
+    plan = plan_of(clustered_dup_pairs(emb, threshold=0.3))
+    assert "partner_chunk" in plan
+    assert "REPARTITION_BY_NUM" in plan
