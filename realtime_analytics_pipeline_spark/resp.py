@@ -216,10 +216,16 @@ class RespClient:
         Buffered pushes (seen interleaved with replies) drain first."""
         if self.pushes:
             return self.pushes.pop(0)
-        if timeout is not None:
-            self._sock.settimeout(timeout)
-        with self._lock:
-            reply = self._reader.read_reply()
+        prev_timeout = self._sock.gettimeout()
+        try:
+            if timeout is not None:
+                self._sock.settimeout(timeout)
+            with self._lock:
+                reply = self._reader.read_reply()
+        finally:
+            # the socket is shared with execute/pipeline — a shortened
+            # read timeout must not leak past this call
+            self._sock.settimeout(prev_timeout)
         if not isinstance(reply, Push):
             raise RuntimeError(f"expected push frame, got {reply!r}")
         return reply
@@ -464,7 +470,41 @@ class _MiniHandler(socketserver.BaseRequestHandler):
             out.append(self._bulk(s))
         return b"".join(out)
 
+    def _publish(self, store: _Store, channel: str, payload: str) -> bytes:
+        """PUBLISH fan-out. The subscriber list is SNAPSHOTTED under
+        store.lock but sendall() runs after releasing it — one stalled
+        subscriber with a full TCP send buffer must only block this
+        publisher, not every connection of the server (per-connection
+        send_lock still serializes frames on each socket)."""
+        frame = (
+            b">3\r\n"
+            + self._bulk("message")
+            + self._bulk(channel)
+            + self._bulk(payload)
+        )
+        with store.lock:
+            subs = list(store.subscribers.get(channel, []))
+        delivered = 0
+        dead = []
+        for sub in subs:
+            try:
+                with sub.send_lock:
+                    sub.request.sendall(frame)
+                delivered += 1
+            except OSError:
+                dead.append(sub)
+        if dead:
+            with store.lock:
+                for sub in dead:
+                    try:
+                        store.subscribers[channel].remove(sub)
+                    except (KeyError, ValueError):
+                        pass
+        return self._int_reply(delivered)
+
     def _dispatch(self, store: _Store, name: str, a: list[str]) -> bytes:
+        if name == "PUBLISH":
+            return self._publish(store, a[0], a[1])
         with store.lock:
             if name == "PING":
                 return b"+PONG\r\n"
@@ -566,23 +606,6 @@ class _MiniHandler(socketserver.BaseRequestHandler):
                 if name == "ZREVRANGE":
                     sel = list(reversed(members))[lo : hi + 1] if lo <= hi else []
                 return self._array_reply(sel)
-            if name == "PUBLISH":
-                channel, payload = a[0], a[1]
-                frame = (
-                    b">3\r\n"
-                    + self._bulk("message")
-                    + self._bulk(channel)
-                    + self._bulk(payload)
-                )
-                delivered = 0
-                for sub in list(store.subscribers.get(channel, [])):
-                    try:
-                        with sub.send_lock:
-                            sub.request.sendall(frame)
-                        delivered += 1
-                    except OSError:
-                        store.subscribers[channel].remove(sub)
-                return self._int_reply(delivered)
             if name == "DEL":
                 n = 0
                 for key in a:

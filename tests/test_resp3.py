@@ -132,10 +132,14 @@ def test_pubsub_push_delivery_end_to_end():
         n = repo.publish_update(payload)
         assert n == 1  # the real receiver count, not the stub 0
 
+        before = sub._sock.gettimeout()
         msg = sub.read_push(timeout=5)
         assert msg[0] == b"message"
         assert msg[1] == PUBSUB_CHANNEL_UPDATES.encode()
         assert json.loads(msg[2]) == payload
+        # the shortened read timeout must not leak onto the shared
+        # socket for later execute/pipeline calls
+        assert sub._sock.gettimeout() == before
 
         # a second subscriber raises the count
         sub2 = RespClient("127.0.0.1", srv.port)
