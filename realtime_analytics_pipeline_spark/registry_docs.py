@@ -3952,3 +3952,132 @@ def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div count(*) AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10: the BOUNDED-dup corpus on the production dedup path,
+# driver-certified. The template-heavy driver documents table forces
+# Theta(n^2) *output* on any exact >=0.9 verifier, so the gated
+# dedup_jaccard_prefix_filtered row can't witness the linear-at-
+# realistic-dup-rates behavior the .scale sweep measured (alpha 0.75,
+# SCALING.md). This query constructs a planted-cluster corpus — ~3%
+# of docs get a one-word-edit near-duplicate (J ~ 0.93), cross-pair
+# Jaccard ~ 0 — DETERMINISTICALLY from doc_id alone via md5
+# arithmetic, identically in Spark and DuckDB, then runs the same
+# prefix-filtered operator. Output is exactly the planted pairs:
+# linear in corpus size, certified by the naive all-pairs oracle on
+# the same generated corpus.
+# --------------------------------------------------------------------------
+
+_BND_H_N = _hex_int_sql("md5(doc_id || ':n')", 5)
+_BND_H_J = _hex_int_sql("md5(doc_id || ':' || CAST(j AS VARCHAR))", 5)
+_BND_H_DUP = _hex_int_sql("md5('dup:' || doc_id)", 5)
+
+_JACCARD_BOUNDED_SQL = f"""
+WITH base AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)
+    LIMIT 400
+),
+nw AS (SELECT doc_id, 30 + ({_BND_H_N}) % 51 AS n FROM base),
+js AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM nw),
+toks AS (
+    SELECT doc_id, j,
+           'w' || CAST(({_BND_H_J}) % 50000 AS VARCHAR) AS w
+    FROM js
+),
+dupsel AS (SELECT doc_id FROM base WHERE ({_BND_H_DUP}) % 100 < 3),
+vtoks AS (
+    -- the planted near-duplicate: word 1 replaced (hash+1), the rest
+    -- identical; at j = 1 the per-word hash IS H(doc:1)
+    SELECT doc_id || '_v' AS doc_id, j,
+           CASE WHEN j = 1
+                THEN 'w' || CAST((({_BND_H_J}) + 1) % 50000 AS VARCHAR)
+                ELSE w END AS w
+    FROM toks JOIN dupsel USING (doc_id)
+),
+sh AS (
+    SELECT DISTINCT doc_id, w AS shingle FROM (
+        SELECT doc_id, w FROM toks
+        UNION ALL SELECT doc_id, w FROM vtoks
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (i * 1000000) // (sa.sz + sb.sz - i) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 10 >= (sa.sz + sb.sz - i) * 9
+"""
+
+
+@register("dedup_jaccard_prefix_bounded", _JACCARD_BOUNDED_SQL)
+def q_jaccard_prefix_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard over a deterministic planted-
+    cluster corpus (~3% one-word-edit near-dups, cross-pair J ~ 0):
+    the production dedup path exercised at a REALISTIC duplicate rate
+    where output — and therefore total work — is linear in corpus
+    size, unlike the template-heavy driver corpus whose pair count is
+    quadratic by construction. The corpus is a pure md5 function of
+    doc_id, generated identically by this code and the DuckDB oracle;
+    the oracle verifies the pair set with the naive all-pairs join."""
+
+    def h5(expr):
+        # 20-bit md5 prefix as BIGINT — the Spark twin of the oracle's
+        # horner nibble parse (_hex_int_sql(..., 5))
+        return F.conv(F.substring(F.md5(expr), 1, 5), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .orderBy(F.md5(F.col("doc_id")), "doc_id")
+        .limit(400)
+    )
+    nw = base.withColumn(
+        "n",
+        (F.lit(30) + h5(F.concat(F.col("doc_id"), F.lit(":n"))) % 51).cast(
+            "int"
+        ),
+    )
+    word = lambda j_str: F.concat(  # noqa: E731
+        F.lit("w"),
+        (
+            h5(F.concat(F.col("doc_id"), F.lit(":"), j_str)) % 50000
+        ).cast("string"),
+    )
+    toks = nw.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda j: word(j.cast("string")),
+        ).alias("ws"),
+    )
+    is_dup = (h5(F.concat(F.lit("dup:"), F.col("doc_id"))) % 100) < 3
+    variants = toks.where(is_dup).select(
+        F.concat(F.col("doc_id"), F.lit("_v")).alias("doc_id"),
+        F.transform(
+            F.col("ws"),
+            lambda w, i: F.when(
+                i == F.lit(0),
+                F.concat(
+                    F.lit("w"),
+                    (
+                        (
+                            h5(F.concat(F.col("doc_id"), F.lit(":1"))) + 1
+                        )
+                        % 50000
+                    ).cast("string"),
+                ),
+            ).otherwise(w),
+        ).alias("ws"),
+    )
+    corpus = toks.unionByName(variants).select(
+        "doc_id", F.array_join("ws", " ").alias("text")
+    )
+    return D.jaccard_pairs_prefix(corpus, n=1, threshold=0.9)
