@@ -38,6 +38,8 @@ Usage: python scripts/gen_scale_slices.py
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 import duckdb
 import numpy as np
@@ -50,6 +52,31 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 JAN1_US = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
 SPAN_US = 30 * 86400 * 1_000_000  # 30 days, the driver tables' span
 TYPES = np.array(["view", "click", "purchase", "signup", "error"])
+
+N_EVENT_FILES = 8  # fixed per SF -> streaming replay batch count is
+# CONSTANT across the sweep (round-10, VERDICT r09 item 6): with a
+# single file, larger slices ran FEWER micro-batches per event and the
+# streaming alpha went negative (overhead amortization, not speed)
+
+
+def write_events_dir(t: pa.Table, path: str, n_files: int = N_EVENT_FILES) -> None:
+    """Write events as a time-ordered n-file parquet DIRECTORY with
+    ascending mtimes: the file stream source (maxFilesPerTrigger=1)
+    then replays exactly n_files time-contiguous micro-batches, so the
+    watermark only ever advances and no row is dropped as late."""
+    order = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
+    t = t.take(order)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    per = -(-t.num_rows // n_files)
+    now = time.time()
+    for i in range(n_files):
+        chunk = t.slice(i * per, per)
+        if chunk.num_rows == 0:
+            break
+        fp = os.path.join(path, f"part-{i:03d}.parquet")
+        pq.write_table(chunk, fp)
+        os.utime(fp, (now + i, now + i))
 
 
 def gen_events(sf: float, rng: np.random.Generator, values_pool: np.ndarray) -> pa.Table:
@@ -264,7 +291,7 @@ def main() -> None:
         rng = np.random.default_rng(20260814 + int(sf * 10))
         d = os.path.join(OUT, f"sf{sf:g}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(gen_events(sf, rng, values_pool), f"{d}/events.parquet")
+        write_events_dir(gen_events(sf, rng, values_pool), f"{d}/events.parquet")
         pq.write_table(
             gen_documents(sf, rng, lang_words, lang_p), f"{d}/documents.parquet"
         )
@@ -273,6 +300,20 @@ def main() -> None:
             f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)} "
             f"lineitem={int(6e6 * sf)}"
         )
+
+    # streaming-sweep event slices at the LOWER SFs too (VERDICT r09
+    # item 6): the streaming alpha rows must compare replays with the
+    # SAME micro-batch count at every SF, and the read-only driver
+    # testdata is single-file — so 8-file twins of sf0.01/sf0.1 events
+    # live here (same generator, timing-fidelity only)
+    for sf in (0.01, 0.1):
+        rng = np.random.default_rng(20260814 + int(sf * 10))
+        d = os.path.join(OUT, f"sf{sf:g}")
+        os.makedirs(d, exist_ok=True)
+        write_events_dir(
+            gen_events(sf, rng, values_pool), f"{d}/events.parquet"
+        )
+        print(f"wrote {d}/events.parquet: {int(1e6 * sf)} events x 8 files")
 
     # bounded-dup corpus (VERDICT r08 item 4) — generated at sf0.1 too
     # (driver testdata is read-only, so the 0.1 slice lives here)
