@@ -462,8 +462,10 @@ _VERIFY_WINDOW = [
     "dedup_semantic_clustered",  # registry_curation
     "pyds_feed_scan",  # registry_feed
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 300. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 2.
-    # Refresh window: 2 virgin + 48 oldest-green re-verification slots; the 250 fresher greens keep their rows.
+    # Oracled: 301. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 3
+    # (the 2 in-window virgins + dedup_jaccard_prefix_bounded, registered
+    # mid-round-10 after this window shipped — it leads the r11 pool).
+    # Refresh window: 2 virgin + 48 oldest-green re-verification slots; the 251 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R08 = [

@@ -66,6 +66,8 @@ def write_events_dir(t: pa.Table, path: str, n_files: int = N_EVENT_FILES) -> No
     watermark only ever advances and no row is dropped as late."""
     order = pa.compute.sort_indices(t, sort_keys=[("ts", "ascending")])
     t = t.take(order)
+    if os.path.isfile(path):  # pre-round-10 slices were single files
+        os.remove(path)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     per = -(-t.num_rows // n_files)
