@@ -55,6 +55,7 @@ QUERIES = [
     "dedup_semantic_clustered",
     # round-8 additions
     "dedup_jaccard_prefix_filtered",
+    "dedup_jaccard_prefix_bounded",  # round-10 planted-cluster corpus
     "dedup_edit_distance_banded",
     "dedup_duplicate_spans",
     "dedup_span_removal",
