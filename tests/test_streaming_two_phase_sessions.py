@@ -139,3 +139,140 @@ def test_complete_sessions_finalize_once_bucket_ceiling_clears(spark, tmp_path):
     assert not [g for g in got if g[0] == X], got
     # nothing emitted twice
     assert len(got) == len(set(got))
+
+
+def test_two_phase_restart_continuation(spark, tmp_path):
+    """Round-10 drill: the COMPOSITION survives checkpoint restarts.
+    Phase 1 runs availableNow over tranche 1, stops, the source grows
+    (tranche 2 appended with later mtimes), phase 1 RESTARTS from its
+    checkpoint; phase 2 likewise runs once per tranche from its own
+    checkpoint over the growing parquet handoff. The union of emitted
+    sessions must equal the one-shot replay over the same final file
+    set — no truncated prefix, no double emission, and the still-open
+    tail keys stay withheld."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from tests.conftest import write_time_ordered_stream_fixture
+
+    src = str(tmp_path / "src")
+    tranche1 = [
+        (D1.replace(hour=10, minute=0), W),
+        (D1.replace(hour=10, minute=10), W),
+        (D1.replace(hour=12, minute=0), Z),
+        (D1.replace(hour=12, minute=5), Z),
+        (D1.replace(hour=23, minute=50), X),  # session continues in t2
+    ]
+    tranche2 = [
+        (D2.replace(hour=0, minute=10), X),
+        (D2.replace(hour=0, minute=30), X),
+        (D2.replace(hour=2, minute=30), Y),
+        (D2.replace(hour=2, minute=31), Y),
+        (D2.replace(hour=4, minute=0), "5"),  # wmA pusher, itself open
+    ]
+    write_time_ordered_stream_fixture(
+        _events_df(spark, tranche1), src, n_files=2
+    )
+    # tranche 2 staged OUTSIDE src; it is copied in (with strictly
+    # later mtimes — the file source replays in mtime order) only
+    # after the tranche-1 runs, simulating the growing log
+    side = str(tmp_path / "side")
+    write_time_ordered_stream_fixture(
+        _events_df(spark, tranche2), side, n_files=2
+    )
+    import glob
+    import time as _time
+
+    def grow_source():
+        now = _time.time()
+        for i, f in enumerate(sorted(glob.glob(side + "/part-*"))):
+            dst = os.path.join(src, f"part-t2-{i:03d}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (now + 100 + 2 * i, now + 100 + 2 * i))
+
+    p1_schema = T.StructType(
+        [
+            T.StructField("session_id", T.StringType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("start_time", T.TimestampType()),
+            T.StructField("end_time", T.TimestampType()),
+            T.StructField("page_count", T.LongType()),
+        ]
+    )
+
+    def run_phase1(pdir, ck):
+        stream = read_events_stream_from_dir(spark, src)
+        q = (
+            session_partials_bucketed(stream)
+            .writeStream.format("parquet")
+            .option("path", pdir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def run_phase2(pdir, out, ck):
+        pstream = (
+            spark.readStream.schema(p1_schema)
+            .parquet(pdir)
+            .withWatermark("end_time", "10 seconds")
+        )
+        q = (
+            merge_partials_stateful(pstream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def read_sessions(out):
+        import os as _os
+
+        if not any(
+            f.endswith(".parquet")
+            for f in _os.listdir(out)
+            if not f.startswith("_")
+        ):
+            return []
+        return sorted(
+            (r.session_id, r.start_us, r.end_us, r.page_count)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # --- restart path: each phase runs once per tranche, sharing its
+    # checkpoint across runs
+    p1 = str(tmp_path / "partials_rs")
+    out = str(tmp_path / "out_rs")
+    os.makedirs(out, exist_ok=True)
+    ck1 = str(tmp_path / "ck1_rs")
+    ck2 = str(tmp_path / "ck2_rs")
+    run_phase1(p1, ck1)  # tranche 1
+    run_phase2(p1, out, ck2)
+    grow_source()
+    run_phase1(p1, ck1)  # RESTART from the same checkpoint
+    run_phase2(p1, out, ck2)  # RESTART from the same checkpoint
+    restart_sessions = read_sessions(out)
+
+    # --- one-shot truth over the identical final file set
+    p1b = str(tmp_path / "partials_os")
+    outb = str(tmp_path / "out_os")
+    os.makedirs(outb, exist_ok=True)
+    run_phase1(p1b, str(tmp_path / "ck1_os"))
+    run_phase2(p1b, outb, str(tmp_path / "ck2_os"))
+    oneshot_sessions = read_sessions(outb)
+
+    assert restart_sessions == oneshot_sessions
+    keys = [s[0] for s in restart_sessions]
+    assert sorted(set(keys)) == sorted(keys)  # nothing emitted twice
+    assert set(keys) == {W, Z}  # finalized: W and Z, complete
+    by_key = {s[0]: s for s in restart_sessions}
+    assert by_key[W][3] == 2 and by_key[Z][3] == 2
+    # X merged across the restart boundary is STILL OPEN (its bucket
+    # ceiling is day-3) — present in neither output, truncated nowhere
+    assert X not in keys and Y not in keys
