@@ -152,6 +152,10 @@ HEADLINE = [
     # round-9: two-phase skew-resilient sessionization (hot session_id
     # spreads over time buckets; exact twin of session_metrics)
     "session_metrics_bucketed",
+    # round-10: the production dedup path on a realistic (~3% planted
+    # dups) corpus — linear output, unlike the template-heavy driver
+    # corpus the capped verifiers run on
+    "dedup_jaccard_prefix_bounded",
 ]
 
 

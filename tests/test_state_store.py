@@ -112,3 +112,66 @@ def test_rocksdb_session_windows(rocksdb_session):
     assert {tuple(r) for r in rocks_df.collect()} == {
         tuple(r) for r in default_df.collect()
     }
+
+
+def test_rocksdb_two_phase_merge(rocksdb_session, tmp_path):
+    """Round-10: phase 2 of two-phase sessionization
+    (applyInPandasWithState — a different state-operator class than
+    the native session-window merge above) on RocksDB: identical
+    emitted set to the default provider, rocksdb metrics observable.
+    Fixture: key A's partials straddle midnight and stay OPEN (bucket
+    ceiling on day 3); key B finalizes once key C's late partial
+    clears B's day-2 ceiling."""
+    import datetime as dt
+
+    from realtime_analytics_pipeline_spark.streaming.stateful import (
+        merge_partials_stateful,
+    )
+
+    from tests.conftest import write_time_ordered_stream_fixture
+
+    D1 = dt.datetime(2024, 1, 1)
+    D2 = dt.datetime(2024, 1, 2)
+    partials = [
+        ("A", "A", D1.replace(hour=23, minute=40),
+         D1.replace(hour=23, minute=50), 3),
+        ("A", "A", D2.replace(hour=0, minute=5),
+         D2.replace(hour=0, minute=15), 2),
+        ("B", "B", D1.replace(hour=8, minute=0),
+         D1.replace(hour=8, minute=10), 2),
+        ("C", "C", D2.replace(hour=1, minute=20),
+         D2.replace(hour=1, minute=30), 1),
+    ]
+    src = str(tmp_path / "partials")
+    pdf = rocksdb_session.createDataFrame(
+        partials,
+        "session_id string, user_id string, start_time timestamp,"
+        " end_time timestamp, page_count long",
+    )
+    write_time_ordered_stream_fixture(pdf, src, n_files=2, ts_col="end_time")
+
+    def run(name):
+        stream = (
+            rocksdb_session.readStream.schema(pdf.schema)
+            .parquet(src)
+            .withWatermark("end_time", "10 seconds")
+        )
+        return _run_append(
+            rocksdb_session, merge_partials_stateful(stream), name
+        )
+
+    rocks_df, prog = run("t_rocks_tp_merge")
+    custom = {
+        k
+        for op in prog["stateOperators"]
+        for k in op.get("customMetrics", {})
+    }
+    assert any(k.startswith("rocksdb") for k in custom), custom
+
+    rocksdb_session.conf.unset(_PROVIDER_KEY)
+    default_df, _ = run("t_default_tp_merge")
+    rocks = {tuple(r) for r in rocks_df.collect()}
+    assert rocks == {tuple(r) for r in default_df.collect()}
+    # B finalized exactly once (ceiling cleared by C's partial);
+    # A merged across midnight stays open; C's own ceiling is day 3
+    assert sorted(r[0] for r in rocks) == ["B"]
