@@ -5,11 +5,13 @@ Four families, each with its 100 TB story:
 - **Exact** (`dedup_exact`): hash-groupBy on content. One shuffle on
   the md5 fingerprint (not the full text — 32-byte keys, not KB-size),
   min-id as survivor. Linear scale-out.
-- **N-gram Jaccard** (`jaccard_pairs`): exact pairwise similarity via
-  an inverted shingle index (explode → self-join on shingle →
-  count/union). Correct but quadratic in docs-per-shingle — the
-  motivation for MinHash below; fine at verification scale, documented
-  as such.
+- **N-gram Jaccard** (`jaccard_pairs`, `jaccard_pairs_prefix`): exact
+  pairwise similarity. Both ride the PREFIX-FILTER candidate
+  generator (round-10): candidates form only in the inverted index of
+  each doc's rarest few shingles, so cost is candidate-bound, not
+  all-pairs — near-linear at high thresholds on realistic dup rates.
+  The historical all-pairs inverted-index form survives privately as
+  `_jaccard_pairs_allpairs` for pytest parity only.
 - **MinHash + LSH** (`minhash_signatures`, `minhash_lsh_pairs`):
   64-perm signatures via seeded xxhash64 min-aggregation, banded
   (default 8 bands × 8 rows) — candidate pairs only where a band collides. This
@@ -125,13 +127,148 @@ def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
     return exploded
 
 
+def _per_doc_shingle_arrays(documents: DataFrame, n: int) -> DataFrame:
+    """(doc_id, sz, shingles) with shingles in the global canonical
+    (document-frequency ASC, shingle) order the prefix filter needs.
+    Shuffles: shingle-df agg + join back + per-doc array build."""
+    sh = _doc_shingles(documents, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ord_fs"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.expr("transform(ord_fs, x -> x.shingle)").alias("shingles"),
+        )
+    )
+
+
+def _prefix_candidate_pairs(
+    per_doc: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs (a < b) containing EVERY pair
+    with Jaccard ≥ num/den, via prefix filtering over ``per_doc`` from
+    :func:`_per_doc_shingle_arrays`.
+
+    Prefix-filter principle (public all-pairs similarity-join
+    literature — the SSJoin/PPJoin family): if J(a,b) ≥ t then
+    |a∩b| ≥ ⌈t·|a|⌉, so the intersection cannot avoid a's first
+    |a| − ⌈t·|a|⌉ + 1 shingles in the canonical order — any qualifying
+    pair shares a shingle between the two PREFIXES. Frequency-
+    ascending ordering makes prefix shingles the rarest ones, so
+    inverted lists stay short even on boilerplate-heavy corpora. A
+    size filter (t·max ≤ min, integer cross-multiplied) prunes
+    further. ``num == 0`` degrades gracefully to the full inverted
+    index (prefix = whole doc, size filter never binds).
+    """
+    prefix_len = f"sz - ((sz * {num} + {den - 1}) div {den}) + 1"
+    prefix = per_doc.select(
+        "doc_id",
+        "sz",
+        F.explode(F.expr(f"slice(shingles, 1, {prefix_len})")).alias(
+            "shingle"
+        ),
+        # pin the candidate-join parallelism: prefix rows are tiny but
+        # each shared shingle fans out into candidate pairs — AQE's
+        # byte-based coalescing would serialize the join (same trap as
+        # edit_distance_banded; an explicit numPartitions exchange is
+        # exempt from coalescing)
+    ).repartition(_pair_join_partitions(per_doc), "shingle")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    return (
+        a.join(b, "shingle")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.greatest("sz_a", "sz_b") * num
+                <= F.least("sz_a", "sz_b") * den
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        # the verify join downstream does an array_intersect per
+        # candidate — compute-bound again; keep it spread
+        .repartition(_pair_join_partitions(per_doc), "doc_a")
+    )
+
+
 def jaccard_pairs(
     documents: DataFrame, n: int = 1, threshold: float = 0.9
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity for all pairs ≥ threshold.
 
-    Inverted-index self-join: pairs only materialize for docs sharing
-    a shingle. Output: doc_a, doc_b (a < b), jaccard (rounded 6).
+    Round-10: candidates now come from the PREFIX FILTER
+    (:func:`_prefix_candidate_pairs`) instead of the full inverted
+    shingle self-join — the O(docs-per-shingle²) term is gone from
+    the library's default path, and the sweep alpha matches
+    ``jaccard_pairs_prefix``. Output is UNCHANGED (doc_a, doc_b,
+    jaccard rounded 6; pair set identical to the historical all-pairs
+    form, which survives as ``_jaccard_pairs_allpairs`` for pytest
+    parity):
+
+    - the emitted pass test is the same float expression
+      ``round(inter/union, 6) >= threshold``;
+    - because rounding can promote a pair whose TRUE Jaccard is up to
+      5e-7 below the threshold, candidate generation runs at the
+      RELAXED exact fraction ``threshold − 1e-6`` — every pair the
+      float test can accept satisfies J ≥ t − 5e-7 > t − 1e-6, so the
+      relaxed prefix filter provably loses none of them.
+    """
+    from fractions import Fraction
+
+    relaxed = Fraction(str(threshold)) - Fraction(1, 1_000_000)
+    if relaxed < 0:
+        relaxed = Fraction(0)
+    per_doc = _per_doc_shingle_arrays(documents, n)
+    cands = _prefix_candidate_pairs(
+        per_doc, relaxed.numerator, relaxed.denominator
+    )
+    fa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    fb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_allpairs(
+    documents: DataFrame, n: int = 1, threshold: float = 0.9
+) -> DataFrame:
+    """Historical all-pairs inverted-index form of :func:`jaccard_pairs`
+    — kept PRIVATE as the pytest parity reference (the public function
+    now routes through the prefix filter; tests assert the two emit
+    identical rows). Not on any gated or swept path.
     """
     sh = _doc_shingles(documents, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -199,8 +336,9 @@ def jaccard_pairs_prefix(
     (per-doc array build) + (prefix inverted join) + (verify join on
     candidate ids) — every one keyed, none quadratic; total work is
     near-linear in corpus size at high thresholds. This is the exact
-    verifier to run at 100 TB; ``jaccard_pairs`` stays as the naive
-    reference form.
+    verifier to run at 100 TB; round-10, ``jaccard_pairs`` (the float
+    form) rides the same candidate generator, so the library has no
+    all-pairs Jaccard path left.
 
     Output: doc_a, doc_b (a < b), jaccard_ppm (BIGINT).
     """
@@ -208,58 +346,8 @@ def jaccard_pairs_prefix(
 
     fr = Fraction(str(threshold))
     num, den = fr.numerator, fr.denominator
-    sh = _doc_shingles(documents, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc shingle array in global (df, shingle) order + set size
-    per_doc = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df", "shingle"))
-            ).alias("ord_fs"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .select(
-            "doc_id",
-            "sz",
-            F.expr("transform(ord_fs, x -> x.shingle)").alias("shingles"),
-        )
-    )
-    prefix_len = f"sz - ((sz * {num} + {den - 1}) div {den}) + 1"
-    prefix = per_doc.select(
-        "doc_id",
-        "sz",
-        F.explode(F.expr(f"slice(shingles, 1, {prefix_len})")).alias(
-            "shingle"
-        ),
-        # pin the candidate-join parallelism: prefix rows are tiny but
-        # each shared shingle fans out into candidate pairs — AQE's
-        # byte-based coalescing would serialize the join (same trap as
-        # edit_distance_banded; an explicit numPartitions exchange is
-        # exempt from coalescing)
-    ).repartition(_pair_join_partitions(documents), "shingle")
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle"
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle"
-    )
-    cands = (
-        a.join(b, "shingle")
-        .where(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.greatest("sz_a", "sz_b") * num
-                <= F.least("sz_a", "sz_b") * den
-            )
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-        # the verify join below does an array_intersect per candidate —
-        # compute-bound again; keep it spread
-        .repartition(_pair_join_partitions(documents), "doc_a")
-    )
+    per_doc = _per_doc_shingle_arrays(documents, n)
+    cands = _prefix_candidate_pairs(per_doc, num, den)
     fa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),

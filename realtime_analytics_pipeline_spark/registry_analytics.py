@@ -2449,12 +2449,15 @@ def q_users_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio with (u1, u2) tiebreak before any display rounding.
 
     GATE COST CAP (round-4): the gated form restricts to a
-    deterministic md5-ordered sample of 500 users so the pair
-    candidate space — and thus gate wall-time — stays flat as the SF
-    grows (measured alpha=1.26 uncapped, SCALING.md). The cap does
-    not bind at sf<=0.01 (150 users), leaving driver-gate semantics
-    unchanged there; pass user_cap=None for the exact full-corpus
-    form (library path)."""
+    deterministic md5-ordered sample of 500 users so gate wall-time
+    stays flat as the SF grows. The cap does not bind at sf<=0.01
+    (150 users), leaving driver-gate semantics unchanged there; pass
+    user_cap=None for the exact full-corpus form. Round-10: both
+    forms route through the block-pair gemm kernel (bit-exact vs the
+    retired day-bucketed pair join, which survives privately as
+    _users_activity_similarity_join for pytest parity) — exact
+    all-pairs flops are inherently quadratic, but the kernel
+    vectorizes them and emits only per-block-pair top-10 partials."""
     return _users_activity_similarity(spark, sf_dir, user_cap=500)
 
 
@@ -2488,33 +2491,20 @@ WHERE rnk <= 10
 """
 
 
-@register("users_activity_similarity_blas", _TS_SIM_BLAS_SQL)
-def q_users_activity_similarity_blas(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """UNCAPPED exact activity-similarity top-10 via block-pair gemm
-    (round-8) — the vectorized library path the md5-capped gated form
-    above points at. Unlike the embedding gemm kernels (fractional
-    floats ⇒ rows-only), user-day COUNTS are integers: dot and s2 are
-    exact in float64, and raw = dot/sqrt(s2a·s2b) performs the same
-    IEEE op sequence as the SQL — so this form carries the FULL
-    uncapped DuckDB oracle. Each block pair emits only its local
-    top-10 (partial-top-k combiner); the global window merges
-    ~B²/2·10 rows, never users². See
-    similarity_blas.activity_topk_pairs_blas."""
+def _activity_topk_gemm(daily: DataFrame) -> DataFrame:
+    """Top-10 user-activity cosine pairs from a (user_id, d, c) daily
+    count frame via the block-pair gemm kernel — the shared engine for
+    both the gated capped form and the uncapped library path
+    (round-10). Bit-exact vs the day-bucketed join form and the SQL
+    oracles: integer counts keep dot and s2 exact in float64, and
+    raw = dot/sqrt(s2a·s2b) is the identical IEEE op sequence."""
     from pyspark.sql import Window
 
     from realtime_analytics_pipeline_spark.operators.similarity_blas import (
         activity_topk_pairs_blas,
         gemm_block_count,
     )
-    from realtime_analytics_pipeline_spark.sources.batch import load_events
 
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
-        F.col("user_id").cast("bigint").alias("user_id"),
-        F.date_trunc("day", "event_time").alias("d"),
-    ).agg(F.count("*").alias("c"))
     # ONE driver action sizes everything (n_days for the dense matrix
     # width, n_users for the block count) — the kernel's own
     # vecs.count() fallback would re-aggregate the events scan
@@ -2555,9 +2545,38 @@ def q_users_activity_similarity_blas(
     )
 
 
+@register("users_activity_similarity_blas", _TS_SIM_BLAS_SQL)
+def q_users_activity_similarity_blas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNCAPPED exact activity-similarity top-10 via block-pair gemm
+    (round-8) — the vectorized library path the md5-capped gated form
+    above points at. Unlike the embedding gemm kernels (fractional
+    floats ⇒ rows-only), user-day COUNTS are integers: dot and s2 are
+    exact in float64, and raw = dot/sqrt(s2a·s2b) performs the same
+    IEEE op sequence as the SQL — so this form carries the FULL
+    uncapped DuckDB oracle. Each block pair emits only its local
+    top-10 (partial-top-k combiner); the global window merges
+    ~B²/2·10 rows, never users². See
+    similarity_blas.activity_topk_pairs_blas."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_trunc("day", "event_time").alias("d"),
+    ).agg(F.count("*").alias("c"))
+    return _activity_topk_gemm(daily)
+
+
 def _users_activity_similarity(
     spark: SparkSession, sf_dir: str, user_cap: int | None = None
 ) -> DataFrame:
+    """Round-10: routes through the block-pair gemm kernel
+    (:func:`_activity_topk_gemm`) — the day-bucketed pair-join form it
+    replaced survives privately as
+    :func:`_users_activity_similarity_join` for pytest parity. Output
+    and oracle semantics unchanged (bit-exact; see the gemm helper)."""
     from realtime_analytics_pipeline_spark.sources.batch import load_events
 
     ev = load_events(spark, sf_dir)
@@ -2565,6 +2584,34 @@ def _users_activity_similarity(
         ev.groupBy(
             # canonical user_id is STRING; pair ordering must be
             # numeric or (14, 4) sorts differently than in the oracle
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.date_trunc("day", "event_time").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    if user_cap is not None:
+        sample = (
+            daily.select("user_id")
+            .distinct()
+            .orderBy(F.md5(F.col("user_id").cast("string")), "user_id")
+            .limit(user_cap)
+        )
+        daily = daily.join(F.broadcast(sample), "user_id", "left_semi")
+    return _activity_topk_gemm(daily)
+
+
+def _users_activity_similarity_join(
+    spark: SparkSession, sf_dir: str, user_cap: int | None = None
+) -> DataFrame:
+    """Historical day-bucketed pair-join form — PRIVATE pytest parity
+    reference for the gemm path (round-10); not on any gated or swept
+    surface. Candidate space is Σ_day active² via the per-day inverted
+    index."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy(
             F.col("user_id").cast("bigint").alias("user_id"),
             F.date_trunc("day", "event_time").alias("d"),
         )

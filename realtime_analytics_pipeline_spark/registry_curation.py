@@ -2130,3 +2130,123 @@ def q_docs_blocklist_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_hits"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10: label-propagation community detection on the co-purchase
+# graph (Raghavan et al. 2007, public method) — deterministic
+# synchronous variant, 4 unrolled iterations.
+# --------------------------------------------------------------------------
+
+
+def _lpa_sql() -> str:
+    head = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2),
+sym AS (SELECT u, v FROM edges0 UNION ALL SELECT v, u FROM edges0),
+l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym)"""
+    steps = []
+    for i in range(4):
+        steps.append(f""",
+s{i + 1} AS (
+    SELECT e.v AS node, l.lab, count(*) AS cnt
+    FROM sym e JOIN l{i} l ON e.u = l.node
+    GROUP BY 1, 2),
+l{i + 1} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+        FROM s{i + 1}) WHERE rn = 1)""")
+    tail = """
+SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size
+FROM l4
+"""
+    return head + "".join(steps) + tail
+
+
+_LPA_SQL = _lpa_sql()
+
+
+@register("basket_graph_communities_lpa", _LPA_SQL)
+def q_basket_graph_communities_lpa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection on the co-purchase graph via LABEL
+    PROPAGATION (Raghavan et al. 2007 — public method), in its
+    deterministic synchronous form: every node starts as its own
+    label; each round, a node adopts the most frequent label among
+    its NEIGHBORS, ties broken by smallest label; 4 fixed rounds.
+    Unlike the repo's other graph gates — connected components (pure
+    reachability), k-core (density peel), PageRank (centrality) —
+    LPA yields modularity-style communities: dense co-purchase
+    cliques converge onto one label while bridge edges get outvoted.
+
+    Determinism: the classic algorithm breaks ties randomly and
+    iterates to fluctuating fixpoints; pinning ties to min-label and
+    the round count to 4 makes the result a pure function of the
+    edge set, so the loop UNROLLS into 4 SQL CTE stages and the
+    DuckDB oracle replays it exactly.
+
+    Scale shape: one iteration = one shuffle join (edges ⋈ labels on
+    the src key) + a (node, lab) count agg + a per-node top-1 window
+    PARTITIONED BY node — nothing global, nothing quadratic; cost is
+    O(|E|) per round with fixed rounds. A celebrity node's vote agg
+    is two-phase (partial map-side count on (node, lab)), the same
+    skew posture the salted-agg suite proves structurally. Edges
+    need support >= 2 (same contract as basket_graph_triangles), so
+    the graph is the denoised backbone, not the raw bipartite blowup.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("lab")
+    )
+    for _ in range(4):
+        votes = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+        )
+    size_w = Window.partitionBy("lab")
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("lab").cast("bigint").alias("community"),
+        F.count(F.lit(1)).over(size_w).cast("bigint").alias(
+            "community_size"
+        ),
+    )

@@ -225,10 +225,11 @@ WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9
 @register("dedup_tokenset_jaccard", _JACCARD_SQL)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verifier, gated on a deterministic
-    md5-ordered 1000-doc cap (round-4): the O(n^2)-flavored exact
-    form (measured alpha=1.94, SCALING.md) stays flat-cost at the
-    gate while D.jaccard_pairs remains the uncapped library exact
-    verifier; MinHash-LSH is the registered 100 TB scale path."""
+    md5-ordered 1000-doc cap (round-4). Round-10: D.jaccard_pairs now
+    rides the prefix-filter candidate generator (identical pair set,
+    pytest-pinned vs the retired all-pairs form), so even the uncapped
+    library path is candidate-bound rather than O(n^2)-flavored;
+    MinHash-LSH remains the registered 100 TB scale path."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -276,8 +277,8 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end-to-end. The ORACLE is the naive all-pairs SQL on
     the same md5-capped sample: a hash match proves the prefix filter
     loses no pair. operators/dedup.py::jaccard_pairs_prefix is the
-    uncapped library form (swept in SCALING.md; jaccard_pairs stays
-    as the naive reference)."""
+    uncapped library form (swept in SCALING.md; round-10, the float
+    twin jaccard_pairs shares the same candidate generator)."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4081,3 +4082,185 @@ def q_jaccard_prefix_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join("ws", " ").alias("text")
     )
     return D.jaccard_pairs_prefix(corpus, n=1, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# Round-10: deterministic training-epoch shuffle — the 100 TB answer to
+# "randomly shuffle the corpus every epoch" is hash-sharding + a
+# within-shard hash sort, never a global sort.
+# --------------------------------------------------------------------------
+
+_EPOCH_SHARDS = 16
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           ({_hex_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 4)})
+               % {_EPOCH_SHARDS} AS shard,
+           md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS pos_key
+    FROM documents)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY pos_key, doc_id) AS BIGINT)
+           AS epoch_pos,
+       doc_id
+FROM keyed
+"""
+
+
+@register("docs_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle: every doc gets a shard
+    (seeded md5 bucket) and a position within its shard (ordered by a
+    DIFFERENT md5 salt), yielding a reproducible pseudo-random global
+    order ((shard, epoch_pos) is a total order). Changing the epoch
+    salt re-shuffles; same salt replays byte-identically — the
+    property training pipelines need for checkpoint-resumable data
+    order.
+
+    Scale story: this is exactly how a 100 TB epoch shuffle must run —
+    hash-partition into shards (one shuffle, skew-free since md5 is
+    uniform), sort WITHIN each shard (window partitioned by shard, no
+    global ordering, no single-task sort). Shard count scales with the
+    corpus (16 here; thousands at 100 TB) so each per-shard sort fits
+    an executor. The same plan shape backs Spark's own
+    repartition(N, key) + sortWithinPartitions idiom; expressing it as
+    a window keeps the result a pure DataFrame (and the DuckDB oracle
+    bit-exact)."""
+    shard = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long") % _EPOCH_SHARDS
+    pos_key = F.md5(
+        F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shard.alias("shard"), pos_key.alias("pos_key")
+    )
+    w = Window.partitionBy("shard").orderBy("pos_key", "doc_id")
+    return docs.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("epoch_pos"),
+        "doc_id",
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-10: BPE ENCODING as pure Catalyst folds — the "needs a UDF"
+# tokenizer-application op with zero Python execution, sibling of the
+# DTW expression-tree query. bpe_train_merges (rows-only) TRAINS a
+# table; this query APPLIES a fixed merge table, which is how real
+# pipelines run (the tokenizer is a frozen artifact).
+# --------------------------------------------------------------------------
+
+# ordered merge table (a, b) -> a||b, applied greedily left-to-right,
+# one full pass per merge in priority order — standard BPE encode
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("an", "d"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("e", "s"), ("o", "r"), ("a", "t"),
+]
+
+
+def _bpe_sql() -> str:
+    ctes = ["""
+WITH words AS (
+    SELECT lower(w) AS word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE regexp_matches(lower(w), '^[a-z]+$')
+    GROUP BY 1),
+p0 AS (
+    SELECT word, cnt,
+           list_transform(range(1, length(word) + 1),
+                          i -> word[i]) AS s
+    FROM words)"""]
+    for k, (a, b) in enumerate(_BPE_MERGES):
+        ctes.append(f""",
+p{k + 1} AS (
+    SELECT word, cnt,
+           CASE WHEN len(s) < 2 THEN s ELSE
+           list_reduce(
+               list_prepend([s[1]], list_transform(s[2:], x -> [x])),
+               (acc, e) -> CASE WHEN acc[-1] = '{a}' AND e[1] = '{b}'
+                   THEN list_append(acc[1:len(acc) - 1], '{a + b}')
+                   ELSE list_append(acc, e[1]) END) END AS s
+    FROM p{k})""")
+    ctes.append(f"""
+SELECT token, CAST(sum(cnt) AS BIGINT) AS total_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM (SELECT word, cnt, unnest(s) AS token FROM p{len(_BPE_MERGES)})
+GROUP BY 1
+""")
+    return "".join(ctes)
+
+
+_BPE_ENCODE_SQL = _bpe_sql()
+
+
+@register("text_bpe_encode_tokens", _BPE_ENCODE_SQL)
+def q_text_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TOKENIZATION of the corpus with a fixed
+    12-rule merge table, run entirely as Catalyst higher-order folds —
+    no Python in the data path. Each merge rule is one `aggregate()`
+    fold over the symbol array (greedy left-to-right single pass:
+    merge when the accumulator's tail is `a` and the next symbol is
+    `b`), chained as 12 NAMED projections; the DuckDB oracle replays
+    the identical folds as 12 chained CTEs of `list_reduce` (the DTW
+    seed-by-prepend trick for list-typed accumulators).
+
+    The two classic scale tricks are both in play: (1) encoding runs
+    on the DISTINCT word vocabulary, not the token stream — corpus
+    occurrences join back via the word count, so fold work is
+    vocab-sized; (2) the merge loop is ONE nested fold over the merge
+    table (outer `aggregate` over merges, inner `aggregate` over
+    symbols) — chaining 12 projected columns instead lets the
+    optimizer's project-collapse inline each pass ~3x into the next
+    (3^12 tree blowup, measured as an analysis-phase hang); lambda
+    variables cannot be inlined, so the nested form stays O(1)-sized.
+    Output: every emitted subword token with its total corpus
+    occurrences and distinct-word support.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges_lit = ", ".join(
+        f"struct('{a}' AS a, '{b}' AS b, '{a + b}' AS ab)"
+        for a, b in _BPE_MERGES
+    )
+    enc = words.withColumn(
+        "s",
+        F.expr(
+            f"""
+aggregate(
+  array({merges_lit}),
+  transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+  (syms, m) -> CASE WHEN size(syms) < 2 THEN syms ELSE
+    aggregate(slice(syms, 2, size(syms) - 1),
+              array(element_at(syms, 1)),
+      (acc, x) -> CASE WHEN element_at(acc, -1) = m.a AND x = m.b
+          THEN concat(slice(acc, 1, size(acc) - 1), array(m.ab))
+          ELSE concat(acc, array(x)) END) END)
+"""
+        ),
+    )
+    return (
+        enc.select("word", "cnt", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_occurrences"),
+            F.countDistinct("word").cast("bigint").alias(
+                "n_distinct_words"
+            ),
+        )
+    )

@@ -2017,3 +2017,140 @@ def q_orders_cohort_ltv_per_customer(
             "ltv_cents"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10: probabilistic record linkage (Fellegi–Sunter, 1969 — public
+# method). A deterministic "dirty register" twin of customer is derived
+# in-query (md5-keyed field corruption), then linked back with blocking
+# + log-likelihood agreement weights.
+# --------------------------------------------------------------------------
+
+_RL_FS_SQL = """
+WITH twin AS (
+    SELECT c_custkey AS twin_id,
+           md5(CAST(c_custkey AS VARCHAR)) AS h,
+           c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer),
+b AS (
+    SELECT twin_id,
+           CASE WHEN substr(h, 1, 1) BETWEEN '0' AND '7' THEN c_name
+                WHEN substr(h, 1, 1) IN ('8', '9', 'a', 'b')
+                     THEN lower(c_name)
+                ELSE replace(c_name, '#', '@') END AS name_b,
+           CASE WHEN substr(h, 2, 1) IN ('d', 'e', 'f')
+                THEN (c_nationkey + 1) % 25
+                ELSE c_nationkey END AS nation_b,
+           CASE WHEN substr(h, 3, 1) IN ('e', 'f') THEN NULL
+                ELSE c_mktsegment END AS seg_b,
+           c_acctbal + (twin_id % 5) * 0.13e0 AS bal_b
+    FROM twin),
+cand AS (
+    SELECT a.c_custkey, b.twin_id, a.c_name, b.name_b,
+           a.c_mktsegment, b.seg_b, a.c_acctbal, b.bal_b
+    FROM customer a JOIN b ON a.c_nationkey = b.nation_b),
+scored AS (
+    SELECT c_custkey, twin_id,
+           (CASE WHEN c_name = name_b THEN 9.2e0
+                 WHEN levenshtein(c_name, name_b) <= 1 THEN 3.0e0
+                 ELSE -3.5e0 END
+            + CASE WHEN seg_b IS NULL THEN 0.0e0
+                   WHEN c_mktsegment = seg_b THEN 2.3e0
+                   ELSE -1.9e0 END
+            + CASE WHEN abs(c_acctbal - bal_b) <= 0.7e0 THEN 4.6e0
+                   ELSE -2.6e0 END) AS score
+    FROM cand)
+SELECT c_custkey AS custkey_a, twin_id, score,
+       CASE WHEN score >= 12.0e0 THEN 'match' ELSE 'possible' END AS decision,
+       CAST(c_custkey = twin_id AS INT) AS is_true_pair
+FROM scored
+WHERE score >= 3.0e0
+"""
+
+
+@register("customers_record_linkage_fs", _RL_FS_SQL)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi–Sunter style (public
+    1969 method): link customers against a deterministically
+    corrupted register twin (md5-keyed field noise — 25% lowercased
+    names, 25% '#'→'@' typos, ~19% wrong nation, 12.5% missing
+    segment, balance drifted by (key%5)·0.13) using BLOCKING on
+    nation plus per-field agreement weights.
+
+    Fellegi–Sunter mechanics: each comparator contributes a
+    log-likelihood-ratio weight log(m/u) on agreement and
+    log((1−m)/(1−u)) on disagreement; the weights here are
+    PRE-COMPUTED numeric literals (9.2/3.0/−3.5 for
+    exact/close/other name, 2.3/0/−1.9 for segment with missing→0,
+    4.6/−2.6 for balance-within-0.7) so both engines sum identical
+    doubles — no log() calls to diverge. score ≥ 12 ⇒ 'match',
+    ≥ 3 ⇒ 'possible'; below ⇒ dropped (bounds output).
+
+    Scale story: the pair space is Σ_block |A_b|·|B_b| via the
+    nation blocking join — never |A|·|B|. Twins with a corrupted
+    nation are unreachable BY DESIGN (single-pass blocking loses
+    them; production runs multiple passes with different block keys
+    and unions candidates — exactly how the repo's LSH band passes
+    compose). The levenshtein verifier runs only inside blocks, the
+    same bounded-candidate discipline as customers_fuzzy_name_pairs
+    and the dedup family. is_true_pair makes linkage quality
+    auditable in the output itself.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    twin = cust.select(
+        F.col("c_custkey").alias("twin_id"),
+        F.when(
+            F.substring(h, 1, 1).between("0", "7"), F.col("c_name")
+        )
+        .when(
+            F.substring(h, 1, 1).isin("8", "9", "a", "b"),
+            F.lower(F.col("c_name")),
+        )
+        .otherwise(F.replace(F.col("c_name"), F.lit("#"), F.lit("@")))
+        .alias("name_b"),
+        F.when(
+            F.substring(h, 2, 1).isin("d", "e", "f"),
+            (F.col("c_nationkey") + 1) % 25,
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation_b"),
+        F.when(
+            F.substring(h, 3, 1).isin("e", "f"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_b"),
+        (
+            F.col("c_acctbal") + (F.col("c_custkey") % 5) * F.lit(0.13)
+        ).alias("bal_b"),
+    )
+    cand = cust.join(twin, F.col("c_nationkey") == F.col("nation_b"))
+    name_w = (
+        F.when(F.col("c_name") == F.col("name_b"), F.lit(9.2))
+        .when(F.levenshtein("c_name", "name_b") <= 1, F.lit(3.0))
+        .otherwise(F.lit(-3.5))
+    )
+    seg_w = (
+        F.when(F.col("seg_b").isNull(), F.lit(0.0))
+        .when(F.col("c_mktsegment") == F.col("seg_b"), F.lit(2.3))
+        .otherwise(F.lit(-1.9))
+    )
+    bal_w = F.when(
+        F.abs(F.col("c_acctbal") - F.col("bal_b")) <= 0.7, F.lit(4.6)
+    ).otherwise(F.lit(-2.6))
+    return (
+        cand.withColumn("score", name_w + seg_w + bal_w)
+        .where(F.col("score") >= 3.0)
+        .select(
+            F.col("c_custkey").alias("custkey_a"),
+            "twin_id",
+            "score",
+            F.when(F.col("score") >= 12.0, "match")
+            .otherwise("possible")
+            .alias("decision"),
+            (F.col("c_custkey") == F.col("twin_id"))
+            .cast("int")
+            .alias("is_true_pair"),
+        )
+    )

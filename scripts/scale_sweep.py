@@ -159,8 +159,12 @@ def _winnow_spec(spark, d):
 UNCAPPED = [
     ("winnowing (expression-tree spec)", _winnow_spec, "documents",
      "rolling-hash winnow spec form (linear, ~4 ms/doc constant)", False),
-    ("jaccard_pairs (uncapped)", _uncapped_jaccard, "documents",
-     "EXACT pair verifier (documented O(n^2))", False),
+    # round-10: jaccard_pairs now rides the prefix candidate generator
+    # (float output, relaxed threshold) — the all-pairs O(n^2) form is
+    # retired to pytest; this row verifies the public float path sweeps
+    # like its ppm twin below
+    ("jaccard_pairs (uncapped, prefix-path float form)", _uncapped_jaccard,
+     "documents", "EXACT pair verifier (prefix candidates)", False),
     # measured at sf0.1: naive candidates 12.50M (= ALL doc pairs),
     # prefix candidates 3.69M, true output 964,854 pairs >= 0.9 — the
     # synthetic corpus is template-heavy (7.7% of ALL pairs are true
@@ -171,8 +175,11 @@ UNCAPPED = [
     # the path is linear.
     ("jaccard_pairs_prefix (uncapped)", _uncapped_jaccard_prefix, "documents",
      "EXACT prefix-filtered verifier (output-bound on this corpus)", False),
-    ("activity_similarity (uncapped)", _uncapped_activity, "events",
-     "pair join baseline (gemm twin is the path)", False),
+    # round-10: the library path now routes through the block-pair
+    # gemm kernel (the day-join baseline is retired to pytest parity);
+    # this row and users_activity_similarity_blas measure the same code
+    ("activity_similarity (uncapped, gemm path)", _uncapped_activity,
+     "events", "block-pair gemm (library path)", False),
 ]
 
 

@@ -73,3 +73,61 @@ def test_bpe_apply_reduces_token_count(spark):
         ).collect()
     }
     assert all(r.n_tokens < raw[r.doc_id] for r in tok)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the Catalyst-fold BPE ENCODER (text_bpe_encode_tokens) vs a
+# pure-Python greedy reference — same merge table, same greedy
+# left-to-right single pass per merge in priority order.
+
+
+def _py_bpe_encode(word: str, merges) -> list[str]:
+    syms = list(word)
+    for a, b, ab in merges:
+        if len(syms) < 2:
+            break
+        out = [syms[0]]
+        for x in syms[1:]:
+            if out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_fold_matches_python_reference(spark):
+    import collections
+    import re
+
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+    from realtime_analytics_pipeline_spark.registry_docs import _BPE_MERGES
+
+    merges = [(a, b, a + b) for a, b in _BPE_MERGES]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ref_tokens = collections.Counter()
+    ref_words = collections.defaultdict(set)
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split(" "):
+            if not re.fullmatch(r"[a-z]+", w):
+                continue
+            for t in _py_bpe_encode(w, merges):
+                ref_tokens[t] += 1
+                ref_words[t].add(w)
+    got = {
+        r.token: (r.total_occurrences, r.n_distinct_words)
+        for r in QUERIES["text_bpe_encode_tokens"](spark, SF_SMOKE).collect()
+    }
+    want = {t: (n, len(ref_words[t])) for t, n in ref_tokens.items()}
+    assert got == want
+
+
+def test_bpe_encode_greedy_overlap_rule(spark):
+    # 'ththe': pass ('t','h') greedily gives [th, th, e]; the merged
+    # 'th' must NOT re-merge with a following bare 'h' in the same
+    # pass; then ('th','e') gives [th, the]
+    from realtime_analytics_pipeline_spark.registry_docs import _BPE_MERGES
+
+    merges = [(a, b, a + b) for a, b in _BPE_MERGES]
+    assert _py_bpe_encode("ththe", merges) == ["th", "the"]
+    assert _py_bpe_encode("thhe", merges) == ["th", "h", "e"]

@@ -104,3 +104,60 @@ def test_short_and_empty_docs_never_pair(spark):
     # two single-token identical docs DO pair; the empty doc never does
     got = _prefix_ppm(_docs(spark, rows), 1, 0.9)
     assert got == {(1, 2): 1_000_000}
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the PUBLIC float form (jaccard_pairs) now rides the same
+# prefix candidate generator. Its contract is pair-set + score identity
+# with the historical all-pairs inverted-index form (kept private as
+# D._jaccard_pairs_allpairs), whose pass test rounds BEFORE comparing —
+# so candidates are generated at threshold − 1e-6. These pins prove the
+# rewrite is lossless, including at the rounding boundary where the
+# unrelaxed prefix/size filters would prune a pair the float test keeps.
+
+
+def _float_pairs(fn, docs, n, t):
+    return {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in fn(docs, n=n, threshold=t).collect()
+    }
+
+
+def test_float_form_equals_allpairs_on_testdata(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for t in (0.9, 0.95):
+        assert _float_pairs(D.jaccard_pairs, docs, 1, t) == _float_pairs(
+            D._jaccard_pairs_allpairs, docs, 1, t
+        ), t
+
+
+def test_float_form_equals_allpairs_random_corpus(spark):
+    rng = random.Random(10)
+    vocab = [f"w{i}" for i in range(150)]
+    header = "shared boilerplate header tokens"
+    rows = []
+    for i in range(50):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))
+        rows.append((2 * i, f"{header} {body}"))
+        if i % 4 == 0:
+            rows.append((2 * i + 1, f"{header} {body} extra{i}"))
+    docs = _docs(spark, rows)
+    for t in (0.5, 0.8, 0.9):
+        assert _float_pairs(D.jaccard_pairs, docs, 1, t) == _float_pairs(
+            D._jaccard_pairs_allpairs, docs, 1, t
+        ), t
+
+
+def test_float_form_rounding_boundary_needs_relaxed_candidates(spark):
+    # TRUE J = 2/3 = 0.666666... < t = 0.666667, but round(J, 6) ==
+    # 0.666667 >= t, so the float form KEEPS the pair. At the
+    # UNRELAXED threshold the size filter alone would prune it
+    # (3·666667 > 2·1000000); the −1e-6 relaxation admits it
+    # (3·666666 <= 2·1000000). A dropped pair here means the
+    # candidate threshold stopped being relaxed.
+    rows = [(1, "w1 w2"), (2, "w1 w2 w3")]
+    t = 0.666667
+    docs = _docs(spark, rows)
+    got = _float_pairs(D.jaccard_pairs, docs, 1, t)
+    ref = _float_pairs(D._jaccard_pairs_allpairs, docs, 1, t)
+    assert got == ref == {(1, 2): 0.666667}
