@@ -402,17 +402,24 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # ROUND 10 window (freshness rotation, propose_window.py --refresh
-    # output pasted verbatim below): the 2 never-driver-verified names
-    # lead (session_metrics_bucketed + streaming_session_metrics_bucketed,
-    # registered mid-round-9 after the r09 window shipped, both
-    # replica-green at both SFs — ROUND_NOTES r09 items 8/18), then the
-    # 48 OLDEST-latest-green re-verification slots (the r02-era rows:
-    # tpch shapes, docs sampling/packing/quality, the streaming family,
-    # parity + analytics + curation anchors). Expected after this lands:
-    # cumulative driver-green = 300/300 oracled.
+    # ROUND 10 window, refreshed MID-ROUND (propose_window.py --refresh
+    # output pasted verbatim below) after 6 new oracled queries were
+    # registered this round: all 8 never-driver-verified names lead
+    # (the 2 round-9 bucketed-session virgins, the round-9-registered
+    # dedup_jaccard_prefix_bounded, and the 5 round-10 additions —
+    # record linkage x2, LPA communities, epoch shuffle, BPE encode;
+    # every one replica-green at sf0.001 AND sf0.01 this session), then
+    # the 42 OLDEST-latest-green re-verification slots (r02-era rows).
+    # Expected after this lands: cumulative driver-green = 306/306
+    # oracled.
     "session_metrics_bucketed",  # registry
     "streaming_session_metrics_bucketed",  # registry_streaming
+    "customers_record_linkage_fs",  # registry_relational
+    "customers_record_linkage_multipass",  # registry_relational
+    "dedup_jaccard_prefix_bounded",  # registry_docs
+    "docs_epoch_shuffle",  # registry_docs
+    "text_bpe_encode_tokens",  # registry_docs
+    "basket_graph_communities_lpa",  # registry_curation
     "tpch_q9_product_profit",  # registry_relational
     "tpch_q4_order_priority",  # registry_relational
     "tpch_q19_discounted_revenue",  # registry_relational
@@ -455,17 +462,9 @@ _VERIFY_WINDOW = [
     "value_p95_sketch_rollup_1h",  # registry_analytics
     "text_pii_redaction",  # registry_curation
     "text_tfidf_top_terms",  # registry_curation
-    "dedup_canonical_docs",  # registry_curation
-    "events_cohort_retention",  # registry_curation
-    "events_value_mad_outliers",  # registry_curation
-    "text_token_counts",  # registry_curation
-    "dedup_semantic_clustered",  # registry_curation
-    "pyds_feed_scan",  # registry_feed
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 301. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 3
-    # (the 2 in-window virgins + dedup_jaccard_prefix_bounded, registered
-    # mid-round-10 after this window shipped — it leads the r11 pool).
-    # Refresh window: 2 virgin + 48 oldest-green re-verification slots; the 251 fresher greens keep their rows.
+    # Oracled: 306. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 8.
+    # Refresh window: 8 virgin + 42 oldest-green re-verification slots; the 256 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R08 = [

@@ -138,6 +138,15 @@ SWEEP = [
     # session windows -> parquet handoff -> phase-2 stateful merge)
     ("streaming_session_metrics_bucketed", "events", 1,
      "two-phase streaming sessions (replay)", True),
+    # round-10 additions
+    ("customers_record_linkage_multipass", "customer", 3,
+     "2-pass blocked linkage join", True),
+    ("basket_graph_communities_lpa", "lineitem", 3,
+     "4-round label propagation (join+agg+top1 window per round)", True),
+    ("docs_epoch_shuffle", "documents", 3,
+     "hash shard + per-shard window sort", True),
+    ("text_bpe_encode_tokens", "documents", 3,
+     "vocab-sized nested Catalyst fold", True),
 ]
 
 def _winnow_spec(spark, d):

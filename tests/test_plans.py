@@ -471,3 +471,72 @@ def test_compute_bound_pair_joins_pin_parallelism(spark):
     # prefix inverted-index join (shingle) + verify join (doc_a) pinned
     assert jac_plan.count("REPARTITION_BY_NUM") >= 2
     assert "CartesianProduct" not in jac_plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: plan shapes for the new operator family.
+
+
+def test_record_linkage_blocking_is_hash_join_not_bnlj(spark):
+    """The FS linkage's nation blocking must plan as an equi hash/sort
+    join — a BroadcastNestedLoopJoin here would mean the blocking key
+    fell out of the join condition and the candidate space went
+    |A|x|B|."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["customers_record_linkage_fs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_multipass_two_blocked_joins(spark):
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(
+        QUERIES["customers_record_linkage_multipass"](spark, SF_SMOKE)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the union of the two passes dedups candidate pairs before the
+    # comparators: an aggregate (distinct) must sit above the union
+    assert "Union" in plan and "HashAggregate" in plan
+
+
+def test_epoch_shuffle_no_single_partition_sort(spark):
+    """The epoch shuffle must never plan a GLOBAL sort or a
+    single-partition window — the whole point is that per-shard
+    ordering distributes. A 'Window' over an empty partition spec
+    would show as 'SinglePartition' in the exchange."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["docs_epoch_shuffle"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_lpa_votes_aggregate_partially(spark):
+    """Each LPA round's vote count must be a two-phase hash aggregate
+    (partial map-side combine) so a celebrity node's votes shrink
+    before the shuffle — the skew posture the salted-agg suite proves
+    for the reference surface."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(
+        QUERIES["basket_graph_communities_lpa"](spark, SF_SMOKE)
+    )
+    # 4 rounds x (partial + final) vote aggregates, plus edge/degree
+    # aggs: partial_count must appear at least once per round
+    assert plan.count("partial_count") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_vocab_sized_fold_no_python(spark):
+    """The BPE encoder must (a) contain no Python evaluation node —
+    the fold is pure Catalyst — and (b) aggregate words BEFORE
+    encoding (the distinct-word trick), i.e. a hash aggregate feeds
+    the projection that carries the fold."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    plan = plan_of(QUERIES["text_bpe_encode_tokens"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "aggregate" in plan.lower()
