@@ -99,6 +99,12 @@ QUERIES = [
     "jdbc_metrics_roundtrip",
     "feed_keyed_roundtrip",
     "dedup_tokenset_jaccard",
+    # round 10
+    "customers_record_linkage_fs",
+    "customers_record_linkage_multipass",
+    "basket_graph_communities_lpa",
+    "docs_epoch_shuffle",
+    "text_bpe_encode_tokens",
 ]
 
 
