@@ -156,6 +156,12 @@ HEADLINE = [
     # dups) corpus — linear output, unlike the template-heavy driver
     # corpus the capped verifiers run on
     "dedup_jaccard_prefix_bounded",
+    # round-10 second block: record linkage (composite-key blocking),
+    # LPA communities, epoch shuffle, BPE Arrow-kernel tokenization
+    "customers_record_linkage_multipass",
+    "basket_graph_communities_lpa",
+    "docs_epoch_shuffle",
+    "text_bpe_encode_tokens_kernel",
 ]
 
 

@@ -403,15 +403,15 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 
 _VERIFY_WINDOW = [
     # ROUND 10 window, refreshed MID-ROUND (propose_window.py --refresh
-    # output pasted verbatim below) after 6 new oracled queries were
-    # registered this round: all 8 never-driver-verified names lead
-    # (the 2 round-9 bucketed-session virgins, the round-9-registered
-    # dedup_jaccard_prefix_bounded, and the 5 round-10 additions —
-    # record linkage x2, LPA communities, epoch shuffle, BPE encode;
-    # every one replica-green at sf0.001 AND sf0.01 this session), then
-    # the 42 OLDEST-latest-green re-verification slots (r02-era rows).
-    # Expected after this lands: cumulative driver-green = 306/306
-    # oracled.
+    # output pasted verbatim below) after the round's new oracled
+    # queries were registered: all 9 never-driver-verified names lead
+    # (2 round-9 bucketed-session virgins, dedup_jaccard_prefix_bounded,
+    # the 5 round-10 additions — record linkage x2, LPA communities,
+    # epoch shuffle, BPE fold — and the BPE Arrow-kernel twin; every
+    # one replica-green at sf0.001 AND sf0.01 this session), then the
+    # 41 OLDEST-latest-green re-verification slots (r02-era rows).
+    # Expected after CORRECTNESS_r10: cumulative driver-green =
+    # 307/307 oracled.
     "session_metrics_bucketed",  # registry
     "streaming_session_metrics_bucketed",  # registry_streaming
     "customers_record_linkage_fs",  # registry_relational
@@ -420,6 +420,7 @@ _VERIFY_WINDOW = [
     "docs_epoch_shuffle",  # registry_docs
     "text_bpe_encode_tokens",  # registry_docs
     "basket_graph_communities_lpa",  # registry_curation
+    "text_bpe_encode_tokens_kernel",  # registry_docs
     "tpch_q9_product_profit",  # registry_relational
     "tpch_q4_order_priority",  # registry_relational
     "tpch_q19_discounted_revenue",  # registry_relational
@@ -461,10 +462,9 @@ _VERIFY_WINDOW = [
     "dq_constraint_report",  # registry_analytics
     "value_p95_sketch_rollup_1h",  # registry_analytics
     "text_pii_redaction",  # registry_curation
-    "text_tfidf_top_terms",  # registry_curation
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 306. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 8.
-    # Refresh window: 8 virgin + 42 oldest-green re-verification slots; the 256 fresher greens keep their rows.
+    # Oracled: 307. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 9.
+    # Refresh window: 9 virgin + 41 oldest-green re-verification slots; the 257 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R08 = [

@@ -2048,7 +2048,10 @@ b AS (
 cand AS (
     SELECT a.c_custkey, b.twin_id, a.c_name, b.name_b,
            a.c_mktsegment, b.seg_b, a.c_acctbal, b.bal_b
-    FROM customer a JOIN b ON a.c_nationkey = b.nation_b),
+    FROM customer a
+    JOIN b ON a.c_nationkey = b.nation_b
+          AND upper(substr(a.c_name, length(a.c_name) - 3, 4))
+            = upper(substr(b.name_b, length(b.name_b) - 3, 4))),
 scored AS (
     SELECT c_custkey, twin_id,
            (CASE WHEN c_name = name_b THEN 9.2e0
@@ -2087,14 +2090,20 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 3 ⇒ 'possible'; below ⇒ dropped (bounds output).
 
     Scale story: the pair space is Σ_block |A_b|·|B_b| via the
-    nation blocking join — never |A|·|B|. Twins with a corrupted
-    nation are unreachable BY DESIGN (single-pass blocking loses
-    them; production runs multiple passes with different block keys
-    and unions candidates — exactly how the repo's LSH band passes
-    compose). The levenshtein verifier runs only inside blocks, the
-    same bounded-candidate discipline as customers_fuzzy_name_pairs
-    and the dedup family. is_true_pair makes linkage quality
-    auditable in the output itself.
+    COMPOSITE block key (nation, case-folded last-4 name chars) —
+    never |A|·|B|. The composite matters: nation alone has 25 values,
+    so its blocks grow linearly with n and the candidate space is
+    Θ(n²/25) — a degenerate-block cross join that only reveals itself
+    at scale (measured: minutes at 150k customers vs 1.8 s with the
+    composite; same hot-bucket class as a boilerplate LSH band).
+    Block keys must be chosen by MEASURED selectivity. Twins with a
+    corrupted nation are unreachable BY DESIGN (single-pass blocking
+    loses them — recall 1212/1500 at sf0.01; production runs multiple
+    passes and unions candidates, see the multipass twin below). The
+    levenshtein verifier runs only inside blocks, the same
+    bounded-candidate discipline as customers_fuzzy_name_pairs and
+    the dedup family. is_true_pair makes linkage quality auditable in
+    the output itself.
     """
     cust = load_table(spark, sf_dir, "customer")
     h = F.md5(F.col("c_custkey").cast("string"))
@@ -2125,7 +2134,12 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal") + (F.col("c_custkey") % 5) * F.lit(0.13)
         ).alias("bal_b"),
     )
-    cand = cust.join(twin, F.col("c_nationkey") == F.col("nation_b"))
+    tail_a = F.upper(F.expr("substr(c_name, length(c_name) - 3, 4)"))
+    tail_b = F.upper(F.expr("substr(name_b, length(name_b) - 3, 4)"))
+    cand = cust.join(
+        twin,
+        (F.col("c_nationkey") == F.col("nation_b")) & (tail_a == tail_b),
+    )
     name_w = (
         F.when(F.col("c_name") == F.col("name_b"), F.lit(9.2))
         .when(F.levenshtein("c_name", "name_b") <= 1, F.lit(3.0))
@@ -2178,12 +2192,17 @@ b AS (
 cand AS (
     SELECT a.c_custkey, b.twin_id, a.c_name, b.name_b,
            a.c_mktsegment, b.seg_b, a.c_acctbal, b.bal_b
-    FROM customer a JOIN b ON a.c_nationkey = b.nation_b
+    FROM customer a
+    JOIN b ON a.c_nationkey = b.nation_b
+          AND upper(substr(a.c_name, length(a.c_name) - 3, 4))
+            = upper(substr(b.name_b, length(b.name_b) - 3, 4))
     UNION
     SELECT a.c_custkey, b.twin_id, a.c_name, b.name_b,
            a.c_mktsegment, b.seg_b, a.c_acctbal, b.bal_b
     FROM customer a
-    JOIN b ON upper(substr(a.c_name, 1, 12)) = upper(substr(b.name_b, 1, 12))),
+    JOIN b ON upper(substr(a.c_name, length(a.c_name) - 3, 4))
+            = upper(substr(b.name_b, length(b.name_b) - 3, 4))
+          AND a.c_mktsegment = b.seg_b),
 scored AS (
     SELECT c_custkey, twin_id,
            (CASE WHEN c_name = name_b THEN 9.2e0
@@ -2207,21 +2226,30 @@ WHERE score >= 3.0e0
 def q_record_linkage_multipass(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Multi-pass blocking for the Fellegi–Sunter linkage above: pass 1
-    blocks on nation, pass 2 on the case-folded 12-char name prefix
-    ('Customer#000'-class stems survive both the lowercase and '@'
-    corruptions); candidates are the set-UNION of both passes, then
-    the identical scoring runs once. This is how production linkage
-    recovers blocking misses — twins with a corrupted nation are
-    invisible to pass 1 but still share the name-prefix block, so
-    recall rises without ever forming the |A|·|B| cross space (each
-    pass is its own bounded-block join; the union dedups candidate
-    pairs before the expensive comparators). Measured at sf0.01:
-    true-pair recall 1212/1500 (pass 1 alone) → 1430/1500; the
-    residue is twins whose nation AND name prefix are both corrupted
-    ('@' typo hits char 9 of the 12-char stem) — reachable only by a
-    third pass on another key, the standard trade. Same composition
-    as the repo's LSH band passes and banded edit-distance blocks."""
+    """Multi-pass blocking for the Fellegi–Sunter linkage above:
+    pass 1 blocks on (nation, name tail) like the single-pass form;
+    pass 2 on (name tail, segment) — independent of nation, so it
+    reaches the twins pass 1 loses to nation corruption. Candidates
+    are the set-UNION of both passes, then the identical scoring runs
+    once. This is how production linkage recovers blocking misses:
+    recall rises without ever forming the |A|·|B| cross space — each
+    pass is a bounded-block equi join on a MEASURED-selectivity
+    composite key, and the union dedups candidates before the
+    comparators. Measured at sf0.01: true-pair recall 1212/1500
+    (pass 1 alone) → 1451/1500; the residue is twins with corrupted
+    nation AND missing segment (≈0.19·0.125 of the register) —
+    reachable only by a third pass on another key, the standard
+    recall/cost trade. 4.0 s at 150k customers (.scale sf1).
+
+    Round-10 lesson baked into this query (first draft stalled the
+    scale sweep): pass 2 originally blocked on the 12-char name
+    PREFIX — on this corpus the constant boilerplate stem
+    'Customer#000…', one block holding every row, a full cross join
+    invisible at 1.5k customers and 2.25e10 candidate pairs at 150k;
+    and nation-only pass-1 blocks grow linearly with n (Θ(n²/25)).
+    Same degenerate-bucket class as a hot LSH band; the fix is the
+    same — block keys chosen by measured value distribution, never
+    assumed."""
     cust = load_table(spark, sf_dir, "customer")
     h = F.md5(F.col("c_custkey").cast("string"))
     twin = cust.select(
@@ -2255,13 +2283,15 @@ def q_record_linkage_multipass(
         "c_custkey", "twin_id", "c_name", "name_b",
         "c_mktsegment", "seg_b", "c_acctbal", "bal_b",
     ]
-    pass1 = cust.join(twin, F.col("c_nationkey") == F.col("nation_b")).select(
-        *cols
-    )
+    tail_a = F.upper(F.expr("substr(c_name, length(c_name) - 3, 4)"))
+    tail_b = F.upper(F.expr("substr(name_b, length(name_b) - 3, 4)"))
+    pass1 = cust.join(
+        twin,
+        (F.col("c_nationkey") == F.col("nation_b")) & (tail_a == tail_b),
+    ).select(*cols)
     pass2 = cust.join(
         twin,
-        F.upper(F.substring("c_name", 1, 12))
-        == F.upper(F.substring("name_b", 1, 12)),
+        (tail_a == tail_b) & (F.col("c_mktsegment") == F.col("seg_b")),
     ).select(*cols)
     cand = pass1.unionByName(pass2).distinct()
     name_w = (

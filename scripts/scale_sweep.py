@@ -146,7 +146,9 @@ SWEEP = [
     ("docs_epoch_shuffle", "documents", 3,
      "hash shard + per-shard window sort", True),
     ("text_bpe_encode_tokens", "documents", 3,
-     "vocab-sized nested Catalyst fold", True),
+     "vocab-sized nested Catalyst fold (spec form)", True),
+    ("text_bpe_encode_tokens_kernel", "documents", 3,
+     "vocab-sized Arrow kernel (constant-factor path)", True),
 ]
 
 def _winnow_spec(spark, d):

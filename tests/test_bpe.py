@@ -131,3 +131,23 @@ def test_bpe_encode_greedy_overlap_rule(spark):
     merges = [(a, b, a + b) for a, b in _BPE_MERGES]
     assert _py_bpe_encode("ththe", merges) == ["th", "the"]
     assert _py_bpe_encode("thhe", merges) == ["th", "h", "e"]
+
+
+def test_bpe_kernel_twin_matches_fold_form(spark):
+    """The Arrow-kernel encoder must emit token-for-token identical
+    aggregates to the Catalyst-fold spec form — same merge table, same
+    greedy pass semantics (this pin is what licenses sharing the SQL
+    oracle)."""
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    fold = {
+        tuple(r)
+        for r in QUERIES["text_bpe_encode_tokens"](spark, SF_SMOKE).collect()
+    }
+    kern = {
+        tuple(r)
+        for r in QUERIES["text_bpe_encode_tokens_kernel"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert fold == kern and len(fold) > 0
