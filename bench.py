@@ -159,6 +159,8 @@ HEADLINE = [
     # round-10 second block: record linkage (composite-key blocking),
     # LPA communities, epoch shuffle, BPE Arrow-kernel tokenization
     "customers_record_linkage_multipass",
+    "customers_record_linkage_em",
+    "customers_blocking_quality",
     "basket_graph_communities_lpa",
     "docs_epoch_shuffle",
     "text_bpe_encode_tokens_kernel",

@@ -141,6 +141,10 @@ SWEEP = [
     # round-10 additions
     ("customers_record_linkage_multipass", "customer", 3,
      "2-pass blocked linkage join", True),
+    ("customers_record_linkage_em", "customer", 3,
+     "2-iteration EM fit, md5 cap 3000", True),
+    ("customers_blocking_quality", "customer", 3,
+     "per-key block profile (group-bys only)", True),
     ("basket_graph_communities_lpa", "lineitem", 3,
      "4-round label propagation (join+agg+top1 window per round)", True),
     ("docs_epoch_shuffle", "documents", 3,
