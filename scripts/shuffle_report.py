@@ -105,6 +105,9 @@ QUERIES = [
     "basket_graph_communities_lpa",
     "docs_epoch_shuffle",
     "text_bpe_encode_tokens",
+    "text_bpe_encode_tokens_kernel",
+    "customers_record_linkage_em",
+    "customers_blocking_quality",
 ]
 
 

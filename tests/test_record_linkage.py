@@ -107,3 +107,18 @@ def test_block_keys_are_selective(spark):
                  GROUP BY upper(substr(c_name, 1, 12)))"""
         ).fetchone()
         assert blocks == 1 and mx == n  # degenerate — why it was dropped
+
+
+def test_em_recovers_planted_model(spark):
+    """The 2-iteration EM fit must land near the PLANTED corruption
+    model without labels: match prior ~ true twin fraction of the
+    block, m/u cleanly separated on the balance comparator (the
+    near-perfect discriminator), and m_name mass on exact+close."""
+    row = QUERIES["customers_record_linkage_em"](
+        spark, SF_CORRECTNESS
+    ).collect()[0]
+    # true pairs in the nation block / block pairs = 1212/91619
+    assert abs(row.p_hat - 1212 / 91619) < 0.002
+    assert row.m_bal_agree > 0.95 and row.u_bal_agree < 0.01
+    assert row.m_name_exact + row.m_name_close > 0.95
+    assert row.u_name_exact < 0.01
