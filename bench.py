@@ -164,6 +164,7 @@ HEADLINE = [
     "basket_graph_communities_lpa",
     "docs_epoch_shuffle",
     "text_bpe_encode_tokens_kernel",
+    "sample_docs_reservoir_weighted",
 ]
 
 

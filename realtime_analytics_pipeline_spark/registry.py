@@ -404,15 +404,15 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 _VERIFY_WINDOW = [
     # ROUND 10 window, refreshed MID-ROUND (propose_window.py --refresh
     # output pasted verbatim below) after the round's new oracled
-    # queries were registered: all 11 never-driver-verified names lead
+    # queries were registered: all 12 never-driver-verified names lead
     # (2 round-9 bucketed-session virgins, dedup_jaccard_prefix_bounded,
-    # and the 8 round-10 additions — FS record linkage single-pass /
+    # and the 9 round-10 additions — FS record linkage single-pass /
     # multipass / EM estimator / blocking-quality audit, LPA
-    # communities, epoch shuffle, BPE fold + Arrow-kernel twin; every
-    # one replica-green at sf0.001 AND sf0.01 this session), then the
-    # 39 OLDEST-latest-green re-verification slots (r02-era rows).
-    # Expected after CORRECTNESS_r10: cumulative driver-green =
-    # 309/309 oracled.
+    # communities, epoch shuffle, BPE fold + Arrow-kernel twin, A-ES
+    # weighted reservoir; every one replica-green at sf0.001 AND
+    # sf0.01 this session), then the 38 OLDEST-latest-green
+    # re-verification slots (r02-era rows). Expected after
+    # CORRECTNESS_r10: cumulative driver-green = 310/310 oracled.
     "session_metrics_bucketed",  # registry
     "streaming_session_metrics_bucketed",  # registry_streaming
     "customers_record_linkage_fs",  # registry_relational
@@ -424,6 +424,7 @@ _VERIFY_WINDOW = [
     "text_bpe_encode_tokens_kernel",  # registry_docs
     "customers_blocking_quality",  # registry_relational
     "customers_record_linkage_em",  # registry_relational
+    "sample_docs_reservoir_weighted",  # registry_docs
     "tpch_q9_product_profit",  # registry_relational
     "tpch_q4_order_priority",  # registry_relational
     "tpch_q19_discounted_revenue",  # registry_relational
@@ -462,10 +463,9 @@ _VERIFY_WINDOW = [
     "value_drift_daily",  # registry_analytics
     "funnel_view_click_purchase",  # registry_analytics
     "customer_spend_scd2",  # registry_analytics
-    "dq_constraint_report",  # registry_analytics
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 309. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 11.
-    # Refresh window: 11 virgin + 39 oldest-green re-verification slots; the 259 fresher greens keep their rows.
+    # Oracled: 310. Driver-green (CORRECTNESS_r*): 298. Never-driver-verified: 12.
+    # Refresh window: 12 virgin + 38 oldest-green re-verification slots; the 260 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R08 = [

@@ -4296,3 +4296,82 @@ def q_text_bpe_encode_tokens_kernel(
         F.sum("cnt").cast("bigint").alias("total_occurrences"),
         F.countDistinct("word").cast("bigint").alias("n_distinct_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-10: weighted reservoir sampling WITHOUT replacement
+# (Efraimidis–Spirakis 2006, A-ES — public method): fixed-size-k sample
+# with inclusion probability ∝ weight, as one orderBy+limit.
+# --------------------------------------------------------------------------
+
+_RESERVOIR_K = 100
+
+_RESERVOIR_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           round(0.4 * least(1.0, len({_SPLIT}) * 1.0 / 100.0)
+                 + 0.3 * (1 - len({_SW}) * 1.0 / len({_SPLIT}))
+                 + 0.3 * (len(list_distinct({_SPLIT})) * 1.0 / len({_SPLIT})),
+                 6) AS quality_score
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source, quality_score,
+           ln(({_bucket_sql("CAST(doc_id AS VARCHAR)", "res")} + 1)
+              / 65537.0e0)
+             / greatest(quality_score, 0.01e0) AS es_key
+    FROM scored
+)
+SELECT doc_id, source, quality_score, round(es_key, 6) + 0.0e0 AS es_key
+FROM (SELECT * FROM keyed ORDER BY es_key DESC, doc_id
+      LIMIT {_RESERVOIR_K})
+"""
+
+
+@register("sample_docs_reservoir_weighted", _RESERVOIR_SQL)
+def q_sample_docs_reservoir_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k docs
+    (Efraimidis–Spirakis 2006 A-ES, public method): each doc gets the
+    key u^(1/w) for a seeded uniform u — here compared in the
+    equivalent monotone form ln(u)/w — and the k LARGEST keys are the
+    sample; inclusion probability is proportional to weight (the
+    quality score, floored at 0.01 so zero-quality docs keep a
+    nonzero key). Complements sample_docs_weighted (Bernoulli
+    importance sampling: random SIZE, independent keeps) when the
+    budget is a hard k — the standard mixture-sampling primitive for
+    assembling a fixed-token training batch by quality.
+
+    Determinism + scale: u is the md5 bucket ((b+1)/65537 ∈ (0,1)),
+    so the sample is a pure function of doc_id — reproducible across
+    engines and resumable; the selection compiles to
+    TakeOrderedAndProject (per-partition top-k heaps, driver merges
+    k rows — no global sort, no single-partition window), the same
+    plan class as the serving top-N. Cross-engine float note: the
+    ln() is the only libm call; adjacent order-statistic gaps are
+    ~1/n² ≫ 1 ulp, and the emitted key is rounded to 6 — the ordering
+    itself is ULP-stable at any realistic corpus size."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.join(T.quality_scores(docs), "doc_id").select(
+        "doc_id", "source", "quality_score"
+    )
+    u = (hash_bucket(F.col("doc_id").cast("string"), "res") + F.lit(1)) / F.lit(
+        65537.0
+    )
+    es_key = F.log(u) / F.greatest(F.col("quality_score"), F.lit(0.01))
+    return (
+        scored.withColumn("es_key_raw", es_key)
+        .orderBy(F.col("es_key_raw").desc(), "doc_id")
+        .limit(_RESERVOIR_K)
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            (F.round("es_key_raw", 6) + F.lit(0.0)).alias("es_key"),
+        )
+    )

@@ -153,6 +153,8 @@ SWEEP = [
      "vocab-sized nested Catalyst fold (spec form)", True),
     ("text_bpe_encode_tokens_kernel", "documents", 3,
      "vocab-sized Arrow kernel (constant-factor path)", True),
+    ("sample_docs_reservoir_weighted", "documents", 3,
+     "A-ES top-k heaps (TakeOrderedAndProject)", True),
 ]
 
 def _winnow_spec(spark, d):

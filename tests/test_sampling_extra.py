@@ -38,3 +38,53 @@ def test_coverage_selection_matches_reference(spark):
     # submodularity: marginal gains are non-increasing
     gains = [r.marginal_gain for r in got]
     assert gains == sorted(gains, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-10: A-ES weighted reservoir (fixed-k without replacement).
+
+
+def test_reservoir_weighted_exact_k_and_plan(spark):
+    from tests.test_plans import plan_of
+    from realtime_analytics_pipeline_spark.registry import QUERIES
+
+    df = QUERIES["sample_docs_reservoir_weighted"](
+        spark, "/root/testdata/sf0.01"
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert len({r.doc_id for r in rows}) == 100  # without replacement
+    # selection must be per-partition top-k heaps, never a global sort
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_reservoir_weight_scale_invariance(spark):
+    """A-ES invariance: multiplying every weight by a constant leaves
+    the ln(u)/w ORDER — and therefore the selected sample — unchanged.
+    A selection rule that breaks this is not sampling ∝ weight."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from realtime_analytics_pipeline_spark.operators import (
+        text_analysis as T,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.join(T.quality_scores(docs), "doc_id").select(
+        "doc_id", "quality_score"
+    )
+    u = (hash_bucket(F.col("doc_id").cast("string"), "res") + F.lit(1)) / F.lit(
+        65537.0
+    )
+
+    def pick(scale):
+        w = F.greatest(F.col("quality_score"), F.lit(0.01)) * F.lit(scale)
+        key = F.log(u) / w
+        return [
+            r.doc_id
+            for r in scored.orderBy(key.desc(), "doc_id").limit(50).collect()
+        ]
+
+    assert pick(1.0) == pick(7.0) == pick(0.25)
