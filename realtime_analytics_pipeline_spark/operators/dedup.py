@@ -434,6 +434,29 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sigs: DataFrame, num_perm: int = 64, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band assignment over minhash
+    signatures — the pair-forming key of minhash_lsh_pairs, exposed so
+    its bucket-size distribution can be AUDITED before any pair join
+    (the degenerate-block doctrine: a hot bucket hides a cross join
+    inside a clean equi-join plan)."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for j in range(bands):
+        slots = [
+            F.col("sig").getItem(j * rows_per_band + k)
+            for k in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(j).alias("band"), F.xxhash64(*slots).alias("bucket"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 1,
@@ -453,21 +476,8 @@ def minhash_lsh_pairs(
     half the candidate volume of 16×4 banding. Tune bands up (shorter
     rows) only when hunting lower-similarity pairs.
     """
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(documents, n, num_perm)
-    band_cols = []
-    for j in range(bands):
-        slots = [
-            F.col("sig").getItem(j * rows_per_band + k)
-            for k in range(rows_per_band)
-        ]
-        band_cols.append(
-            F.struct(F.lit(j).alias("band"), F.xxhash64(*slots).alias("bucket"))
-        )
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
-
+    buckets = minhash_band_buckets(sigs, num_perm, bands)
     cands = _salted_pairs(buckets, ["band", "bucket"]).distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -1076,6 +1086,59 @@ def all_pairs_equi(
 MINHASH_CAL_PERMS = 16
 
 
+def md5_trigrams(documents: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles per doc — the oracle-replayable
+    shingle base shared by minhash_calibration and the LSH
+    blocking-quality audit (DuckDB twin: _TRIGRAM_LIST)."""
+    return documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) >= 3 THEN "
+                "transform(sequence(1, size(split(text,' ')) - 2), "
+                "i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
+                "ELSE slice(split(text,' '), 1, 0) END"
+            )
+        ).alias("gram"),
+    ).distinct()
+
+
+def minhash_md5_signatures(
+    documents: DataFrame, num_perm: int = MINHASH_CAL_PERMS
+) -> DataFrame:
+    """(doc_id, sig) with sig = array of ``num_perm`` MinHash values
+    ordered by permutation index. md5-derived permutations (48-bit so
+    min() never ties by overflow) — engine-portable, so a DuckDB
+    oracle replays the sketch bit-for-bit. The production sketches
+    (minhash_signatures above) use Spark-native xxhash64 instead —
+    faster, but rows-only at the gate."""
+    grams = md5_trigrams(documents)
+    perm = grams.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}#"), F.col("gram"))),
+                            1, 12,
+                        ), 16, 10,
+                    ).cast("long").alias("h"),
+                )
+                for i in range(num_perm)
+            ])
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
+    return (
+        perm.groupBy("doc_id", "i")
+        .agg(F.min("h").alias("m"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sig"))
+        .select("doc_id", F.col("sig.m").alias("sig"))
+    )
+
+
 def minhash_calibration(
     documents: DataFrame, sample_bucket_max: int = 6553
 ) -> DataFrame:
@@ -1093,42 +1156,8 @@ def minhash_calibration(
     the audit is a *calibration tool* run on a sample by construction,
     not a corpus-scale dedup path.
     """
-    grams = documents.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text,' ')) >= 3 THEN "
-                "transform(sequence(1, size(split(text,' ')) - 2), "
-                "i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
-                "ELSE slice(split(text,' '), 1, 0) END"
-            )
-        ).alias("gram"),
-    ).distinct()
-    # 16 md5 permutations; 48-bit values so min() never ties by overflow
-    perm = grams.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}#"), F.col("gram"))),
-                            1, 12,
-                        ), 16, 10,
-                    ).cast("long").alias("h"),
-                )
-                for i in range(MINHASH_CAL_PERMS)
-            ])
-        ).alias("p"),
-    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
-    sigs = (
-        perm.groupBy("doc_id", "i")
-        .agg(F.min("h").alias("m"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sig"))
-        .select("doc_id", F.col("sig.m").alias("sig"))
-    )
+    grams = md5_trigrams(documents)
+    sigs = minhash_md5_signatures(documents)
     sets_ = grams.groupBy("doc_id").agg(
         F.collect_set("gram").alias("gset")
     )

@@ -4375,3 +4375,186 @@ def q_sample_docs_reservoir_weighted(
             (F.round("es_key_raw", 6) + F.lit(0.0)).alias("es_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11: LSH blocking-quality audit — the record-linkage blocking
+# audit's shape (customers_blocking_quality) generalized over the
+# repo's bucket-forming dedup surfaces. Doctrine: degenerate buckets
+# hide cross joins inside clean equi-join plans; MEASURE the bucket
+# distribution before launching any pair join.
+# --------------------------------------------------------------------------
+
+
+def _lsh_blocking_sql() -> str:
+    h48 = _hex_int_sql("md5(CAST(i AS VARCHAR) || '#' || gram)", 12)
+    km_inner = _kmeans_oracle_sql(final="SELECT vec_id, cluster FROM a3")
+    metric_rows = []
+    for name, sizes, n_ent in (
+        ("minhash_band_4x4", "mh_sizes",
+         "(SELECT count(DISTINCT doc_id) FROM g)"),
+        ("kmeans_cell", "km_sizes", "(SELECT count(*) FROM embeddings)"),
+        ("exact_md5_text", "ex_sizes", "(SELECT count(*) FROM documents)"),
+    ):
+        metric_rows.append(f"""
+SELECT '{name}' AS surface,
+       CAST({n_ent} AS BIGINT) AS n_entities,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(cnt) AS BIGINT) AS max_block,
+       CAST(coalesce(sum((cnt * (cnt - 1)) // 2), 0) AS BIGINT)
+           AS cand_pairs,
+       CAST(coalesce(max((cnt * (cnt - 1)) // 2), 0) AS BIGINT)
+           AS max_block_pairs
+FROM {sizes}""")
+    body = "\nUNION ALL".join(metric_rows)
+    return f"""
+WITH g AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({_TRIGRAM_LIST}) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+),
+sig AS (
+    SELECT doc_id, i, min(h) AS m FROM (
+        SELECT doc_id, i, {h48} AS h
+        FROM g CROSS JOIN (SELECT unnest(range(0, 16)) AS i)
+    ) GROUP BY 1, 2
+),
+mh_sizes AS (
+    SELECT k, count(*) AS cnt FROM (
+        SELECT doc_id,
+               md5(CAST(i // 4 AS VARCHAR) || ':' ||
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS k
+        FROM sig GROUP BY doc_id, i // 4
+    ) GROUP BY 1
+),
+km_sizes AS (
+    SELECT cluster AS k, count(*) AS cnt
+    FROM ({km_inner}) GROUP BY 1
+),
+ex_sizes AS (
+    SELECT md5(text) AS k, count(*) AS cnt FROM documents GROUP BY 1
+),
+metrics AS ({body})
+SELECT surface, n_entities, n_blocks, max_block, cand_pairs,
+       CAST(floor(CAST(cand_pairs AS DOUBLE) * 1000000e0 /
+            (CAST(n_entities AS DOUBLE)
+             * (CAST(n_entities AS DOUBLE) - 1e0) / 2e0))
+           AS BIGINT) AS cand_frac_ppm,
+       CASE WHEN cand_pairs = 0 THEN 0
+            ELSE CAST(floor(CAST(max_block_pairs AS DOUBLE) * 1000000e0
+                 / CAST(cand_pairs AS DOUBLE)) AS BIGINT) END
+           AS hot_share_ppm
+FROM metrics
+"""
+
+
+_LSH_BLOCKING_SQL = _lsh_blocking_sql()
+
+
+@register("docs_lsh_blocking_quality", _LSH_BLOCKING_SQL)
+def q_docs_lsh_blocking_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocking-quality audit over the THREE bucket-forming dedup
+    surfaces — MinHash LSH band buckets (md5-keyed 16-perm signature,
+    4 bands x 4 rows, the oracle-replayable twin of the production
+    xxhash64 banding), k-means quantizer cells (the semantic-dedup
+    candidate scope), and the exact-dedup md5(text) key. Per surface:
+    entity count, block count, largest block, candidate-pair volume
+    sum_k C(n_k, 2), candidate fraction of the C(N, 2) cross space
+    (ppm; the MinHash surface counts each band's key space, so its
+    ceiling is bands x 1e6), and the HOT share — the fraction of all
+    candidate pairs contributed by the single largest block, the
+    number that says whether one degenerate bucket owns the join.
+
+    This is customers_blocking_quality generalized per the round-10
+    verdict: linkage block keys had a gated audit, LSH bands and
+    k-means cells did not — yet a hot band is exactly the same
+    failure (round-10 measured a 34%-hot k-means cell at sf0.1, which
+    is why clustered_dup_pairs salts hot cells). At 100 TB this query
+    is the pre-flight check before any LSH pair join: one group-by
+    per surface, no pair ever materializes. Ground truth (planted
+    twins) doesn't exist for these surfaces, so the metrics are
+    structural — the completeness half lives with the linkage audit."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        kmeans_lite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = D.minhash_md5_signatures(docs)
+    mh_keys = sigs.select(
+        F.explode(
+            F.array(*[
+                F.md5(
+                    F.concat(
+                        F.lit(f"{j}:"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")
+                                .getItem(j * 4 + k)
+                                .cast("string")
+                                for k in range(4)
+                            ],
+                        ),
+                    )
+                )
+                for j in range(4)
+            ])
+        ).alias("k")
+    )
+    mh_sizes = mh_keys.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    km_sizes = (
+        kmeans_lite(emb)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ex_sizes = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # 1-row sizing aggregates (documented bounded-collect convention)
+    n_mh = sigs.count()
+    n_km = emb.count()
+    n_ex = docs.count()
+
+    def metrics(sizes: DataFrame, surface: str, n: int) -> DataFrame:
+        pairs = F.expr("(cnt * (cnt - 1)) div 2")
+        agg = sizes.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("cnt").alias("max_block"),
+            F.coalesce(F.sum(pairs), F.lit(0)).alias("cand_pairs"),
+            F.coalesce(F.max(pairs), F.lit(0)).alias("max_block_pairs"),
+        )
+        total = float(n) * (float(n) - 1.0) / 2.0
+        return agg.select(
+            F.lit(surface).alias("surface"),
+            F.lit(n).cast("bigint").alias("n_entities"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("max_block").cast("bigint").alias("max_block"),
+            F.col("cand_pairs").cast("bigint").alias("cand_pairs"),
+            F.floor(
+                F.col("cand_pairs").cast("double")
+                * F.lit(1000000.0)
+                / F.lit(total)
+            )
+            .cast("bigint")
+            .alias("cand_frac_ppm"),
+            F.when(F.col("cand_pairs") == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.col("max_block_pairs").cast("double")
+                    * F.lit(1000000.0)
+                    / F.col("cand_pairs").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("hot_share_ppm"),
+        )
+
+    return (
+        metrics(mh_sizes, "minhash_band_4x4", n_mh)
+        .unionByName(metrics(km_sizes, "kmeans_cell", n_km))
+        .unionByName(metrics(ex_sizes, "exact_md5_text", n_ex))
+    )

@@ -777,6 +777,70 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q22_RECENT_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+    SELECT c_custkey % 10 AS cntrycode, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+)
+GROUP BY cntrycode
+"""
+
+
+@register("tpch_q22_recent_idle_customers", _Q22_RECENT_SQL)
+def q_tpch_q22_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape with a NON-VACUOUS gate vector (round-10 verdict:
+    the classic form matches on 0/0 rows at sf0.01 because every
+    customer in this corpus has at least one order, so the anti-join
+    was never data-exercised). 'Idle' here means no orders SINCE
+    2000-01-01 — the NOT EXISTS subquery gains a date predicate, the
+    anti-join right side shrinks to recent orders (filter pushed below
+    the join, exactly what you want at 100 TB), and the result is
+    5 / 55 / 646 customers at sf0.001/0.01/0.1 — rows at every gate
+    SF. Same uncorrelated scalar-subquery gate (global average of
+    positive balances, broadcast 1-row cross join) as the classic
+    form."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    orders_recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders_recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        rich.select(
+            (F.col("c_custkey") % 10).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 _Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
@@ -2202,7 +2266,16 @@ cand AS (
     FROM customer a
     JOIN b ON upper(substr(a.c_name, length(a.c_name) - 3, 4))
             = upper(substr(b.name_b, length(b.name_b) - 3, 4))
-          AND a.c_mktsegment = b.seg_b),
+          AND a.c_mktsegment = b.seg_b
+    UNION
+    SELECT a.c_custkey, b3.twin_id, a.c_name, b3.name_b,
+           a.c_mktsegment, b3.seg_b, a.c_acctbal, b3.bal_b
+    FROM customer a
+    JOIN (SELECT b.*, CAST(floor(b.bal_b) AS BIGINT) - off.o AS band
+          FROM b CROSS JOIN (VALUES (0), (1)) AS off(o)) b3
+      ON upper(substr(a.c_name, length(a.c_name) - 3, 4))
+       = upper(substr(b3.name_b, length(b3.name_b) - 3, 4))
+     AND CAST(floor(a.c_acctbal) AS BIGINT) = b3.band),
 scored AS (
     SELECT c_custkey, twin_id,
            (CASE WHEN c_name = name_b THEN 9.2e0
@@ -2229,17 +2302,24 @@ def q_record_linkage_multipass(
     """Multi-pass blocking for the Fellegi–Sunter linkage above:
     pass 1 blocks on (nation, name tail) like the single-pass form;
     pass 2 on (name tail, segment) — independent of nation, so it
-    reaches the twins pass 1 loses to nation corruption. Candidates
-    are the set-UNION of both passes, then the identical scoring runs
+    reaches the twins pass 1 loses to nation corruption; pass 3
+    (round-11) on (name tail, BALANCE BAND) — independent of BOTH
+    nation and segment, so it reaches the 49/1500 residue twins whose
+    nation is corrupted AND segment dropped. Balance drift is bounded
+    by construction (+[0, 0.52], < the 1.0 band width), so the b side
+    EXPLODES into the two reachable bands {floor(bal_b),
+    floor(bal_b)-1} and the join stays a pure equi join on
+    (tail, band) — the standard banded/interval blocking trick: an
+    OR-of-bands join condition would degrade to a tail-only equi join
+    plus filter, whose blocks grow linearly with n. Candidates are
+    the set-UNION of all passes, then the identical scoring runs
     once. This is how production linkage recovers blocking misses:
     recall rises without ever forming the |A|·|B| cross space — each
     pass is a bounded-block equi join on a MEASURED-selectivity
-    composite key, and the union dedups candidates before the
+    composite key (pass 3's b-side profile at sf0.01: 3000 blocks,
+    max block 1), and the union dedups candidates before the
     comparators. Measured at sf0.01: true-pair recall 1212/1500
-    (pass 1 alone) → 1451/1500; the residue is twins with corrupted
-    nation AND missing segment (≈0.19·0.125 of the register) —
-    reachable only by a third pass on another key, the standard
-    recall/cost trade. 4.0 s at 150k customers (.scale sf1).
+    (pass 1 alone) → 1451/1500 (+pass 2) → 1500/1500 (+pass 3).
 
     Round-10 lesson baked into this query (first draft stalled the
     scale sweep): pass 2 originally blocked on the 12-char name
@@ -2293,7 +2373,19 @@ def q_record_linkage_multipass(
         twin,
         (tail_a == tail_b) & (F.col("c_mktsegment") == F.col("seg_b")),
     ).select(*cols)
-    cand = pass1.unionByName(pass2).distinct()
+    # pass 3: explode b into its two reachable balance bands so the
+    # join is a pure (tail, band) equi join — never an OR condition
+    twin3 = twin.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("o")
+    ).withColumn(
+        "band", F.floor(F.col("bal_b")).cast("long") - F.col("o")
+    )
+    pass3 = cust.join(
+        twin3,
+        (tail_a == tail_b)
+        & (F.floor(F.col("c_acctbal")).cast("long") == F.col("band")),
+    ).select(*cols)
+    cand = pass1.unionByName(pass2).unionByName(pass3).distinct()
     name_w = (
         F.when(F.col("c_name") == F.col("name_b"), F.lit(9.2))
         .when(F.levenshtein("c_name", "name_b") <= 1, F.lit(3.0))
@@ -2345,7 +2437,8 @@ b AS (
                 THEN (c_nationkey + 1) % 25
                 ELSE c_nationkey END AS nation_b,
            CASE WHEN substr(h, 3, 1) IN ('e', 'f') THEN NULL
-                ELSE c_mktsegment END AS seg_b
+                ELSE c_mktsegment END AS seg_b,
+           c_acctbal + (twin_id % 5) * 0.13e0 AS bal_b
     FROM twin)"""
     # (key_name, key expr on clean side, key expr on corrupted side)
     keys = [
@@ -2372,7 +2465,7 @@ SELECT '{key_name}' AS block_key,
           (SELECT DISTINCT {kb} AS k FROM b)) AS n_blocks,
        (SELECT CAST(max(cnt) AS BIGINT) FROM
           (SELECT count(*) AS cnt FROM b GROUP BY {kb})) AS max_block,
-       (SELECT CAST(sum(na * nb) AS BIGINT) FROM
+       (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
           (SELECT {ka} AS k, count(*) AS na FROM customer GROUP BY 1) sa
           JOIN
           (SELECT {kb} AS k, count(*) AS nb FROM b GROUP BY 1) sb
@@ -2380,14 +2473,48 @@ SELECT '{key_name}' AS block_key,
        (SELECT CAST(count(*) AS BIGINT)
           FROM customer c JOIN b ON c.c_custkey = b.twin_id
           WHERE {ka} = {kb}) AS true_pairs_reachable""")
+    # pass-3 key (round-11): (name tail, balance band), b side EXPLODED
+    # into its two reachable bands — block metrics run over the
+    # exploded key space; completeness is band-within-one reachability
+    tail_a = "upper(substr(c.c_name, length(c.c_name) - 3, 4))"
+    ka_band = ("upper(substr(c_name, length(c_name) - 3, 4)) || ':' ||"
+               " CAST(CAST(floor(c_acctbal) AS BIGINT) AS VARCHAR)")
+    kb_band = ("upper(substr(name_b, length(name_b) - 3, 4)) || ':' ||"
+               " CAST(CAST(floor(bal_b) AS BIGINT) - off.o AS VARCHAR)")
+    exploded = "b CROSS JOIN (VALUES (0), (1)) AS off(o)"
+    parts.append(f"""
+SELECT 'tail_and_balband' AS block_key,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {kb_band} AS k FROM {exploded})) AS n_blocks,
+       (SELECT CAST(max(cnt) AS BIGINT) FROM
+          (SELECT count(*) AS cnt FROM {exploded}
+           GROUP BY {kb_band})) AS max_block,
+       (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+          (SELECT {ka_band} AS k, count(*) AS na
+           FROM customer GROUP BY 1) sa
+          JOIN
+          (SELECT {kb_band} AS k, count(*) AS nb
+           FROM {exploded} GROUP BY 1) sb
+          USING (k)) AS cand_pairs,
+       (SELECT CAST(count(*) AS BIGINT)
+          FROM customer c JOIN b ON c.c_custkey = b.twin_id
+          WHERE {tail_a}
+              = upper(substr(b.name_b, length(b.name_b) - 3, 4))
+            AND CAST(floor(c.c_acctbal) AS BIGINT)
+                IN (CAST(floor(b.bal_b) AS BIGINT),
+                    CAST(floor(b.bal_b) AS BIGINT) - 1))
+           AS true_pairs_reachable""")
     body = "\nUNION ALL".join(parts)
     return f"""{b_cte},
 metrics AS ({body})
 SELECT block_key, n_blocks, max_block, cand_pairs,
-       (cand_pairs * 1000000) // ((SELECT count(*) FROM customer)
-            * (SELECT count(*) FROM b)) AS cand_frac_ppm,
-       (true_pairs_reachable * 1000000)
-           // (SELECT count(*) FROM b) AS completeness_ppm
+       CAST(floor((CAST(cand_pairs AS DOUBLE) * 1000000e0)
+            / (CAST((SELECT count(*) FROM customer) AS DOUBLE)
+               * CAST((SELECT count(*) FROM b) AS DOUBLE)))
+           AS BIGINT) AS cand_frac_ppm,
+       CAST(floor((CAST(true_pairs_reachable AS DOUBLE) * 1000000e0)
+            / CAST((SELECT count(*) FROM b) AS DOUBLE))
+           AS BIGINT) AS completeness_ppm
 FROM metrics
 """
 
@@ -2401,13 +2528,19 @@ def q_customers_blocking_quality(
 ) -> DataFrame:
     """Blocking-quality audit for the record-linkage family — the
     'measure, don't guess' operator the round-10 degenerate-key
-    incident demands. For four candidate block keys (the two shipped
-    composites, nation-only, and the REJECTED corpus-constant 12-char
+    incident demands. For five candidate block keys (the three
+    shipped composites — including round-11's exploded
+    (tail, balance-band) pass-3 key, measured over its exploded key
+    space — nation-only, and the REJECTED corpus-constant 12-char
     name prefix) it reports the standard blocking metrics: block
     count, largest block, candidate-pair volume Σ_k |A_k|·|B_k|, the
     candidate fraction of the full |A|·|B| cross space (ppm), and
     pairs completeness — the fraction of true twins whose block keys
-    still agree after corruption (ppm). Integer arithmetic end-to-end.
+    still agree after corruption (ppm). Counts stay BIGINT; the two
+    ppm FRACTIONS are computed in double then floored — the integer
+    form (cand_pairs * 1e6 and n_a * n_b as BIGINT) overflows 2^63
+    at ~3e9 rows a side, exactly the register sizes this pre-flight
+    check exists for.
 
     Read at sf0.01 the table says exactly why the shipped keys won:
     nation_only proposes 4.1% of the cross space with max blocks that
@@ -2444,6 +2577,9 @@ def q_customers_blocking_quality(
         )
         .otherwise(F.col("c_mktsegment"))
         .alias("seg_b"),
+        (
+            F.col("c_acctbal") + (F.col("c_custkey") % 5) * F.lit(0.13)
+        ).alias("bal_b"),
     )
     keys = [
         (
@@ -2485,9 +2621,27 @@ def q_customers_blocking_quality(
     ]
     n_a = cust.count()
     n_b = n_a  # b is derived 1:1 from customer
+    # pass-3 banded key: b explodes into its two reachable bands; a
+    # twin is reachable iff its band falls within one of the b band
+    tail_a_x = F.upper(F.expr("substr(c_name, length(c_name) - 3, 4)"))
+    tail_b_x = F.upper(F.expr("substr(name_b, length(name_b) - 3, 4)"))
+    band_a = F.floor(F.col("c_acctbal")).cast("long")
+    band_b = F.floor(F.col("bal_b")).cast("long")
+    b_exp = b.select(
+        "*", F.explode(F.array(F.lit(0), F.lit(1))).alias("o")
+    )
+    ka_band = F.concat_ws(":", tail_a_x, band_a.cast("string"))
+    kb_band = F.concat_ws(
+        ":", tail_b_x, (band_b - F.col("o")).cast("string")
+    )
+    reach_band = (band_a == band_b) | (band_a == band_b - 1)
+    specs = [
+        (key_name, ka, b, kb, ka == kb) for key_name, ka, kb in keys
+    ] + [("tail_and_balband", ka_band, b_exp, kb_band,
+          (tail_a_x == tail_b_x) & reach_band)]
     rows = []
-    for key_name, ka, kb in keys:
-        blocks_b = b.groupBy(kb.alias("k")).agg(
+    for key_name, ka, b_frame, kb, reach_cond in specs:
+        blocks_b = b_frame.groupBy(kb.alias("k")).agg(
             F.count(F.lit(1)).alias("nb")
         )
         stats = blocks_b.agg(
@@ -2505,7 +2659,7 @@ def q_customers_blocking_quality(
         )
         reach = (
             cust.join(b, F.col("c_custkey") == F.col("twin_id"))
-            .where(ka == kb)
+            .where(reach_cond)
             .agg(F.count(F.lit(1)).alias("true_pairs_reachable"))
         )
         rows.append(
@@ -2516,12 +2670,25 @@ def q_customers_blocking_quality(
                 F.col("n_blocks").cast("bigint").alias("n_blocks"),
                 F.col("max_block").cast("bigint").alias("max_block"),
                 F.col("cand_pairs").cast("bigint").alias("cand_pairs"),
-                F.expr(
-                    f"(cand_pairs * 1000000) div ({n_a}L * {n_b}L)"
-                ).alias("cand_frac_ppm"),
-                F.expr(
-                    f"(true_pairs_reachable * 1000000) div {n_b}L"
-                ).alias("completeness_ppm"),
+                # ppm fractions in DOUBLE (identical shape both
+                # engines): the BIGINT form overflows once n_a*n_b
+                # crosses 2^63 (~3e9 customers a side) — double keeps
+                # the pre-flight check valid at 100 TB register sizes
+                # (ppm precision is all the audit needs)
+                F.floor(
+                    F.col("cand_pairs").cast("double")
+                    * F.lit(1000000.0)
+                    / (F.lit(float(n_a)) * F.lit(float(n_b)))
+                )
+                .cast("bigint")
+                .alias("cand_frac_ppm"),
+                F.floor(
+                    F.col("true_pairs_reachable").cast("double")
+                    * F.lit(1000000.0)
+                    / F.lit(float(n_b))
+                )
+                .cast("bigint")
+                .alias("completeness_ppm"),
             )
         )
     out = rows[0]
@@ -2534,7 +2701,15 @@ def _rl_em_sql() -> str:
     """Two unrolled EM iterations fitting the FS parameters (match
     prior p; per-level m/u probabilities for the three comparators)
     on the multipass candidate set. Identical expression shapes on
-    both engines; all literals e0-doubles; output rounded to 6."""
+    both engines; all literals e0-doubles; output rounded to 6.
+
+    The M-step reduces over the 18 GAMMA-PATTERN CELLS, not the ~92k
+    raw pairs: the posterior w is a pure function of
+    (g_name, g_seg, g_bal), so per-cell exact integer counts carry
+    all the information and the float sums run over <=18 terms —
+    order-insensitive in practice and immune to the
+    shuffled-partial-merge-order ulp flake a 92k-double sum invites
+    (round-10 ADVICE)."""
     gamma = """
 cand AS (
     SELECT a.c_custkey AS ka, b.twin_id AS kb,
@@ -2546,7 +2721,10 @@ cand AS (
                 ELSE 0 END AS g_seg,
            CASE WHEN abs(a.c_acctbal - b.bal_b) <= 0.7e0 THEN 1
                 ELSE 0 END AS g_bal
-    FROM base a JOIN b ON a.c_nationkey = b.nation_b)"""
+    FROM base a JOIN b ON a.c_nationkey = b.nation_b),
+cells AS (
+    SELECT g_name, g_seg, g_bal, count(*) AS cnt
+    FROM cand GROUP BY 1, 2, 3)"""
     # EM runs on the NATION-ONLY block deliberately: parameter fitting
     # needs real U-class mass (the composite-key candidate sets are
     # ~97% true matches — EM there degenerates). ~1.3% of the ~92k
@@ -2556,27 +2734,29 @@ cand AS (
         # prev: dict of SQL expressions (scalar subqueries or literals)
         return f""",
 e{tag} AS (
-    SELECT g_name, g_seg, g_bal,
+    SELECT g_name, g_seg, g_bal, cnt,
            ({prev['p']}) * (CASE g_name WHEN 2 THEN {prev['mn2']} WHEN 1 THEN {prev['mn1']} ELSE {prev['mn0']} END)
                         * (CASE g_seg WHEN 2 THEN {prev['ms2']} WHEN 1 THEN {prev['ms1']} ELSE {prev['ms0']} END)
                         * (CASE g_bal WHEN 1 THEN {prev['mb1']} ELSE {prev['mb0']} END) AS pm,
            (1e0 - ({prev['p']})) * (CASE g_name WHEN 2 THEN {prev['un2']} WHEN 1 THEN {prev['un1']} ELSE {prev['un0']} END)
                         * (CASE g_seg WHEN 2 THEN {prev['us2']} WHEN 1 THEN {prev['us1']} ELSE {prev['us0']} END)
                         * (CASE g_bal WHEN 1 THEN {prev['ub1']} ELSE {prev['ub0']} END) AS pu
-    FROM cand),
-w{tag} AS (SELECT g_name, g_seg, g_bal, pm / (pm + pu) AS w FROM e{tag}),
+    FROM cells),
+w{tag} AS (SELECT g_name, g_seg, g_bal, cnt, pm / (pm + pu) AS w
+           FROM e{tag}),
 s{tag} AS (
-    SELECT count(*) AS n, sum(w) AS sw, sum(1e0 - w) AS suw,
-           sum(CASE WHEN g_name = 2 THEN w ELSE 0e0 END) AS wn2,
-           sum(CASE WHEN g_name = 1 THEN w ELSE 0e0 END) AS wn1,
-           sum(CASE WHEN g_seg = 2 THEN w ELSE 0e0 END) AS ws2,
-           sum(CASE WHEN g_seg = 1 THEN w ELSE 0e0 END) AS ws1,
-           sum(CASE WHEN g_bal = 1 THEN w ELSE 0e0 END) AS wb1,
-           sum(CASE WHEN g_name = 2 THEN 1e0 - w ELSE 0e0 END) AS vn2,
-           sum(CASE WHEN g_name = 1 THEN 1e0 - w ELSE 0e0 END) AS vn1,
-           sum(CASE WHEN g_seg = 2 THEN 1e0 - w ELSE 0e0 END) AS vs2,
-           sum(CASE WHEN g_seg = 1 THEN 1e0 - w ELSE 0e0 END) AS vs1,
-           sum(CASE WHEN g_bal = 1 THEN 1e0 - w ELSE 0e0 END) AS vb1
+    SELECT CAST(sum(cnt) AS BIGINT) AS n,
+           sum(cnt * w) AS sw, sum(cnt * (1e0 - w)) AS suw,
+           sum(CASE WHEN g_name = 2 THEN cnt * w ELSE 0e0 END) AS wn2,
+           sum(CASE WHEN g_name = 1 THEN cnt * w ELSE 0e0 END) AS wn1,
+           sum(CASE WHEN g_seg = 2 THEN cnt * w ELSE 0e0 END) AS ws2,
+           sum(CASE WHEN g_seg = 1 THEN cnt * w ELSE 0e0 END) AS ws1,
+           sum(CASE WHEN g_bal = 1 THEN cnt * w ELSE 0e0 END) AS wb1,
+           sum(CASE WHEN g_name = 2 THEN cnt * (1e0 - w) ELSE 0e0 END) AS vn2,
+           sum(CASE WHEN g_name = 1 THEN cnt * (1e0 - w) ELSE 0e0 END) AS vn1,
+           sum(CASE WHEN g_seg = 2 THEN cnt * (1e0 - w) ELSE 0e0 END) AS vs2,
+           sum(CASE WHEN g_seg = 1 THEN cnt * (1e0 - w) ELSE 0e0 END) AS vs1,
+           sum(CASE WHEN g_bal = 1 THEN cnt * (1e0 - w) ELSE 0e0 END) AS vb1
     FROM w{tag})"""
 
     init = dict(
@@ -2690,7 +2870,11 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the documented Θ(n²/25) of the estimation block itself,
     which production would cap by sampling blocks (estimation needs
     only a sample, unlike linking). Float discipline: identical
-    e0-literal expression shapes both engines, one final round(6).
+    e0-literal expression shapes both engines, one final round(6);
+    the M-step reduces over the 18 exact-count gamma cells (w is a
+    pure function of the pattern) via a sorted-array fold, so the
+    float reduction is deterministic run-to-run — no
+    shuffled-partial merge-order ulp flake near a rounding boundary.
     """
     cust = load_table(spark, sf_dir, "customer")
     # GATE COST CAP (repo convention): estimation runs on a
@@ -2744,6 +2928,16 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g_bal"),
     )
 
+    # M-step inputs: the 18 gamma-pattern cells with EXACT integer
+    # counts — the posterior w is a pure function of the pattern, so
+    # the ~92k-pair float sums collapse to <=18 weighted terms.
+    # Reduction runs as a fold over a SORTED collected array: fully
+    # deterministic run-to-run (no shuffled-partial merge-order ulp
+    # lottery near a round(6) boundary — round-10 ADVICE item).
+    cells = cand.groupBy("g_name", "g_seg", "g_bal").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
     def pick(col, lv2, lv1, lv0):
         return (
             F.when(F.col(col) == 2, lv2)
@@ -2755,22 +2949,46 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(F.col(col) == 1, lv1).otherwise(lv0)
 
     def sums(df_w, tag):
-        w = F.col("w")
-        v = F.lit(1.0) - F.col("w")
-        return df_w.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(w).alias("sw"),
-            F.sum(v).alias("suw"),
-            F.sum(F.when(F.col("g_name") == 2, w).otherwise(F.lit(0.0))).alias("wn2"),
-            F.sum(F.when(F.col("g_name") == 1, w).otherwise(F.lit(0.0))).alias("wn1"),
-            F.sum(F.when(F.col("g_seg") == 2, w).otherwise(F.lit(0.0))).alias("ws2"),
-            F.sum(F.when(F.col("g_seg") == 1, w).otherwise(F.lit(0.0))).alias("ws1"),
-            F.sum(F.when(F.col("g_bal") == 1, w).otherwise(F.lit(0.0))).alias("wb1"),
-            F.sum(F.when(F.col("g_name") == 2, v).otherwise(F.lit(0.0))).alias("vn2"),
-            F.sum(F.when(F.col("g_name") == 1, v).otherwise(F.lit(0.0))).alias("vn1"),
-            F.sum(F.when(F.col("g_seg") == 2, v).otherwise(F.lit(0.0))).alias("vs2"),
-            F.sum(F.when(F.col("g_seg") == 1, v).otherwise(F.lit(0.0))).alias("vs1"),
-            F.sum(F.when(F.col("g_bal") == 1, v).otherwise(F.lit(0.0))).alias("vb1"),
+        arr = df_w.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("g_name", "g_seg", "g_bal", "cnt", "w")
+                )
+            ).alias("cs")
+        )
+
+        def fold(term, name):
+            return F.aggregate(
+                "cs", F.lit(0.0), lambda a, x: a + term(x)
+            ).alias(name)
+
+        def cw(x):
+            return x.cnt * x.w
+
+        def cv(x):
+            return x.cnt * (F.lit(1.0) - x.w)
+
+        def gated(g, lv, term):
+            return lambda x: F.when(
+                x[g] == lv, term(x)
+            ).otherwise(F.lit(0.0))
+
+        return arr.select(
+            F.aggregate(
+                "cs", F.lit(0).cast("long"), lambda a, x: a + x.cnt
+            ).alias("n"),
+            fold(cw, "sw"),
+            fold(cv, "suw"),
+            fold(gated("g_name", 2, cw), "wn2"),
+            fold(gated("g_name", 1, cw), "wn1"),
+            fold(gated("g_seg", 2, cw), "ws2"),
+            fold(gated("g_seg", 1, cw), "ws1"),
+            fold(gated("g_bal", 1, cw), "wb1"),
+            fold(gated("g_name", 2, cv), "vn2"),
+            fold(gated("g_name", 1, cv), "vn1"),
+            fold(gated("g_seg", 2, cv), "vs2"),
+            fold(gated("g_seg", 1, cv), "vs1"),
+            fold(gated("g_bal", 1, cv), "vb1"),
         )
 
     # iteration 1: literal init params (same values as the SQL)
@@ -2786,14 +3004,15 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         * pick("g_seg", F.lit(0.20), F.lit(0.10), F.lit(0.70))
         * pick2("g_bal", F.lit(0.05), F.lit(0.95))
     )
-    w1 = cand.select(
-        "g_name", "g_seg", "g_bal", (pm1 / (pm1 + pu1)).alias("w")
+    w1 = cells.select(
+        "g_name", "g_seg", "g_bal", "cnt",
+        (pm1 / (pm1 + pu1)).alias("w"),
     )
     s1 = sums(w1, 1)
 
-    # iteration 2: fitted params from s1, broadcast back onto cand.
-    # Expression shapes mirror the SQL's scalar subqueries exactly.
-    c2 = cand.crossJoin(F.broadcast(s1))
+    # iteration 2: fitted params from s1, broadcast back onto the
+    # cells. Expression shapes mirror the SQL's scalar subqueries.
+    c2 = cells.crossJoin(F.broadcast(s1))
     p_f = F.col("sw") / F.col("n")
     mn2, mn1 = F.col("wn2") / F.col("sw"), F.col("wn1") / F.col("sw")
     mn0 = F.lit(1.0) - F.col("wn2") / F.col("sw") - F.col("wn1") / F.col("sw")
@@ -2820,7 +3039,8 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         * pick2("g_bal", ub1, ub0)
     )
     w2 = c2.select(
-        "g_name", "g_seg", "g_bal", (pm2 / (pm2 + pu2)).alias("w")
+        "g_name", "g_seg", "g_bal", "cnt",
+        (pm2 / (pm2 + pu2)).alias("w"),
     )
     s2 = sums(w2, 2)
 

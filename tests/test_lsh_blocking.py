@@ -1,0 +1,102 @@
+"""Hot-bucket guards for the LSH pair-forming surfaces (round-11).
+
+tests/test_record_linkage.py pins the linkage blocking keys; these pin
+the dedup surfaces that docs_lsh_blocking_quality audits — the same
+degenerate-block doctrine (a hot bucket hides a cross join inside a
+clean equi-join plan; only the VALUE DISTRIBUTION shows it). Relative
+properties, not generator constants, so the guards survive testdata
+regeneration (round-10 ADVICE on the linkage pins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_pipeline_spark.operators import dedup as D
+from realtime_analytics_pipeline_spark.operators.clustering import (
+    kmeans_lite,
+)
+from realtime_analytics_pipeline_spark.registry import QUERIES
+from realtime_analytics_pipeline_spark.sources.batch import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def _band_profile(spark, shingle_n):
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    n = docs.count()
+    sigs = D.minhash_signatures(docs, n=shingle_n, num_perm=64)
+    buckets = D.minhash_band_buckets(sigs, num_perm=64, bands=8)
+    row = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").alias("mx"), F.count(F.lit(1)).alias("nb"))
+        .collect()[0]
+    )
+    return n, row
+
+
+def test_production_minhash_band_buckets_not_degenerate(spark):
+    """The PRODUCTION xxhash64 8x8 banding (what minhash_lsh_pairs
+    pair-joins on) over 3-gram shingles — the configuration the gated
+    dedup query runs: many buckets, and no bucket holding a constant
+    fraction of the corpus — the direct analog of the linkage
+    max-block guard, over the real pair-forming key."""
+    n, row = _band_profile(spark, shingle_n=3)
+    assert row.nb >= n / 2, row
+    assert row.mx <= 0.25 * n, row
+
+
+def test_word_shingle_banding_is_hot_on_dense_corpus(spark):
+    """The COUNTEREXAMPLE, kept as a pin (the rejected-key pattern
+    from test_record_linkage): 1-gram shingles over this corpus's
+    ~31-word vocabulary make random docs highly similar, so banding
+    concentrates a double-digit share of the corpus in one bucket
+    (measured 182/500 at sf0.01). This is exactly the hot-bucket
+    failure docs_lsh_blocking_quality exists to catch BEFORE the pair
+    join — shingle choice is a blocking-selectivity decision, not a
+    tokenization detail."""
+    n, row = _band_profile(spark, shingle_n=1)
+    assert row.mx > 0.1 * n, row
+
+
+def test_kmeans_hot_cell_bounded(spark):
+    """Quantizer cells are ALLOWED to be skewed (clustered_dup_pairs
+    salts hot cells — round-10 measured a 34%-hot cell at sf0.1), but
+    one cell must never swallow the corpus outright."""
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    n = emb.count()
+    mx = (
+        kmeans_lite(emb)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt"))
+        .collect()[0][0]
+    )
+    assert mx <= 0.6 * n, (mx, n)
+
+
+def test_audit_surfaces_and_relative_health(spark):
+    """The gated audit reports all three surfaces with the relative
+    health properties the blocking doctrine demands."""
+    rows = {
+        r.surface: r
+        for r in QUERIES["docs_lsh_blocking_quality"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    assert set(rows) == {
+        "minhash_band_4x4", "kmeans_cell", "exact_md5_text"
+    }
+    mh = rows["minhash_band_4x4"]
+    # 4 band keys per doc; max block a small multiple of the mean
+    mean_block = mh.n_entities * 4 / mh.n_blocks
+    assert mh.max_block <= 10 * max(1.0, mean_block), mh
+    km = rows["kmeans_cell"]
+    assert km.n_blocks == 8, km
+    assert km.max_block <= 0.6 * km.n_entities, km
+    # the hot cell owns a measurable but bounded candidate share
+    assert 0 < km.hot_share_ppm <= 600000, km
+    ex = rows["exact_md5_text"]
+    # exact-dedup blocks are duplicate classes: max block is the
+    # largest duplicate family, never a corpus-constant key
+    assert ex.max_block <= 0.25 * ex.n_entities, ex

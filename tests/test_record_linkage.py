@@ -38,16 +38,18 @@ def test_single_pass_recall_pinned(spark):
 
 
 def test_multipass_recall_and_residue(spark):
-    """Pass 2 recovers nation-corrupted twins; the residue is exactly
-    the twins with corrupted nation AND null segment (both block keys
-    broken) — the third-pass trade, characterized not hand-waved."""
+    """Pass 2 recovers nation-corrupted twins; pass 3 (round-11,
+    (tail, balance-band) with the bounded-drift band explode) reaches
+    the remaining twins whose nation is corrupted AND segment dropped
+    — FULL recall, the residue characterized in round 10 eliminated
+    by exactly the predicted third key."""
     con = _duck(SF_CORRECTNESS, _RL_FS_MULTIPASS_SQL)
     hit = con.execute(
         "SELECT count(*) FROM ("
         + _RL_FS_MULTIPASS_SQL
         + ") WHERE is_true_pair = 1"
     ).fetchone()[0]
-    assert hit == 1451
+    assert hit == 1500  # 1212 (pass 1) -> 1451 (+pass 2) -> all
     residue = con.execute(
         """
         WITH hit AS (SELECT twin_id FROM ("""
@@ -55,12 +57,9 @@ def test_multipass_recall_and_residue(spark):
         + """) WHERE is_true_pair = 1)
         SELECT count(*) FROM customer c
         WHERE c.c_custkey NOT IN (SELECT twin_id FROM hit)
-          AND NOT (
-            substr(md5(CAST(c.c_custkey AS VARCHAR)), 2, 1) IN ('d','e','f')
-            AND substr(md5(CAST(c.c_custkey AS VARCHAR)), 3, 1) IN ('e','f'))
         """
     ).fetchone()[0]
-    assert residue == 0  # every miss has BOTH keys corrupted
+    assert residue == 0  # no twin is unreachable any more
 
 
 def test_spark_matches_oracle_row_sets(spark):
@@ -90,23 +89,32 @@ def test_block_keys_are_selective(spark):
             "(c_nationkey, upper(substr(c_name, length(c_name)-3, 4)))",
             # pass 2: (name tail, segment)
             "(upper(substr(c_name, length(c_name)-3, 4)), c_mktsegment)",
+            # pass 3: (name tail, balance band)
+            "(upper(substr(c_name, length(c_name)-3, 4)),"
+            " CAST(floor(c_acctbal) AS BIGINT))",
         ):
             mx, blocks = con.execute(
                 f"""SELECT max(cnt), count(*) FROM (
                     SELECT count(*) AS cnt FROM customer
                     GROUP BY {key})"""
             ).fetchone()
-            # block count must scale with n; max block must be tiny
+            # RELATIVE properties (survive corpus regeneration): the
+            # block count must scale with n, and the largest block
+            # must stay a small constant multiple of the mean block
+            # size n / #blocks — absolute pins on generator details
+            # (max <= 10, exactly-one prefix block) would break on any
+            # testdata regen without a real regression.
             assert blocks >= n / 10, (sf_dir, key, blocks)
-            assert mx <= 10, (sf_dir, key, mx)
+            assert mx <= 10 * max(1.0, n / blocks), (sf_dir, key, mx)
         # the REJECTED first-draft key, kept here as the counterexample:
-        # one block swallows the corpus at every n
+        # a near-corpus-constant key concentrates the corpus in one
+        # giant block at every n
         mx, blocks = con.execute(
             """SELECT max(cnt), count(*) FROM (
                  SELECT count(*) AS cnt FROM customer
                  GROUP BY upper(substr(c_name, 1, 12)))"""
         ).fetchone()
-        assert blocks == 1 and mx == n  # degenerate — why it was dropped
+        assert mx > 0.5 * n  # degenerate — why it was dropped
 
 
 def test_em_recovers_planted_model(spark):
