@@ -165,6 +165,19 @@ HEADLINE = [
     "docs_epoch_shuffle",
     "text_bpe_encode_tokens_kernel",
     "sample_docs_reservoir_weighted",
+    # round-11: the fold spec joins the headliners now that the
+    # inferred-generator-guard pushdown is fixed (130 s -> 1.3 s at
+    # the sf1 slice — at parity with its kernel twin); plus the
+    # training-mixture family and the generalized blocking audit
+    "text_bpe_encode_tokens",
+    "docs_lsh_blocking_quality",
+    "sample_docs_temperature_mix",
+    "split_docs_group_aware",
+    "docs_token_budget_apportionment",
+    "docs_curriculum_order",
+    "split_docs_dedup_aware",
+    "tpch_q22_recent_idle_customers",
+    "multimodal_image_channel_stats",
 ]
 
 

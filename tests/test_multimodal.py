@@ -45,3 +45,61 @@ def test_extract_features_deterministic_and_total(spark):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_decode_ppm_roundtrip():
+    """The real codec path (round-11): hand-build a tiny P6, decode,
+    and check dims + exact pixels — including an uneven header layout
+    (single spaces) and a wrong-magic reject."""
+    import numpy as np
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        decode_ppm,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n3 2\n255\n" + px.tobytes()
+    w, h, got = decode_ppm(payload)
+    assert (w, h) == (3, 2)
+    assert (got == px).all()
+    # single-space header variant (any whitespace separates tokens)
+    w2, h2, got2 = decode_ppm(b"P6 3 2 255 " + px.tobytes())
+    assert (w2, h2, got2.tobytes()) == (3, 2, px.tobytes())
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + px.tobytes())
+
+
+def test_decode_image_dispatch():
+    """PPM decodes for real; compressed formats still raise."""
+    import numpy as np
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        decode_image,
+    )
+
+    px = np.zeros((1, 1, 3), dtype=np.uint8)
+    w, h, _ = decode_image(b"P6\n1 1\n255\n" + px.tobytes())
+    assert (w, h) == (1, 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")  # JPEG
+
+
+def test_image_channel_stats_matches_numpy_reference(spark):
+    """The Spark mapInPandas decode must equal a driver-side numpy
+    reference over the same generated payloads."""
+    import hashlib
+
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        attach_ppm_payload,
+        image_channel_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    got = {
+        r.doc_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in image_channel_stats(attach_ppm_payload(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        d = hashlib.md5(row.text.encode()).digest()[:15]
+        want = tuple(32 * sum(d[p] for p in range(c, 15, 3)) for c in range(3))
+        assert got[row.doc_id] == (16, 10, *want)
