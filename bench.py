@@ -178,6 +178,7 @@ HEADLINE = [
     "split_docs_dedup_aware",
     "tpch_q22_recent_idle_customers",
     "multimodal_image_channel_stats",
+    "docs_lsh_recall_audit",
 ]
 
 

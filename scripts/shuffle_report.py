@@ -117,6 +117,7 @@ QUERIES = [
     "docs_curriculum_order",
     "tpch_q22_recent_idle_customers",
     "multimodal_image_channel_stats",
+    "docs_lsh_recall_audit",
 ]
 
 

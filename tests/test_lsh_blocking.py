@@ -100,3 +100,20 @@ def test_audit_surfaces_and_relative_health(spark):
     # exact-dedup blocks are duplicate classes: max block is the
     # largest duplicate family, never a corpus-constant key
     assert ex.max_block <= 0.25 * ex.n_entities, ex
+
+
+def test_lsh_recall_audit_floors(spark):
+    """Measured banding quality must hold: the sparse (3-gram,
+    production) config catches everything it proposes; the dense
+    1-gram config keeps recall above the s-curve floor while honestly
+    paying precision for sub-threshold candidates."""
+    rows = {
+        r.shingles: r
+        for r in QUERIES["docs_lsh_recall_audit"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    g3, g1 = rows["3gram"], rows["1gram"]
+    assert g3.recall_ppm == 1000000 and g3.precision_ppm == 1000000, g3
+    assert g1.recall_ppm >= 900000, g1
+    assert 0 < g1.precision_ppm < 1000000, g1
