@@ -179,6 +179,7 @@ HEADLINE = [
     "tpch_q22_recent_idle_customers",
     "multimodal_image_channel_stats",
     "docs_lsh_recall_audit",
+    "dedup_keep_best_survivors",
 ]
 
 

@@ -5195,3 +5195,109 @@ def q_docs_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(tri, "3gram").unionByName(row(uni, "1gram"))
+
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (SELECT u AS doc_id, min(comp) AS component FROM reach GROUP BY u),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+           round(0.4 * least(1.0, len({_SPLIT}) * 1.0 / 100.0)
+                 + 0.3 * (1 - len({_SW}) * 1.0 / len({_SPLIT}))
+                 + 0.3 * (len(list_distinct({_SPLIT})) * 1.0
+                          / len({_SPLIT})),
+                 6) AS quality_score
+    FROM d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY component
+        ORDER BY quality_score DESC, doc_id) AS rk,
+        count(*) OVER (PARTITION BY component) AS n_members
+    FROM labeled
+)
+SELECT CAST(component AS BIGINT) AS component,
+       doc_id AS survivor_doc_id,
+       quality_score AS survivor_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("dedup_keep_best_survivors", _KEEP_BEST_SQL)
+def q_dedup_keep_best_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Survivor selection with a QUALITY policy: per near-duplicate
+    cluster (connected components of Jaccard >= 0.95 pairs), keep the
+    HIGHEST-QUALITY member — the production rule
+    (dedup_cluster_representatives keeps min-id, which is arbitrary;
+    real pipelines keep the best copy: longest/cleanest/newest). One
+    window (top-1 per component, quality desc, doc_id tiebreak) over
+    the CC labels joined to the quality scores; singletons survive as
+    their own component. Same bounded doc_id < 300 gate subgraph as
+    the CC family (recursive-CTE oracle cost); the operator shape is
+    corpus-scale — CC you already ran for dedup + one component-keyed
+    window whose partitions are duplicate-cluster-sized."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        dedup_cluster_representatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    comp = dedup_cluster_representatives(pairs).select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+        .join(T.quality_scores(docs), "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

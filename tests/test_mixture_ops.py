@@ -110,3 +110,44 @@ def test_curriculum_order_is_total_and_quality_staged(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, again.collect()))
     assert a == b
+
+
+def test_keep_best_survivor_is_best_of_component(spark):
+    """The survivor policy: each component's survivor carries its
+    component's MAX quality score, every doc belongs to exactly one
+    component, and multi-member components exist on this corpus."""
+    from realtime_analytics_pipeline_spark.operators import dedup as D
+    from realtime_analytics_pipeline_spark.operators import (
+        text_analysis as T,
+    )
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        dedup_cluster_representatives,
+    )
+    from realtime_analytics_pipeline_spark.sources.batch import load_table
+
+    surv = {
+        r.component: (r.survivor_doc_id, r.survivor_quality, r.n_members)
+        for r in QUERIES["dedup_keep_best_survivors"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    docs = load_table(spark, SF_CORRECTNESS, "documents").where(
+        "doc_id < 300"
+    )
+    comp = dedup_cluster_representatives(
+        D.jaccard_pairs(docs, n=1, threshold=0.95)
+    ).select(F.col("vertex").alias("doc_id"), "component")
+    q = {r.doc_id: r.quality_score
+         for r in T.quality_scores(docs).collect()}
+    members: dict = {}
+    labeled = {r.doc_id: r.component for r in comp.collect()}
+    for r in docs.select("doc_id").collect():
+        c = labeled.get(r.doc_id, r.doc_id)
+        members.setdefault(c, []).append(r.doc_id)
+    assert sum(n for _, _, n in surv.values()) == docs.count()
+    assert any(n > 1 for _, _, n in surv.values())  # real clusters
+    for c, (sid, sq, n) in surv.items():
+        assert len(members[c]) == n
+        assert sq == max(q[m] for m in members[c])
+        best = max(members[c], key=lambda m: (q[m], -m))
+        assert sid == best
