@@ -180,6 +180,9 @@ HEADLINE = [
     "multimodal_image_channel_stats",
     "docs_lsh_recall_audit",
     "dedup_keep_best_survivors",
+    # round-12: incremental near-dup dedup (band the new batch,
+    # key-join the persisted corpus band buckets, verify batch-side)
+    "dedup_incremental_minhash",
 ]
 
 
@@ -349,6 +352,18 @@ def main() -> None:
     # medians with calib_sec flat) inflates medians but rarely all
     # reps of all queries (round-10)
     total_min = round(sum(v[0] for v in spread.values()), 3)
+    # calib-normalized trend line (VERDICT r11 item 7): scale the
+    # min-sum by the CPU probe's drift against the pinned r11 clean
+    # anchor (calib_sec 1.915), so cross-round comparisons stop
+    # requiring hand arithmetic. Machine slower => calib up => the
+    # normalized sum credits it back; code regressions survive the
+    # normalization because calib is code-independent.
+    CALIB_REF_SEC = 1.915
+    calib_normalized_min_sum = (
+        round(total_min * CALIB_REF_SEC / calib_sec, 3)
+        if calib_sec
+        else None
+    )
     # reference envelope is RPS-denominated (1000 events/s design,
     # BASELINE.md): express the full streaming replay as events/s too
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
@@ -362,6 +377,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "total_min_sec": total_min,
+        "calib_normalized_min_sum": calib_normalized_min_sum,
         "reps": reps,
         "contended": contended,
         "streaming_events_per_sec": events_per_sec,
@@ -383,6 +399,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "total_min_sec": total_min,
+        "calib_normalized_min_sum": calib_normalized_min_sum,
         "reps": reps,
         "contended": len(contended),
         "streaming_events_per_sec": events_per_sec,

@@ -83,8 +83,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     toks: list[bytes] = []
     i = 0
     while len(toks) < 4:
-        while payload[i : i + 1].isspace():
-            i += 1
+        # Netpbm spec: '#' starts a comment running to end-of-line,
+        # legal wherever header whitespace is (ADVICE r11) — skip
+        # interleaved comments and whitespace before each token.
+        while True:
+            while payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] not in (
+                    b"\n",
+                    b"\r",
+                ):
+                    i += 1
+            else:
+                break
         j = i
         while j < len(payload) and not payload[j : j + 1].isspace():
             j += 1

@@ -498,6 +498,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_candidates(
+    corpus_buckets: DataFrame, batch_buckets: DataFrame
+) -> DataFrame:
+    """Incremental (daily-increment) LSH candidate generation: join
+    the NEW batch's band buckets against the EXISTING corpus's
+    PERSISTED band buckets (minhash_band_buckets output) on the
+    (band, bucket) key only — no corpus text or signature is touched
+    until a candidate forms. Output: distinct
+    (batch_doc_id, corpus_doc_id).
+
+    This is the production daily-increment shape at 100 TB: the
+    corpus side is a bucket-keyed store maintained across increments
+    (append the increment's buckets after dedup), the batch side is a
+    map-only banding pass over the day's data, and the join is
+    broadcast-able whenever the increment is small next to the corpus
+    — the full-corpus re-LSH (minhash_lsh_pairs over old+new) never
+    runs again after bootstrap."""
+    cb = corpus_buckets.select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "bucket"
+    )
+    bb = batch_buckets.select(
+        F.col("doc_id").alias("batch_doc_id"), "band", "bucket"
+    )
+    return (
+        bb.join(cb, ["band", "bucket"])
+        .select("batch_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
+def minhash_incremental_verdicts(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 1,
+    num_perm: int = 64,
+    bands: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Production incremental NEAR-dup dedup (xxhash64 path): sign +
+    band the batch, key-join against the corpus band buckets
+    (minhash_incremental_candidates), then verify candidates
+    batch-side by signature-estimated Jaccard. Per batch doc:
+    n_candidates (distinct corpus docs sharing >= 1 band bucket),
+    n_verified (estimate >= threshold), best_eq (max matching
+    signature slots), verdict 'corpus_near_dup' | 'novel'. The
+    verification rule is INTEGER (eq >= ceil(threshold * num_perm)) —
+    no float compare. Candidates are bounded by band-bucket
+    co-occupancy; the batch signature table broadcasts (the increment
+    is small by construction), so only corpus signatures of actual
+    candidates are ever fetched."""
+    import math
+
+    min_eq = math.ceil(threshold * num_perm)
+    csig = minhash_signatures(corpus, n, num_perm)
+    bsig = minhash_signatures(batch, n, num_perm)
+    cands = minhash_incremental_candidates(
+        minhash_band_buckets(csig, num_perm, bands),
+        F.broadcast(minhash_band_buckets(bsig, num_perm, bands)),
+    )
+    eq = F.expr(
+        "size(filter(zip_with(bsig, csig, (x, y) -> x = y), v -> v))"
+    )
+    scored = (
+        cands.join(
+            F.broadcast(
+                bsig.select(
+                    F.col("doc_id").alias("batch_doc_id"),
+                    F.col("sig").alias("bsig"),
+                )
+            ),
+            "batch_doc_id",
+        )
+        .join(
+            csig.select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                F.col("sig").alias("csig"),
+            ),
+            "corpus_doc_id",
+        )
+        .select("batch_doc_id", "corpus_doc_id", eq.alias("eq"))
+    )
+    agg = scored.groupBy("batch_doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("eq") >= min_eq, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified"),
+        F.max("eq").cast("bigint").alias("best_eq"),
+    )
+    return (
+        batch.select(F.col("doc_id"))
+        .join(agg.withColumnRenamed("batch_doc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+            F.coalesce("best_eq", F.lit(0)).alias("best_eq"),
+            F.when(F.coalesce("n_verified", F.lit(0)) > 0, "corpus_near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+        )
+    )
+
+
 def simhash_pairs(
     documents: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
@@ -1104,15 +1207,21 @@ def md5_trigrams(documents: DataFrame) -> DataFrame:
 
 
 def minhash_md5_signatures(
-    documents: DataFrame, num_perm: int = MINHASH_CAL_PERMS
+    documents: DataFrame,
+    num_perm: int = MINHASH_CAL_PERMS,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig) with sig = array of ``num_perm`` MinHash values
     ordered by permutation index. md5-derived permutations (48-bit so
     min() never ties by overflow) — engine-portable, so a DuckDB
     oracle replays the sketch bit-for-bit. The production sketches
     (minhash_signatures above) use Spark-native xxhash64 instead —
-    faster, but rows-only at the gate."""
-    grams = md5_trigrams(documents)
+    faster, but rows-only at the gate. Pass a precomputed
+    ``grams`` (md5_trigrams output) to share the shingle scan with a
+    caller that also needs it (ADVICE r11: minhash_calibration was
+    paying the explode+distinct twice after the helper extraction)."""
+    if grams is None:
+        grams = md5_trigrams(documents)
     perm = grams.select(
         "doc_id",
         F.explode(
@@ -1157,7 +1266,7 @@ def minhash_calibration(
     not a corpus-scale dedup path.
     """
     grams = md5_trigrams(documents)
-    sigs = minhash_md5_signatures(documents)
+    sigs = minhash_md5_signatures(documents, grams=grams)
     sets_ = grams.groupBy("doc_id").agg(
         F.collect_set("gram").alias("gset")
     )

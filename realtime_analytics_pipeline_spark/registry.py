@@ -402,6 +402,72 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
+    # ROUND 12 window (propose_window.py --refresh output pasted
+    # verbatim, VERDICT r11 item 1; re-refreshed after this round's
+    # new query registered): the 11 never-driver-verified oracled
+    # names lead (LSH blocking-quality + recall audits, the 5-query
+    # training-mixture family, keep-best dedup survivors, the real
+    # PPM channel-stats decode, the non-vacuous q22_recent, and
+    # round-12's dedup_incremental_minhash), then the 39
+    # OLDEST-latest-green re-verification slots (r03/r04-era rows
+    # rotate back in). Expected after CORRECTNESS_r12: cumulative
+    # driver-green = 321/321 oracled at least once.
+    "tpch_q22_recent_idle_customers",  # registry_relational
+    "docs_lsh_blocking_quality",  # registry_docs
+    "sample_docs_temperature_mix",  # registry_docs
+    "split_docs_group_aware",  # registry_docs
+    "docs_token_budget_apportionment",  # registry_docs
+    "docs_curriculum_order",  # registry_docs
+    "split_docs_dedup_aware",  # registry_docs
+    "docs_lsh_recall_audit",  # registry_docs
+    "dedup_keep_best_survivors",  # registry_docs
+    "multimodal_image_channel_stats",  # registry_multimodal
+    "dedup_incremental_minhash",  # registry_docs
+    "dq_constraint_report",  # registry_analytics
+    "value_p95_sketch_rollup_1h",  # registry_analytics
+    "text_pii_redaction",  # registry_curation
+    "text_tfidf_top_terms",  # registry_curation
+    "dedup_canonical_docs",  # registry_curation
+    "events_cohort_retention",  # registry_curation
+    "events_value_mad_outliers",  # registry_curation
+    "text_token_counts",  # registry_curation
+    "dedup_semantic_clustered",  # registry_curation
+    "pyds_feed_scan",  # registry_feed
+    "streaming_pyds_feed",  # registry_feed
+    "tpch_q12_shipmode_priority",  # registry_relational
+    "tpch_q14_promo_effect",  # registry_relational
+    "tpch_q18_large_volume",  # registry_relational
+    "tpch_q15_top_supplier",  # registry_relational
+    "tpch_q11_important_stock",  # registry_relational
+    "tpch_q16_supplier_cnt",  # registry_relational
+    "tpch_q20_excess_stock",  # registry_relational
+    "parts_skyline_price_qty",  # registry_relational
+    "sim_mmr_rerank",  # registry_docs
+    "emb_pq_codes",  # registry_docs
+    "pipeline_curation_full",  # registry_docs
+    "text_repetition_metrics",  # registry_docs
+    "emb_truncated_recall",  # registry_docs
+    "docs_rake_phrases",  # registry_docs
+    "text_bigram_logprob",  # registry_docs
+    "streaming_sliding_window_5m1m",  # registry_streaming
+    "streaming_stateful_totals_final",  # registry_streaming
+    "streaming_interval_join_full",  # registry_streaming
+    "multimodal_chunks",  # registry_multimodal
+    "multimodal_dedup_digest",  # registry_multimodal
+    "events_grouping_sets",  # registry_analytics
+    "orders_rolling_median_7d",  # registry_analytics
+    "orders_holt_forecast",  # registry_analytics
+    "users_activity_similarity",  # registry_analytics
+    "events_cep_pattern",  # registry_analytics
+    "orders_decimal_money",  # registry_analytics
+    "orders_changepoint_cusum",  # registry_analytics
+    "sessions_cep_conversion",  # registry_analytics
+    # --- pool note (machine-generated by propose_window.py) ---
+    # Oracled: 321. Driver-green (CORRECTNESS_r*): 310. Never-driver-verified: 11.
+    # Refresh window: 11 virgin + 39 oldest-green re-verification slots; the 271 fresher greens keep their rows.
+]
+
+_VERIFY_WINDOW_R10 = [
     # ROUND 10 window, refreshed MID-ROUND (propose_window.py --refresh
     # output pasted verbatim below) after the round's new oracled
     # queries were registered: all 12 never-driver-verified names lead

@@ -102,6 +102,42 @@ def test_audit_surfaces_and_relative_health(spark):
     assert ex.max_block <= 0.25 * ex.n_entities, ex
 
 
+def test_production_banding_recall_floor(spark):
+    """VERDICT r11 item 4: docs_lsh_recall_audit scores the md5
+    16-perm 4x4 oracle twin; THIS pins the PRODUCTION xxhash64
+    64-perm 8x8 banding (what minhash_lsh_pairs joins on) against the
+    same exact-Jaccard truth on the same bounded subgraph — engine
+    side only (xxhash64 has no DuckDB twin). The 8x8 s-curve midpoint
+    (1/8)^(1/8) ~ 0.77 sits BELOW the 4x4 twin's (1/4)^(1/4) ~ 0.71
+    cutover at t=0.9... both are far under 0.9, so both should catch
+    everything; the pin is the ORDER (production >= twin) plus an
+    absolute floor."""
+    docs = load_table(spark, SF_CORRECTNESS, "documents").where(
+        "doc_id < 300"
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert truth, "bounded subgraph must contain true near-dup pairs"
+
+    def band_pairs(sigs, num_perm, bands):
+        buckets = D.minhash_band_buckets(sigs, num_perm, bands)
+        return {
+            (r.doc_a, r.doc_b)
+            for r in D._salted_pairs(buckets, ["band", "bucket"])
+            .distinct()
+            .collect()
+        }
+
+    prod = band_pairs(D.minhash_signatures(docs, n=3, num_perm=64), 64, 8)
+    twin = band_pairs(D.minhash_md5_signatures(docs), 16, 4)
+    caught_prod = len(truth & prod)
+    caught_twin = len(truth & twin)
+    assert caught_prod >= caught_twin, (caught_prod, caught_twin)
+    assert caught_prod >= 0.99 * len(truth), (caught_prod, len(truth))
+
+
 def test_lsh_recall_audit_floors(spark):
     """Measured banding quality must hold: the sparse (3-gram,
     production) config catches everything it proposes; the dense
@@ -114,6 +150,11 @@ def test_lsh_recall_audit_floors(spark):
         ).collect()
     }
     g3, g1 = rows["3gram"], rows["1gram"]
-    assert g3.recall_ppm == 1000000 and g3.precision_ppm == 1000000, g3
+    # floors, not generator constants (ADVICE r11): the current
+    # testdata measures 1000000/1000000 for 3-gram, but a regenerated
+    # corpus may legitimately produce one borderline pair — pin the
+    # doctrine (near-perfect at t=0.9), not the exact ppm.
+    assert g3.recall_ppm >= 990000, g3
+    assert g3.precision_ppm >= 990000, g3
     assert g1.recall_ppm >= 900000, g1
     assert 0 < g1.precision_ppm < 1000000, g1

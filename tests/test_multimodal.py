@@ -65,6 +65,16 @@ def test_decode_ppm_roundtrip():
     # single-space header variant (any whitespace separates tokens)
     w2, h2, got2 = decode_ppm(b"P6 3 2 255 " + px.tobytes())
     assert (w2, h2, got2.tobytes()) == (3, 2, px.tobytes())
+    # spec-compliant '#' comments anywhere header whitespace is legal
+    # (ADVICE r11): inline after a token, full-line, and numeric text
+    # inside a comment that must NOT parse as a dimension
+    commented = (
+        b"P6 # inline comment\n"
+        b"# 999 888 a full-line comment with numbers\n"
+        b"3 # width\n2\n# before maxval\n255\n" + px.tobytes()
+    )
+    w3, h3, got3 = decode_ppm(commented)
+    assert (w3, h3, got3.tobytes()) == (3, 2, px.tobytes())
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n3 2\n255\n" + px.tobytes())
 
