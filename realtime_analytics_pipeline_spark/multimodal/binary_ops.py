@@ -8,10 +8,14 @@ Design (100 TB posture):
 - decode / feature-extraction runs as ``mapInPandas`` — Arrow-batched
   Python, one GIL-free batch per partition slice, the only sane way
   to run codec libraries inside Spark;
-- actual image/audio decode is STUBBED (`decode_image` raises
-  NotImplementedError: PIL/ffmpeg are not in this container). The
+- two REAL codecs run gate-verified: binary Netpbm P6 images
+  (``decode_ppm``, round-11) and RIFF/PCM WAV audio (``decode_wav``,
+  round-12) — both are genuine on-disk formats whose parsers are
+  ~25 lines of stdlib+numpy, so the decode slot is working code, not
+  a stub. COMPRESSED codecs (JPEG/PNG/mp3/video) still dispatch to
+  NotImplementedError: PIL/ffmpeg are not in this container; the
   Spark-side plumbing — schema, batch shape, partitioning, UDF
-  signature — is real and tested with a deterministic fake decoder.
+  signature — is identical either way.
 """
 
 from __future__ import annotations
@@ -78,10 +82,19 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     the multimodal pipeline can be REAL in a container without
     PIL/ffmpeg (round-11; previously a deterministic fake).
     Returns (width, height, pixels uint8[h, w, 3])."""
+    w, h, px, _ = _parse_p6(payload, 0)
+    return w, h, px
+
+
+def _parse_p6(payload: bytes, i: int) -> tuple[int, int, "object", int]:
+    """Parse ONE binary-PPM image starting at offset ``i``; returns
+    (width, height, pixels, next_offset). The offset return is what
+    makes the multi-image stream walk (decode_ppm_stream) possible —
+    the Netpbm spec allows concatenated images in one stream, the raw
+    'video' container of this pipeline."""
     import numpy as np
 
     toks: list[bytes] = []
-    i = 0
     while len(toks) < 4:
         # Netpbm spec: '#' starts a comment running to end-of-line,
         # legal wherever header whitespace is (ADVICE r11) — skip
@@ -111,7 +124,21 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     px = np.frombuffer(
         payload, dtype=np.uint8, offset=i, count=w * h * 3
     ).reshape(h, w, 3)
-    return w, h, px
+    return w, h, px, i + w * h * 3
+
+
+def decode_ppm_stream(payload: bytes) -> list:
+    """REAL multi-frame decode: a concatenated-P6 Netpbm stream (the
+    spec-legal multi-image form — the 'raw video' of this pipeline,
+    one P6 header + pixel block per frame, back to back). Walks the
+    stream with _parse_p6's offset returns; returns
+    [(width, height, pixels), ...] in frame order."""
+    frames = []
+    i = 0
+    while i < len(payload):
+        w, h, px, i = _parse_p6(payload, i)
+        frames.append((w, h, px))
+    return frames
 
 
 def decode_image(payload: bytes) -> object:
@@ -153,6 +180,148 @@ def attach_ppm_payload(documents: DataFrame) -> DataFrame:
     )
 
 
+WAV_RATE, WAV_CHANNELS, WAV_TILES = 8000, 2, 32
+_WAV_DATA_BYTES = 16 * WAV_TILES  # md5 digest (16 B) tiled
+
+
+def _wav_header() -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for the attach_wav_payload
+    stream: PCM (format 1), 2 channels, 8 kHz, 16-bit — all sizes are
+    constants because every payload tiles the 16-byte digest
+    WAV_TILES times."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + _WAV_DATA_BYTES)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,  # fmt chunk size
+            1,  # PCM
+            WAV_CHANNELS,
+            WAV_RATE,
+            WAV_RATE * WAV_CHANNELS * 2,  # byte rate
+            WAV_CHANNELS * 2,  # block align
+            16,  # bits per sample
+        )
+        + b"data"
+        + struct.pack("<I", _WAV_DATA_BYTES)
+    )
+
+
+def attach_wav_payload(documents: DataFrame) -> DataFrame:
+    """documents -> media table whose payload is a REAL RIFF/PCM WAV
+    file (stereo, 16-bit LE, 8 kHz): constant 44-byte header + a PCM
+    stream built engine-side by tiling unhex(md5(text)) (16 bytes = 4
+    stereo frames) WAV_TILES times. 16 % 4 == 0 keeps the L and R
+    channels on DISJOINT byte residues of the tile, so each channel's
+    sample sum is an exact integer function of 4 fixed digest sample
+    slots — which is what lets a SQL oracle verify the real decode
+    analytically (the attach_ppm_payload trick, round-11)."""
+    pat = F.unhex(F.md5("text"))
+    payload = F.concat(F.lit(_wav_header()), *([pat] * WAV_TILES))
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("audio/x-wav").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL audio decode, zero external deps: RIFF/WAVE with 16-bit
+    PCM. Walks the chunk list properly (arbitrary chunk order, unknown
+    chunks skipped, odd-size pad bytes honored per the RIFF spec),
+    validates PCM/16-bit from the fmt chunk, then views the data chunk
+    as little-endian int16 frames. Returns
+    (sample_rate, channels, frames int16[n_frames, channels])."""
+    import struct
+
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = i + 8
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[body : body + 16])
+        elif cid == b"data":
+            data_off, data_size = body, size
+        i = body + size + (size & 1)  # RIFF pads odd chunks
+    if fmt is None or data_off is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got fmt={fmt}")
+    frames = np.frombuffer(
+        payload, dtype="<i2", offset=data_off, count=data_size // 2
+    ).reshape(-1, channels)
+    return rate, channels, frames
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_l", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def audio_channel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode -> feature extraction for audio: mapInPandas
+    batches of opaque WAV bytes through decode_wav, emitting the
+    parsed rate, frame count, exact per-channel int64 sample sums and
+    the absolute peak — the audio preprocessing shape (loudness /
+    clipping stats before resample or feature extraction). Integer
+    outputs keep the cross-engine gate float-free; bytes never
+    shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _, frames = decode_wav(bytes(payload))
+                sums = frames.sum(axis=0, dtype="int64")
+                peak = int(abs(frames.astype("int64")).max())
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        frames.shape[0],
+                        int(sums[0]),
+                        int(sums[1]),
+                        peak,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "sum_l",
+                    "sum_r",
+                    "peak_abs",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats, AUDIO_STATS_SCHEMA
+    )
+
+
 IMAGE_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -191,6 +360,85 @@ def image_channel_stats(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         stats, IMAGE_STATS_SCHEMA
+    )
+
+
+VIDEO_FRAMES, VIDEO_SAMPLE_EVERY = 6, 2
+
+
+def attach_ppm_stream_payload(
+    documents: DataFrame, n_frames: int = VIDEO_FRAMES
+) -> DataFrame:
+    """documents -> media table whose payload is a REAL multi-image
+    Netpbm stream (concatenated P6 frames — the spec-legal multi-image
+    form, this pipeline's raw 'video' container): frame f is the
+    attach_ppm_payload 16x10 image built from md5(text || '#' || f),
+    so every frame differs but each is analytically predictable — the
+    oracle trick, per frame."""
+    frame_parts = []
+    for f in range(n_frames):
+        pat = F.expr(
+            f"substring(unhex(md5(concat(text, '#{f}'))), 1, 15)"
+        )
+        frame_parts.append(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()))
+        frame_parts.extend([pat] * 32)
+    payload = F.concat(*frame_parts)
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("video/x-ppm-stream").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def video_frame_stats(
+    media: DataFrame, every_k: int = VIDEO_SAMPLE_EVERY
+) -> DataFrame:
+    """REAL decode -> FRAME SAMPLING: mapInPandas walks each payload's
+    multi-image stream with decode_ppm_stream, keeps every k-th frame
+    (the standard video-preprocessing stride sample), and emits exact
+    int64 channel sums over the sampled frames only. The production
+    shape for video at 100 TB: bytes stay in place, Python sees one
+    Arrow batch per partition slice, frame decode + stride selection
+    happen per row, and only small typed rows shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_ppm_stream(bytes(payload))
+                sampled = frames[::every_k]
+                s = [0, 0, 0]
+                for _, _, px in sampled:
+                    fs = px.reshape(-1, 3).sum(axis=0, dtype="int64")
+                    for c in range(3):
+                        s[c] += int(fs[c])
+                rows.append(
+                    (doc_id, len(frames), len(sampled), s[0], s[1], s[2])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_sampled",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats, VIDEO_STATS_SCHEMA
     )
 
 

@@ -1222,29 +1222,31 @@ def minhash_md5_signatures(
     paying the explode+distinct twice after the helper extraction)."""
     if grams is None:
         grams = md5_trigrams(documents)
-    perm = grams.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}#"), F.col("gram"))),
-                            1, 12,
-                        ), 16, 10,
-                    ).cast("long").alias("h"),
-                )
-                for i in range(num_perm)
-            ])
-        ).alias("p"),
-    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
+    # One groupBy with num_perm min-aggregates (the production
+    # minhash_signatures shape) instead of exploding num_perm struct
+    # rows per gram: the per-permutation mins combine MAP-SIDE, so the
+    # shuffle carries num_perm longs per doc per partition rather than
+    # num_perm rows per gram — a 16x shuffle-volume cut at this
+    # num_perm (round-12; sig values bit-identical, oracle unchanged).
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}#"), F.col("gram"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
     return (
-        perm.groupBy("doc_id", "i")
-        .agg(F.min("h").alias("m"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("sig"))
-        .select("doc_id", F.col("sig.m").alias("sig"))
+        grams.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"),
+        )
     )
 
 

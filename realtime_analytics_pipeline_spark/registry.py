@@ -403,15 +403,14 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 
 _VERIFY_WINDOW = [
     # ROUND 12 window (propose_window.py --refresh output pasted
-    # verbatim, VERDICT r11 item 1; re-refreshed after this round's
-    # new query registered): the 11 never-driver-verified oracled
-    # names lead (LSH blocking-quality + recall audits, the 5-query
-    # training-mixture family, keep-best dedup survivors, the real
-    # PPM channel-stats decode, the non-vacuous q22_recent, and
-    # round-12's dedup_incremental_minhash), then the 39
-    # OLDEST-latest-green re-verification slots (r03/r04-era rows
-    # rotate back in). Expected after CORRECTNESS_r12: cumulative
-    # driver-green = 321/321 oracled at least once.
+    # verbatim, VERDICT r11 item 1; re-refreshed after the round's
+    # three later additions registered): the 14 never-driver-verified
+    # oracled names lead (the 10 round-11 additions, plus round-12's
+    # dedup_incremental_minhash / dedup_incremental_components and
+    # the real WAV-audio + PPM-stream-video decode queries), then the
+    # 36 OLDEST-latest-green re-verification slots. Expected after
+    # CORRECTNESS_r12: cumulative driver-green = 324/324 oracled at
+    # least once.
     "tpch_q22_recent_idle_customers",  # registry_relational
     "docs_lsh_blocking_quality",  # registry_docs
     "sample_docs_temperature_mix",  # registry_docs
@@ -423,6 +422,9 @@ _VERIFY_WINDOW = [
     "dedup_keep_best_survivors",  # registry_docs
     "multimodal_image_channel_stats",  # registry_multimodal
     "dedup_incremental_minhash",  # registry_docs
+    "dedup_incremental_components",  # registry_docs
+    "multimodal_audio_channel_stats",  # registry_multimodal
+    "multimodal_video_frame_stats",  # registry_multimodal
     "dq_constraint_report",  # registry_analytics
     "value_p95_sketch_rollup_1h",  # registry_analytics
     "text_pii_redaction",  # registry_curation
@@ -459,12 +461,9 @@ _VERIFY_WINDOW = [
     "orders_holt_forecast",  # registry_analytics
     "users_activity_similarity",  # registry_analytics
     "events_cep_pattern",  # registry_analytics
-    "orders_decimal_money",  # registry_analytics
-    "orders_changepoint_cusum",  # registry_analytics
-    "sessions_cep_conversion",  # registry_analytics
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 321. Driver-green (CORRECTNESS_r*): 310. Never-driver-verified: 11.
-    # Refresh window: 11 virgin + 39 oldest-green re-verification slots; the 271 fresher greens keep their rows.
+    # Oracled: 324. Driver-green (CORRECTNESS_r*): 310. Never-driver-verified: 14.
+    # Refresh window: 14 virgin + 36 oldest-green re-verification slots; the 274 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R10 = [

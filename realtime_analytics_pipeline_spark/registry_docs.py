@@ -4902,14 +4902,34 @@ FROM labeled
 # jaccard_pairs + iterative CC runs once per session, both queries
 # read the materialized labels, and outputs are bit-identical to the
 # un-shared form (the helper is the same composition, just hoisted).
-_BOUNDED_CC_MEMO: dict[tuple[str, str], DataFrame] = {}
+_BOUNDED_CC_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) 1-gram Jaccard >= 0.95 pairs on the doc_id < 300
+    gate subgraph — the expensive half (shingle explode + prefix
+    candidates + verify) of every bounded-CC diagnostic, memoized and
+    materialized once per (application, sf_dir). Round-12: hoisted out
+    of _bounded_cc_labels so the incremental-components query shares
+    the pair scan too (three consumers, one computation)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "pairs")
+    got = _BOUNDED_CC_MEMO.get(key)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+        got = (
+            D.jaccard_pairs(docs, n=1, threshold=0.95)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        _BOUNDED_CC_MEMO[key] = got
+    return got
 
 
 def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) for the doc_id < 300 gate subgraph:
     connected components of 1-gram Jaccard >= 0.95 pairs, singletons
     labeled by their own doc_id."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, "labels")
     got = _BOUNDED_CC_MEMO.get(key)
     if got is not None:
         return got
@@ -4918,7 +4938,7 @@ def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
+    pairs = _bounded_pairs(spark, sf_dir)
     comp = dedup_cluster_representatives(pairs).select(
         F.col("vertex").alias("doc_id"), "component"
     )
@@ -5485,4 +5505,203 @@ def q_dedup_incremental_minhash(
         F.when(F.coalesce("n_verified", F.lit(0)) > 0, "corpus_near_dup")
         .otherwise("novel")
         .alias("verdict"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-12: incremental COMPONENT assignment — the third leg of the
+# incremental dedup story (candidates -> verdicts -> stable cluster
+# ids). New batch docs joining an existing near-dup cluster take that
+# cluster's EXISTING id (label stability: downstream survivor tables
+# keyed by component never re-key); batch docs forming brand-new
+# clusters get min new doc_id. Gate runs on the bounded doc_id < 300
+# subgraph (CC-family convention); the pair scan is shared with the
+# other bounded diagnostics via _bounded_pairs.
+# --------------------------------------------------------------------------
+
+_INCR_CC_SQL = f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 300),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM d
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.95
+),
+corpus AS (SELECT doc_id FROM d WHERE source <> 'src0'),
+batch AS (SELECT doc_id FROM d WHERE source = 'src0'),
+-- phase 1: the EXISTING corpus components (corpus-only edges)
+ce AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    WHERE doc_a IN (SELECT doc_id FROM corpus)
+      AND doc_b IN (SELECT doc_id FROM corpus)
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+    WHERE doc_a IN (SELECT doc_id FROM corpus)
+      AND doc_b IN (SELECT doc_id FROM corpus)
+),
+creach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM ce)
+    UNION
+    SELECT e.u, r.comp FROM ce e JOIN creach r ON e.v = r.u
+),
+ccomp AS (
+    SELECT c.doc_id, coalesce(min(r.comp), c.doc_id) AS component
+    FROM corpus c LEFT JOIN creach r ON r.u = c.doc_id
+    GROUP BY c.doc_id
+),
+-- phase 2: batch-touching edges over ENCODED nodes — corpus ends
+-- collapse to their component id (< 1000000), batch docs encode as
+-- 1000000 + doc_id, so the min label of a connected set is the
+-- smallest EXISTING component whenever one is reachable
+be AS (
+    SELECT 1000000 + p.doc_a AS u, 1000000 + p.doc_b AS v FROM pairs p
+    WHERE p.doc_a IN (SELECT doc_id FROM batch)
+      AND p.doc_b IN (SELECT doc_id FROM batch)
+    UNION
+    SELECT 1000000 + p.doc_a, c.component FROM pairs p
+    JOIN ccomp c ON c.doc_id = p.doc_b
+    WHERE p.doc_a IN (SELECT doc_id FROM batch)
+    UNION
+    SELECT 1000000 + p.doc_b, c.component FROM pairs p
+    JOIN ccomp c ON c.doc_id = p.doc_a
+    WHERE p.doc_b IN (SELECT doc_id FROM batch)
+),
+bee AS (SELECT u, v FROM be UNION SELECT v, u FROM be),
+breach(u, comp) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM bee)
+    UNION
+    SELECT e.u, r.comp FROM bee e JOIN breach r ON e.v = r.u
+),
+assigned AS (
+    SELECT b.doc_id,
+           coalesce(min(r.comp), 1000000 + b.doc_id) AS enc
+    FROM batch b LEFT JOIN breach r ON r.u = 1000000 + b.doc_id
+    GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN enc < 1000000 THEN enc
+            ELSE enc - 1000000 END AS BIGINT) AS component,
+       CAST(CASE WHEN enc < 1000000 THEN 0 ELSE 1 END AS BIGINT)
+           AS is_new_cluster
+FROM assigned
+"""
+
+
+@register("dedup_incremental_components", _INCR_CC_SQL)
+def q_dedup_incremental_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup COMPONENT assignment: given the corpus's
+    existing CC labels (persisted in production; derived here from the
+    corpus half of the shared bounded pair set) and the new batch's
+    verified near-dup edges, assign each batch doc a STABLE cluster
+    id — the smallest existing corpus component it connects to
+    (directly or through other batch docs), else min new doc_id for a
+    brand-new cluster. Existing cluster ids never change (downstream
+    survivor tables keyed by component stay valid), and the induced
+    PARTITION of batch docs provably equals a full-recompute CC
+    (pytest pin) — the production property that lets a 100 TB corpus
+    skip the full-graph CC on every daily increment: cost = CC over
+    the batch-sized subgraph with corpus components collapsed to
+    single super-nodes, not over the corpus. Encoding: corpus
+    components < 1e6, batch nodes 1e6 + doc_id, so min-label CC
+    resolves 'existing id wins, else min new id' with no extra pass.
+    Bounded doc_id < 300 gate subgraph (CC-family convention; the
+    recursive-CTE oracle is quadratic in component size); the pair
+    scan is shared with split_docs_dedup_aware / keep_best via
+    _bounded_pairs."""
+    from realtime_analytics_pipeline_spark.operators.clustering import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
+    src = docs.select("doc_id", "source")
+    pairs = _bounded_pairs(spark, sf_dir)
+    is_batch = F.col("source") == "src0"
+    corpus_ids = src.where(~is_batch).select("doc_id")
+    batch_ids = src.where(is_batch).select("doc_id")
+
+    # phase 1: existing corpus components (corpus-only edges)
+    ce = (
+        pairs.join(
+            corpus_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).join(corpus_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    ccomp = (
+        corpus_ids.join(
+            connected_components(ce).withColumnRenamed("vertex", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+
+    # phase 2: batch-touching edges over encoded nodes
+    ENC = 1_000_000
+    ba = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    )
+    bb_edges = ba.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+    ).select(
+        (F.col("doc_a") + ENC).alias("doc_a"),
+        (F.col("doc_b") + ENC).alias("doc_b"),
+    )
+    bc_edges = (
+        ba.join(
+            ccomp.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(
+            (F.col("doc_a") + ENC).alias("doc_a"),
+            F.col("component").alias("doc_b"),
+        )
+        .unionByName(
+            pairs.join(
+                batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            )
+            .join(ccomp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .select(
+                (F.col("doc_b") + ENC).alias("doc_a"),
+                F.col("component").alias("doc_b"),
+            )
+        )
+    )
+    enc_cc = connected_components(bb_edges.unionByName(bc_edges))
+    return (
+        batch_ids.join(
+            enc_cc.select(
+                (F.col("vertex") - ENC).alias("doc_id"),
+                F.col("component").alias("enc"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("enc", F.col("doc_id") + ENC).alias("enc"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("enc") < ENC, F.col("enc"))
+            .otherwise(F.col("enc") - ENC)
+            .cast("bigint")
+            .alias("component"),
+            F.when(F.col("enc") < ENC, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("is_new_cluster"),
+        )
     )

@@ -340,3 +340,153 @@ def q_multimodal_image_channel_stats(
 
     media = attach_ppm_payload(load_table(spark, sf_dir, "documents"))
     return image_channel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# Round-12: REAL audio decode, gate-verified — the WAV twin of the
+# round-11 PPM path. The payload is a genuine RIFF/PCM WAV file
+# (constant 44-byte header + 16-bit LE stereo stream) built
+# engine-side; Spark decodes the BYTES with a real chunk-walking
+# parser (binary_ops.decode_wav) inside mapInPandas; DuckDB predicts
+# the exact integer channel sums analytically from md5(text), because
+# the PCM stream tiles the 16 digest bytes (= 4 stereo frames) 32
+# times and 16 % 4 == 0 pins each channel to 4 fixed digest sample
+# slots. A header-offset, endianness, signedness, or interleave bug
+# in the decoder cannot match the hash.
+# --------------------------------------------------------------------------
+
+
+def _wav_stats_sql() -> str:
+    def samp(j: int) -> str:
+        raw = f"({_md5_byte(2 * j)} + 256 * ({_md5_byte(2 * j + 1)}))"
+        return (
+            f"({raw} - CASE WHEN {raw} >= 32768 THEN 65536 ELSE 0 END)"
+        )
+
+    cols = ",\n           ".join(
+        f"{samp(j)} AS s{j}" for j in range(8)
+    )
+    peaks = ", ".join(f"abs(s{j})" for j in range(8))
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           {cols}
+    FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(128 AS BIGINT) AS n_frames,
+       CAST(32 * (s0 + s2 + s4 + s6) AS BIGINT) AS sum_l,
+       CAST(32 * (s1 + s3 + s5 + s7) AS BIGINT) AS sum_r,
+       CAST(greatest({peaks}) AS BIGINT) AS peak_abs
+FROM s
+"""
+
+
+_WAV_STATS_SQL = _wav_stats_sql()
+
+
+@register("multimodal_audio_channel_stats", _WAV_STATS_SQL)
+def q_multimodal_audio_channel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL audio decode -> feature pipeline: RIFF/PCM WAV payloads
+    (an actual on-disk audio container) parsed by a real chunk-walking
+    numpy codec in Arrow-batched mapInPandas — RIFF magic validation,
+    fmt/data chunk walk with odd-size padding, little-endian int16
+    frame view, exact per-channel int64 sample sums plus the absolute
+    peak (the loudness/clipping pre-pass of an audio training
+    pipeline). The oracle is ANALYTIC (DuckDB never decodes): the PCM
+    stream tiles md5(text)'s 16 bytes = 4 stereo frames 32 times, so
+    each channel sum is 32x the sum of 4 known signed samples and the
+    peak is the max |sample| over the 8 — any parser bug breaks the
+    hash. With decode_ppm (round-11) this makes BOTH uncompressed
+    decode slots real working code; compressed codecs (JPEG/mp3)
+    still gate on absent libraries."""
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        attach_wav_payload,
+        audio_channel_stats,
+    )
+
+    media = attach_wav_payload(load_table(spark, sf_dir, "documents"))
+    return audio_channel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# Round-12: REAL video-shaped decode + frame sampling. The payload is
+# a spec-legal multi-image Netpbm stream (concatenated P6 frames, the
+# raw 'video' container); Spark walks the stream with a real
+# offset-tracking parser and stride-samples every 2nd frame; DuckDB
+# predicts the sampled channel sums analytically because frame f
+# tiles md5(text || '#f')'s first 15 bytes — a frame-boundary,
+# stride, or offset bug cannot match the hash.
+# --------------------------------------------------------------------------
+
+
+def _md5_byte_of(expr: str, pos: int) -> str:
+    hi = (
+        f"strpos('0123456789abcdef', substr(md5({expr}),"
+        f" {2 * pos + 1}, 1)) - 1"
+    )
+    lo = (
+        f"strpos('0123456789abcdef', substr(md5({expr}),"
+        f" {2 * pos + 2}, 1)) - 1"
+    )
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+def _video_stats_sql() -> str:
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        VIDEO_FRAMES,
+        VIDEO_SAMPLE_EVERY,
+    )
+
+    sampled = range(0, VIDEO_FRAMES, VIDEO_SAMPLE_EVERY)
+
+    def group(ch: int) -> str:
+        return " + ".join(
+            _md5_byte_of(f"text || '#{f}'", p)
+            for f in sampled
+            for p in range(ch, 15, 3)
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST({VIDEO_FRAMES} AS BIGINT) AS n_frames,
+       CAST({len(list(sampled))} AS BIGINT) AS n_sampled,
+       CAST(32 * ({group(0)}) AS BIGINT) AS sum_r,
+       CAST(32 * ({group(1)}) AS BIGINT) AS sum_g,
+       CAST(32 * ({group(2)}) AS BIGINT) AS sum_b
+FROM documents
+"""
+
+
+_VIDEO_STATS_SQL = _video_stats_sql()
+
+
+@register("multimodal_video_frame_stats", _VIDEO_STATS_SQL)
+def q_multimodal_video_frame_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video-shaped decode + FRAME SAMPLING: each payload is a
+    genuine multi-image Netpbm stream (6 concatenated P6 frames);
+    Spark's decode_ppm_stream walks the frame boundaries with an
+    offset-tracking parser inside Arrow-batched mapInPandas, keeps
+    every 2nd frame (stride sampling — the standard video
+    preprocessing step), and emits exact int64 channel sums over the
+    SAMPLED frames. The oracle is ANALYTIC: frame f's pixels tile
+    md5(text || '#f')'s first 15 bytes, so the sampled sums are 32x
+    sums of known digest bytes of frames {0, 2, 4} — mis-walking a
+    frame boundary, sampling the wrong stride, or mis-offsetting any
+    header breaks the hash. Completes the multimodal trio: image
+    (PPM, round-11), audio (WAV, round-12), video (PPM stream,
+    round-12) — all REAL parsers, zero codec libraries."""
+    from realtime_analytics_pipeline_spark.multimodal.binary_ops import (
+        attach_ppm_stream_payload,
+        video_frame_stats,
+    )
+
+    media = attach_ppm_stream_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return video_frame_stats(media)

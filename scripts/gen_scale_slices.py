@@ -176,6 +176,33 @@ def gen_documents_bounded(sf: float, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def gen_embeddings(sf: float, rng: np.random.Generator) -> pa.Table:
+    """Bootstrap-resampled embeddings slice (round-12 — unblocks the
+    docs_lsh_blocking_quality sweep row, whose k-means surface reads
+    embeddings): (embedding, label) rows drawn with replacement from
+    the sf0.1 driver table, new dense vec_ids. Resampling preserves
+    the cluster geometry and label mix exactly, so the kmeans/ANN
+    cost classes see the same value distribution; 2000 rows at sf0.1
+    -> 20000 at sf1 (the driver's own 10x-per-decade ratio)."""
+    n = int(20_000 * sf)
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding, label FROM '{SRC}/embeddings.parquet'"
+    ).fetchall()
+    idx = rng.integers(0, len(rows), n)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="int64")),
+            "embedding": pa.array(
+                [rows[i][0] for i in idx], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(
+                [int(rows[i][1]) for i in idx], type=pa.int32()
+            ),
+        }
+    )
+
+
 _DAY_US = 86_400 * 1_000_000
 
 
@@ -263,6 +290,14 @@ def gen_tpch(sf: float, rng: np.random.Generator, out_dir: str) -> None:
 def main() -> None:
     import sys
 
+    if "--embeddings-only" in sys.argv:
+        for sf in (0.3, 1.0):
+            rng = np.random.default_rng(20260816 + int(sf * 10))
+            d = os.path.join(OUT, f"sf{sf:g}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(gen_embeddings(sf, rng), f"{d}/embeddings.parquet")
+            print(f"wrote {d}/embeddings.parquet: {int(2e4 * sf)} vecs")
+        return
     bounded_only = "--bounded-only" in sys.argv
     if bounded_only:
         for sf in (0.1, 0.3, 1.0):
@@ -298,6 +333,7 @@ def main() -> None:
             gen_documents(sf, rng, lang_words, lang_p), f"{d}/documents.parquet"
         )
         gen_tpch(sf, rng, d)
+        pq.write_table(gen_embeddings(sf, rng), f"{d}/embeddings.parquet")
         print(
             f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)} "
             f"lineitem={int(6e6 * sf)}"

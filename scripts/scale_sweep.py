@@ -155,10 +155,7 @@ SWEEP = [
      "vocab-sized Arrow kernel (constant-factor path)", True),
     ("sample_docs_reservoir_weighted", "documents", 3,
      "A-ES top-k heaps (TakeOrderedAndProject)", True),
-    # round-11 additions. docs_lsh_blocking_quality is NOT swept — it
-    # also reads embeddings, which the .scale slices do not carry; its
-    # cost classes (md5 minhash agg, kmeans_lite, hash group-bys) are
-    # all swept via their parent queries.
+    # round-11 additions
     ("tpch_q22_recent_idle_customers", "customer", 3,
      "anti join + broadcast scalar subquery", True),
     ("sample_docs_temperature_mix", "documents", 3,
@@ -171,6 +168,34 @@ SWEEP = [
      "quantile stages + shard-parallel window sort", True),
     ("split_docs_dedup_aware", "documents", 3,
      "CC-component split (bounded doc_id<300 subgraph)", True),
+    # round-12: the four rows VERDICT r11 item 2 asked for, plus the
+    # new incremental near-dup query. docs_lsh_blocking_quality is
+    # corpus-scale (16-perm md5 signature explode + kmeans_lite over
+    # embeddings — gen_scale_slices now synthesizes embeddings at
+    # sf0.3/1, bootstrap-resampled from sf0.1); documents dominates
+    # its cost, so that is the ratio table. The recall audit and
+    # keep-best rows must print ~FLAT (bounded doc_id<300 subgraphs
+    # by design). NOTE: keep_best shares the memoized bounded-CC
+    # label set with split_docs_dedup_aware (round-12); split runs
+    # first in this list and pays the CC per SF, so the keep_best row
+    # measures the INCREMENTAL cost given the shared labels — the
+    # production reality and the number the bench pair now costs.
+    ("docs_lsh_blocking_quality", "documents", 3,
+     "3-surface blocking audit (md5 minhash explode + kmeans cells + md5 key; group-bys only)", True),
+    ("docs_lsh_recall_audit", "documents", 3,
+     "LSH recall vs exact truth (bounded doc_id<300)", True),
+    ("dedup_keep_best_survivors", "documents", 3,
+     "CC top-1 quality window (bounded, shared CC memo)", True),
+    ("multimodal_image_channel_stats", "documents", 3,
+     "PPM build + mapInPandas decode + channel sums", True),
+    ("dedup_incremental_minhash", "documents", 3,
+     "incremental LSH: batch bands vs corpus buckets + verify", True),
+    ("dedup_incremental_components", "documents", 3,
+     "incremental CC assignment (bounded, shared pair memo)", True),
+    ("multimodal_audio_channel_stats", "documents", 3,
+     "WAV build + mapInPandas decode + channel sums", True),
+    ("multimodal_video_frame_stats", "documents", 3,
+     "PPM-stream build + frame walk + stride sample", True),
 ]
 
 def _winnow_spec(spark, d):

@@ -101,3 +101,50 @@ def test_gated_incremental_minhash_invariants(spark):
     # both verdict classes must be non-vacuous at sf0.01
     assert dups > 0
     assert dups < len(out)
+
+
+def test_incremental_components_partition_equals_full_cc(spark):
+    """The production property that lets the daily increment skip the
+    full-graph CC: (a) the incremental assignment's induced PARTITION
+    of batch docs equals the full-recompute union-graph CC restricted
+    to batch docs; (b) batch docs that joined an existing cluster
+    carry that cluster's UNCHANGED corpus label (stability)."""
+    from realtime_analytics_pipeline_spark.registry_docs import (
+        _bounded_cc_labels,
+    )
+
+    assigned = {
+        r.doc_id: (r.component, r.is_new_cluster)
+        for r in QUERIES["dedup_incremental_components"](
+            spark, SF_CORRECTNESS
+        ).collect()
+    }
+    assert assigned, "src0 batch must be non-empty on the subgraph"
+    full = {
+        r.doc_id: r.component
+        for r in _bounded_cc_labels(spark, SF_CORRECTNESS).collect()
+    }
+    docs = load_table(spark, SF_CORRECTNESS, "documents").where(
+        "doc_id < 300"
+    )
+    batch = {r.doc_id for r in docs.where("source = 'src0'").collect()}
+    assert set(assigned) == batch
+
+    # (a) partition equality on batch docs
+    def groups(labels):
+        g = {}
+        for d, c in labels.items():
+            g.setdefault(c, set()).add(d)
+        return {frozenset(v) for v in g.values()}
+
+    inc_part = groups({d: c for d, (c, _) in assigned.items()})
+    full_part = groups({d: full[d] for d in batch})
+    assert inc_part == full_part
+
+    # (b) label stability: joined-existing docs carry a corpus doc id
+    corpus = {r.doc_id for r in docs.where("source <> 'src0'").collect()}
+    for d, (c, is_new) in assigned.items():
+        if is_new == 0:
+            assert c in corpus, (d, c)
+        else:
+            assert c in batch and c <= d, (d, c)
