@@ -181,8 +181,14 @@ HEADLINE = [
     "docs_lsh_recall_audit",
     "dedup_keep_best_survivors",
     # round-12: incremental near-dup dedup (band the new batch,
-    # key-join the persisted corpus band buckets, verify batch-side)
+    # key-join the persisted corpus band buckets, verify batch-side),
+    # incremental component assignment (shares the bounded-CC memo
+    # with split_docs_dedup_aware / keep_best — the pair scan is paid
+    # once for the trio), and the real audio/video decode paths
     "dedup_incremental_minhash",
+    "dedup_incremental_components",
+    "multimodal_audio_channel_stats",
+    "multimodal_video_frame_stats",
 ]
 
 

@@ -408,6 +408,20 @@ def main() -> None:
         "split) reduce to strata-sized work after one corpus agg, so",
         "their rows are overhead-bound ~0; curriculum order rides the",
         "epoch-shuffle shard-sort shape (a <= ~0.6).",
+        "Round-12: the three bounded CC-family diagnostics share one",
+        "memoized pair-scan + label memo per session (_bounded_pairs /",
+        "_bounded_cc_labels), so the split/keep_best rows show the WARM",
+        "per-call cost (~0.05-0.2 s; the one-time subgraph cost is paid",
+        "by whichever of the trio runs first and appears in",
+        "dedup_incremental_components' flat ~5 s, which re-derives its",
+        "two CC passes per call). docs_lsh_blocking_quality and",
+        "dedup_incremental_minhash are the corpus-scale md5-twin rows:",
+        "both sweep linear-shaped (a ~ 0.88 / 0.97 over 0.1->1) — the",
+        "16-perm md5 signature scan dominates; the production xxhash64",
+        "siblings (dedup_minhash_lsh_3gram) carry the cheap-hash",
+        "constant. The audio/video decode rows are map-only mapInPandas",
+        "passes and sweep like the image row (a ~ 0.4-0.6, payload-",
+        "build + Arrow transfer bound).",
         "",
         "| query | cost class | table | t(0.001) | t(0.01) | t(0.1) | t(0.3) | t(1) | a(0.01->0.1) | a(0.1->1) |",
         "|---|---|---|---|---|---|---|---|---|---|",

@@ -119,6 +119,11 @@ QUERIES = [
     "multimodal_image_channel_stats",
     "docs_lsh_recall_audit",
     "dedup_keep_best_survivors",
+    # round 12
+    "dedup_incremental_minhash",
+    "dedup_incremental_components",
+    "multimodal_audio_channel_stats",
+    "multimodal_video_frame_stats",
 ]
 
 

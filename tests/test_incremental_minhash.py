@@ -148,3 +148,45 @@ def test_incremental_components_partition_equals_full_cc(spark):
             assert c in corpus, (d, c)
         else:
             assert c in batch and c <= d, (d, c)
+
+
+def test_two_increment_ingest_equals_full_lsh(spark):
+    """The persisted-bucket-store property across TWO increments: day-1
+    buckets appended to the store, day-2 deduped against corpus+day-1
+    — candidates must equal the full-corpus LSH cross pairs computed
+    from scratch. This is the invariant that lets a 100 TB store skip
+    the bootstrap forever: append-after-dedup loses nothing."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.where(~F.col("source").isin("src0", "src1"))
+    day1 = docs.where(F.col("source") == "src1")
+    day2 = docs.where(F.col("source") == "src0")
+
+    store0 = D.minhash_band_buckets(D.minhash_signatures(corpus))
+    b1 = D.minhash_band_buckets(D.minhash_signatures(day1))
+    store1 = store0.unionByName(b1)
+    got = set(
+        (r.batch_doc_id, r.corpus_doc_id)
+        for r in D.minhash_incremental_candidates(
+            store1, D.minhash_band_buckets(D.minhash_signatures(day2))
+        ).collect()
+    )
+
+    # full recompute: all cross pairs (day2 x (corpus + day1))
+    full = D.minhash_band_buckets(D.minhash_signatures(docs))
+    day2_ids = {r.doc_id for r in day2.select("doc_id").collect()}
+    day1_ids = {r.doc_id for r in day1.select("doc_id").collect()}
+    want = set()
+    for r in D._salted_pairs(full, ["band", "bucket"]).distinct().collect():
+        a2, b2 = r.doc_a in day2_ids, r.doc_b in day2_ids
+        if a2 and not b2:
+            want.add((r.doc_a, r.doc_b))
+        elif b2 and not a2:
+            want.add((r.doc_b, r.doc_a))
+    # drop day2-x-day2 (not in scope) already excluded; but the full
+    # sweep also proposes day2-vs-day2 pairs — 'want' here is only
+    # cross pairs, which is exactly the incremental store's scope
+    assert got == want, (len(got), len(want))
+    assert any(c in day1_ids for _, c in got), (
+        "day-2 must hit at least one day-1 doc for the append "
+        "property to be exercised"
+    )
