@@ -8,6 +8,7 @@ given names — the fast iteration loop while authoring a new query.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -36,9 +37,15 @@ def main() -> int:
     spark = get_pristine_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # .scale slices: events is an 8-file DIRECTORY (glob it) and
+        # only events/documents/tpch-trio/embeddings exist — missing
+        # tables get no view, so a query that needs one fails loudly
+        # at SQL time instead of at setup
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []

@@ -190,3 +190,21 @@ def test_two_increment_ingest_equals_full_lsh(spark):
         "day-2 must hit at least one day-1 doc for the append "
         "property to be exercised"
     )
+
+
+def test_incremental_verdicts_empty_sides(spark):
+    """Edge hygiene: an empty increment returns an empty verdict table
+    (schema intact); an empty corpus marks every batch doc novel."""
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], schema
+    )
+    empty = spark.createDataFrame([], schema)
+    out = D.minhash_incremental_verdicts(corpus, empty)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_candidates", "n_verified", "best_eq", "verdict",
+    ]
+    batch = spark.createDataFrame([(5, "zeta eta theta iota")], schema)
+    rows = D.minhash_incremental_verdicts(empty, batch).collect()
+    assert len(rows) == 1 and rows[0].verdict == "novel"
