@@ -197,6 +197,37 @@ def q_streaming_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _finalized_core(
+    spark: SparkSession,
+    sf_dir: str,
+    emitted: DataFrame,
+    end_col: str = "window_end_ms",
+    lag_ms: int = 70000,
+) -> DataFrame:
+    """Restrict an append-mode emitted set to its replay-shape-
+    INDEPENDENT finalization core: windows with end <= max event time
+    - lag_ms. A chained stateful aggregation's emitted set depends on
+    how many micro-batches the replay used — a single-file replay
+    (the driver's testdata) finalizes windows only up to
+    max - 10 s - 60 s (the watermark delay plus one window of
+    propagation lag through the second stateful operator), while an
+    8-file replay (the .scale slices) advances the watermark
+    incrementally and finalizes one window more (round-12, found by
+    the sf1 oracle spot-check). Emission is MONOTONE in batch count,
+    so the single-file set is the minimal core and every replay shape
+    emits a superset — filtering to the core makes the gated output
+    identical everywhere without changing what the driver sees. The
+    1-row max() read is the documented bounded-collect convention."""
+    from realtime_analytics_pipeline_spark.sources.batch import load_events
+
+    mx = (
+        load_events(spark, sf_dir)
+        .agg(F.max(F.unix_millis("event_time")))
+        .collect()[0][0]
+    )
+    return emitted.where(F.col(end_col) <= mx - lag_ms)
+
+
 @register("streaming_event_metrics", _STREAMING_EM_SQL)
 def q_streaming_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming state partitioning is fixed at query start (no AQE
@@ -219,7 +250,7 @@ def q_streaming_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         table = f"stream_event_metrics_{os.getpid()}_{next(_counter)}"
         run_to_memory_table(out, table, output_mode="append")
-        return spark.table(table)
+        return _finalized_core(spark, sf_dir, spark.table(table))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -429,8 +460,11 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("window_start_ms").orderBy(
             F.desc("event_count"), F.asc("event_type")
         )
+        # rank over the finalization CORE (not the raw emitted set):
+        # the rank depends on which windows are present, so the
+        # replay-shape filter must come before it (see _finalized_core)
         return (
-            spark.table(table)
+            _finalized_core(spark, sf_dir, spark.table(table))
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= 3)
         )
