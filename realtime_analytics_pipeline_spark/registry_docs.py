@@ -1490,7 +1490,8 @@ pairs AS (
     WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.9)
 SELECT doc_a, doc_b, jaccard,
        round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                    eb.embedding::DOUBLE[]), 6) AS cos,
+                                    eb.embedding::DOUBLE[]), 6) + 0.0e0
+           AS cos,
        round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                     eb.embedding::DOUBLE[]), 6) >= 0.9
            AS emb_agrees
@@ -1531,7 +1532,10 @@ def q_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "jaccard",
-            cos.alias("cos"),
+            # + 0.0 canonicalizes -0.0 (a zero cosine of orthogonal
+            # vectors rounds to -0.0 on one engine and 0.0 on the
+            # other — found by the sf0.3 scale gate, round-12)
+            (cos + F.lit(0.0)).alias("cos"),
             (cos >= 0.9).alias("emb_agrees"),
         )
     )

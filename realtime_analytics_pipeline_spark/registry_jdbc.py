@@ -162,6 +162,22 @@ def q_streaming_jdbc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     back = read_jdbc(spark, url, "event_metrics_live")
+    # restrict to the replay-shape-independent finalization core: a
+    # chained stateful agg emits one window MORE on a multi-file
+    # replay than on the driver's single-file one (round-12, caught by
+    # the sf0.3 scale gate — same fix as streaming_event_metrics)
+    from realtime_analytics_pipeline_spark.registry_streaming import (
+        _finalized_core,
+    )
+
+    back = _finalized_core(
+        spark,
+        sf_dir,
+        back.withColumn(
+            "_end_ms", F.col("window_start_ms").cast("bigint") + 60000
+        ),
+        end_col="_end_ms",
+    ).drop("_end_ms")
     return back.select(
         F.col("window_start_ms").cast("bigint").alias("window_start_ms"),
         "event_type",

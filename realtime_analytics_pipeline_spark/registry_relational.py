@@ -1910,7 +1910,8 @@ WITH ordered AS (
            lag(l_partkey) OVER w AS p_pk,
            lag(l_suppkey) OVER w AS p_sk
     FROM lineitem
-    WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+    WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+                          l_partkey, l_suppkey)
 ),
 runs AS (
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -1951,7 +1952,12 @@ def q_lineitem_sortedness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    # full tiebreak: (l_orderkey, l_linenumber) is unique on the real
+    # TPC-H layout but NOT on the synthetic .scale slice — a partial
+    # order makes lag() engine-dependent on ties (round-12 scale gate)
+    w = Window.orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
     with_lag = li.select(
         "l_orderkey",
         "l_partkey",

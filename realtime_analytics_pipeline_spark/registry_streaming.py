@@ -355,10 +355,23 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="dedup_stream_src_")
     src = os.path.join(sf_dir, "events.parquet")
     now = time.time()
-    for i in (0, 1):
-        dst = os.path.join(tmp, f"delivery{i}.parquet")
-        shutil.copyfile(src, dst)
-        os.utime(dst, (now + 2 * i, now + 2 * i))
+    if os.path.isdir(src):
+        # .scale slices store events as an n-file directory: redeliver
+        # the WHOLE sequence twice, preserving within-delivery file
+        # order via ascending mtimes (round-12 — the single-file
+        # copyfile raised IsADirectoryError at the scale gate)
+        k = 0
+        for i in (0, 1):
+            for f in sorted(os.listdir(src)):
+                dst = os.path.join(tmp, f"delivery{i}_{f}")
+                shutil.copyfile(os.path.join(src, f), dst)
+                os.utime(dst, (now + k, now + k))
+                k += 1
+    else:
+        for i in (0, 1):
+            dst = os.path.join(tmp, f"delivery{i}.parquet")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (now + 2 * i, now + 2 * i))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
