@@ -136,6 +136,13 @@ def decode_ppm_stream(payload: bytes) -> list:
     frames = []
     i = 0
     while i < len(payload):
+        # Trailing whitespace after the last pixel block is legal and
+        # common from real PPM writers — skip it rather than re-enter
+        # _parse_p6 on an empty tail (ADVICE r12).
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i >= len(payload):
+            break
         w, h, px, i = _parse_p6(payload, i)
         frames.append((w, h, px))
     return frames

@@ -1667,11 +1667,26 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EQUIDEPTH_SQL = """
-WITH bounds AS (
-    SELECT event_type,
-           quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
-                                 0.6, 0.7, 0.8, 0.9]) AS bs
-    FROM events WHERE value IS NOT NULL GROUP BY 1),
+WITH vals AS (
+    SELECT event_type, value, count(*) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, value, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM vals),
+bnd AS (
+    -- decile boundary k is the DATA VALUE at 0-based rank
+    -- (k*(n-1))//10: pure integer rank selection, no interpolation
+    SELECT event_type, t.k, value
+    FROM cum CROSS JOIN
+         (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS k) t
+    WHERE (t.k * (n - 1)) // 10 BETWEEN cum - cnt AND cum - 1),
+bounds AS (
+    SELECT event_type, list(value ORDER BY k) AS bs
+    FROM bnd GROUP BY 1),
 assigned AS (
     SELECT e.event_type,
            len(list_filter(b.bs, x -> x < e.value)) AS bucket,
@@ -1688,18 +1703,51 @@ FROM assigned GROUP BY 1, 2
 
 @register("events_value_equidepth", _EQUIDEPTH_SQL)
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram (decile buckets) per type: exact decile
-    boundaries from one aggregation, broadcast back, bucket = count of
-    boundaries strictly below the value — no global sort of the fact
-    table (the ntile formulation would need one); boundary comparisons
-    run on identical interpolated doubles in both engines."""
+    """Equi-DEPTH histogram (decile buckets) per type. Round-13
+    exactness upgrade (closes the scale-gate float-boundary skip):
+    boundaries are DISCRETE order statistics — boundary k is the data
+    value at 0-based rank (k·(n−1))//10, selected by pure integer rank
+    arithmetic over a cumulative histogram of DISTINCT values — so no
+    interpolation arithmetic exists to diverge between engines; bucket
+    assignment compares raw stored doubles. The distinct-value
+    histogram also bounds the sort: the per-type window runs over
+    |distinct values| rows, not the fact table, and the fact table is
+    never globally sorted — one small shuffle for the histogram, a
+    broadcast of 9 boundaries per type, one aggregation."""
     ev = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
-    bounds = ev.groupBy("event_type").agg(
+    vals = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    bnd = cum.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.expr(
+                "filter(sequence(1, 9),"
+                " k -> (k * (n - 1)) div 10"
+                " between cum - cnt and cum - 1)"
+            )
+        ).alias("k"),
+    )
+    bounds = bnd.groupBy("event_type").agg(
         F.expr(
-            "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5,"
-            " 0.6, 0.7, 0.8, 0.9))"
+            "transform(sort_array(collect_list(struct(k, value))),"
+            " p -> p.value)"
         ).alias("bs")
     )
     assigned = ev.join(F.broadcast(bounds), "event_type").select(
@@ -2298,30 +2346,44 @@ _HOLT_SQL = """
 WITH RECURSIVE monthly AS (
     SELECT o_orderpriority AS priority,
            date_trunc('month', o_orderdate) AS m,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-               AS y
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1999-09-01'
     GROUP BY 1, 2),
 series AS (
-    SELECT priority, list(y ORDER BY m) AS ys
+    SELECT priority, list(CAST(y AS HUGEINT) ORDER BY m) AS ys,
+           CAST(power(4, count(*) - 2) AS HUGEINT) AS fix
     FROM monthly GROUP BY priority),
 h AS (
-    SELECT priority, ys, 2 AS i,
-           ys[1] AS l,
-           ys[2] - ys[1] AS b
+    -- exact dyadic fold: V = l * 4^(n-2), W = b * 4^(n-2) stay
+    -- integral at every step (each halving divides an even integer),
+    -- so the recurrence is EXACT at any SF/magnitude in HUGEINT
+    SELECT priority, ys, fix, 2 AS i,
+           ys[1] * fix AS v,
+           (ys[2] - ys[1]) * fix AS w
     FROM series WHERE len(ys) >= 3
     UNION ALL
-    SELECT priority, ys, i + 1,
-           0.5 * ys[i + 1] + 0.5 * (l + b) AS l,
-           0.5 * ((0.5 * ys[i + 1] + 0.5 * (l + b)) - l) + 0.5 * b AS b
-    FROM h WHERE i < len(ys))
-SELECT priority,
-       CAST(len(ys) AS BIGINT) AS n_periods,
-       round(l, 6) + 0.0 AS level,
-       round(b, 6) + 0.0 AS trend,
-       round(l + b, 6) + 0.0 AS forecast_next
-FROM h WHERE i = len(ys)
+    SELECT priority, ys, fix, i + 1,
+           (ys[i + 1] * fix + v + w) // 2 AS v,
+           ((ys[i + 1] * fix + v + w) // 2 - v + w) // 2 AS w
+    FROM h WHERE i < len(ys)),
+fin AS (
+    SELECT priority, CAST(len(ys) AS BIGINT) AS n_periods, fix, v, w
+    FROM h WHERE i = len(ys))
+SELECT priority, n_periods,
+       CAST(CASE WHEN v < 0
+            THEN -((-v * 2000000 + fix) // (2 * fix))
+            ELSE (v * 2000000 + fix) // (2 * fix) END AS DOUBLE)
+           / 1000000 + 0.0 AS level,
+       CAST(CASE WHEN w < 0
+            THEN -((-w * 2000000 + fix) // (2 * fix))
+            ELSE (w * 2000000 + fix) // (2 * fix) END AS DOUBLE)
+           / 1000000 + 0.0 AS trend,
+       CAST(CASE WHEN v + w < 0
+            THEN -((-(v + w) * 2000000 + fix) // (2 * fix))
+            ELSE ((v + w) * 2000000 + fix) // (2 * fix) END AS DOUBLE)
+           / 1000000 + 0.0 AS forecast_next
+FROM fin
 """
 
 
@@ -2338,14 +2400,17 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the fold costs O(series length) per key after the rollup,
     the standard shape for per-entity sequential models on Spark.
 
-    The series is restricted to the last 24 months so that, with
-    dyadic coefficients (0.5), every intermediate value times 2^steps
-    stays under 2^52 — each step is then EXACT in IEEE doubles and the
-    engines agree bit-for-bit. (The full 80-month series was measured
-    to diverge ~70 ULPs between engines: once the dyadic denominators
-    pass the mantissa, DuckDB's and Spark's rounding/association
-    differ — sequential float recurrences are only portable while
-    they are exact.)"""
+    Round-13 exactness upgrade (closes the scale-gate float-boundary
+    skip): the fold runs in SCALED INTEGERS — V = l·4ⁿ, W = b·4ⁿ as
+    DECIMAL(38,0) on Spark / HUGEINT in the oracle, where n is the
+    step count. Every recurrence halving then divides an exactly-even
+    integer (V_k and W_k are divisible by 4^(n-k)), so the recurrence
+    is EXACT at ANY magnitude — no 2^52 mantissa ceiling, no last-ulp
+    divergence at 30-100x SFs. The final round(·, 6) is an integer
+    half-away-from-zero division, and only the single final
+    CAST(int → DOUBLE) rounds (nearest-even, identical both engines).
+    The 24-month window keeps V under ~1e29, far inside DECIMAL(38)/
+    HUGEINT range even at sf100."""
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("1999-09-01").cast("timestamp")
     )
@@ -2356,38 +2421,58 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("double")
             .alias("y")
         )
     )
     series = monthly.groupBy("priority").agg(
-        F.expr("transform(sort_array(collect_list(struct(m, y))), p -> p.y)")
-        .alias("ys")
+        F.expr(
+            "transform(sort_array(collect_list(struct(m, y))),"
+            " p -> CAST(p.y AS DECIMAL(38,0)))"
+        ).alias("ys"),
+        F.expr(
+            "CAST(pow(4, count(*) - 2) AS DECIMAL(38,0))"
+        ).alias("fix"),
     )
     folded = series.where(F.size("ys") >= 3).select(
         "priority",
+        "fix",
         F.size("ys").cast("long").alias("n_periods"),
         F.expr(
             """
             aggregate(
                 slice(ys, 3, size(ys) - 2),
-                struct(CAST(ys[0] AS DOUBLE) AS l,
-                       CAST(ys[1] - ys[0] AS DOUBLE) AS b),
+                struct(CAST(ys[0] * fix AS DECIMAL(38,0)) AS v,
+                       CAST((ys[1] - ys[0]) * fix AS DECIMAL(38,0)) AS w),
                 (acc, y) -> struct(
-                    0.5 * y + 0.5 * (acc.l + acc.b) AS l,
-                    0.5 * ((0.5 * y + 0.5 * (acc.l + acc.b)) - acc.l)
-                        + 0.5 * acc.b AS b))
+                    CAST((y * fix + acc.v + acc.w) / 2
+                         AS DECIMAL(38,0)) AS v,
+                    CAST((CAST((y * fix + acc.v + acc.w) / 2
+                               AS DECIMAL(38,0)) - acc.v + acc.w) / 2
+                         AS DECIMAL(38,0)) AS w))
             """
         ).alias("hb"),
     )
+
+    def _round6(expr: str) -> F.Column:
+        # round-half-away-from-zero((x/fix), 6) in pure integers:
+        # floor((2|x|·10^6 + fix) / (2 fix)), sign restored; the lone
+        # float op is the final int→double cast (nearest, identical
+        # across engines).
+        return F.expr(
+            f"""CAST(CASE WHEN ({expr}) < 0
+                THEN -CAST((-({expr}) * 2000000 + fix) div (2 * fix)
+                           AS DECIMAL(38,0))
+                ELSE CAST((({expr}) * 2000000 + fix) div (2 * fix)
+                          AS DECIMAL(38,0)) END AS DOUBLE)
+                / 1000000 + 0.0"""
+        )
+
     return folded.select(
         "priority",
         "n_periods",
-        (F.round(F.col("hb.l"), 6) + F.lit(0.0)).alias("level"),
-        (F.round(F.col("hb.b"), 6) + F.lit(0.0)).alias("trend"),
-        (F.round(F.col("hb.l") + F.col("hb.b"), 6) + F.lit(0.0)).alias(
-            "forecast_next"
-        ),
+        _round6("hb.v").alias("level"),
+        _round6("hb.w").alias("trend"),
+        _round6("hb.v + hb.w").alias("forecast_next"),
     )
 
 
@@ -4151,22 +4236,34 @@ WITH daily AS (
     FROM orders GROUP BY 1, 2),
 moments AS (
     SELECT priority,
-           count(*) AS n,
-           sum(day_idx) AS sx, sum(y) AS sy,
-           sum(day_idx * y) AS sxy, sum(day_idx * day_idx) AS sxx,
-           sum(y * y) AS syy
-    FROM daily GROUP BY priority)
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(day_idx) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(CAST(day_idx AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(sum(CAST(day_idx AS HUGEINT) * day_idx) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM daily GROUP BY priority),
+parts AS (
+    SELECT priority, n,
+           n * sxy - sx * sy AS num,
+           n * sxx - sx * sx AS den,
+           n * syy - sy * sy AS deny,
+           sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS inum
+    FROM moments)
 SELECT priority,
        CAST(n AS BIGINT) AS n_days,
-       round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-           + 0.0 AS slope_dollars_per_day,
-       round(sy * 1.0 / n - (n * sxy - sx * sy) * 1.0
-              / (n * sxx - sx * sx) * sx / n, 6) + 0.0
-           AS intercept_dollars,
-       round(power(n * sxy - sx * sy, 2)
-             / (((n * sxx - sx * sx) * 1.0) * ((n * syy - sy * sy) * 1.0)),
-             6) + 0.0 AS r_squared
-FROM moments
+       CAST(CASE WHEN num < 0
+            THEN -((-num * 2000000 + den) // (2 * den))
+            ELSE (num * 2000000 + den) // (2 * den) END AS DOUBLE)
+           / 1000000 + 0.0 AS slope_dollars_per_day,
+       CAST(CASE WHEN inum < 0
+            THEN -((-inum * 2000000 + n * den) // (2 * n * den))
+            ELSE (inum * 2000000 + n * den) // (2 * n * den)
+            END AS DOUBLE) / 1000000 + 0.0 AS intercept_dollars,
+       round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+           + 0.0 AS r_squared
+FROM parts
 """
 
 
@@ -4175,12 +4272,17 @@ def q_orders_revenue_trend_ols(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """OLS revenue trend per priority via the normal equations on raw
-    moments (n, Σx, Σy, Σxy, Σx², Σy²) — all integer-exact over
-    epoch-day indexes and integer DOLLARS (cents-scale second moments
-    overflow BIGINT: sy² at 1e8-cents magnitude exceeds 2^63 — found
-    by ANSI overflow checking, fixed by dropping two exact decimal
-    digits the regression never needed), so slope, intercept, and R²
-    each reduce to a couple of exact-integer expressions divided once.
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) over epoch-day indexes and
+    integer DOLLARS. Round-13 exactness upgrade (closes the scale-gate
+    float-boundary skip): the moments and normal-equation parts are
+    DECIMAL(38,0)-exact on Spark (HUGEINT in the oracle) at ANY SF —
+    int64 second moments overflowed past sf0.3 — and slope/intercept
+    are rounded by an integer half-away-from-zero division (exact
+    integer ratios: slope = num/den, intercept = inum/(n·den)), so the
+    only float ops are the final int→double casts (nearest, identical
+    both engines). R² alone is a double ratio — num² needs 256-bit
+    integers — but its four inputs are exact integers cast identically
+    on both engines, so the IEEE op sequence matches bit-for-bit.
     This moment-sketch shape is why linear models ARE aggregations at
     100 TB: one partial-aggregated pass, six numbers per group, model
     on the driver side of the decimal point."""
@@ -4200,39 +4302,51 @@ def q_orders_revenue_trend_ols(
             .alias("y")
         )
     )
+    dec = "DECIMAL(38,0)"
     m = daily.groupBy("priority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("day_idx").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("day_idx") * F.col("y")).alias("sxy"),
-        F.sum(F.col("day_idx") * F.col("day_idx")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.expr(f"CAST(count(*) AS {dec})").alias("n"),
+        F.expr(f"CAST(sum(day_idx) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(y) AS {dec})").alias("sy"),
+        F.expr(f"CAST(sum(CAST(day_idx AS {dec}) * y) AS {dec})").alias(
+            "sxy"
+        ),
+        F.expr(
+            f"CAST(sum(CAST(day_idx AS {dec}) * day_idx) AS {dec})"
+        ).alias("sxx"),
+        F.expr(f"CAST(sum(CAST(y AS {dec}) * y) AS {dec})").alias("syy"),
     )
-    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
-    den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
-    slope = num * 1.0 / den
-    return m.select(
+    parts = m.select(
+        "priority",
+        "n",
+        (m["n"] * m["sxy"] - m["sx"] * m["sy"]).alias("num"),
+        (m["n"] * m["sxx"] - m["sx"] * m["sx"]).alias("den"),
+        (m["n"] * m["syy"] - m["sy"] * m["sy"]).alias("deny"),
+        (
+            m["sy"] * (m["n"] * m["sxx"] - m["sx"] * m["sx"])
+            - (m["n"] * m["sxy"] - m["sx"] * m["sy"]) * m["sx"]
+        ).alias("inum"),
+    )
+
+    def _ratio6(numc: str, denc: str) -> F.Column:
+        # round-half-away-from-zero(num/den, 6) in pure integers.
+        return F.expr(
+            f"""CAST(CASE WHEN ({numc}) < 0
+                THEN -(CAST((-({numc}) * 2000000 + ({denc}))
+                            div (2 * ({denc})) AS {dec}))
+                ELSE CAST((({numc}) * 2000000 + ({denc}))
+                          div (2 * ({denc})) AS {dec})
+                END AS DOUBLE) / 1000000 + 0.0"""
+        )
+
+    return parts.select(
         "priority",
         F.col("n").cast("bigint").alias("n_days"),
-        (F.round(slope, 6) + F.lit(0.0)).alias(
-            "slope_dollars_per_day"
-        ),
-        (
-            F.round(
-                m["sy"] * 1.0 / m["n"] - slope * m["sx"] / m["n"], 6
-            )
-            + F.lit(0.0)
-        ).alias("intercept_dollars"),
-        (
-            F.round(
-                F.pow(num, 2)
-                / (
-                    (den * 1.0)
-                    * ((m["n"] * m["syy"] - m["sy"] * m["sy"]) * 1.0)
-                ),
-                6,
-            )
-            + F.lit(0.0)
+        _ratio6("num", "den").alias("slope_dollars_per_day"),
+        _ratio6("inum", "n * den").alias("intercept_dollars"),
+        F.expr(
+            """round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                     / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+               + 0.0"""
         ).alias("r_squared"),
     )
 

@@ -333,7 +333,10 @@ def main() -> None:
             gen_documents(sf, rng, lang_words, lang_p), f"{d}/documents.parquet"
         )
         gen_tpch(sf, rng, d)
-        pq.write_table(gen_embeddings(sf, rng), f"{d}/embeddings.parquet")
+        # Dedicated embeddings seed (matches --embeddings-only) so both
+        # regen paths write identical embeddings.parquet (ADVICE r12).
+        emb_rng = np.random.default_rng(20260816 + int(sf * 10))
+        pq.write_table(gen_embeddings(sf, emb_rng), f"{d}/embeddings.parquet")
         print(
             f"wrote {d}: events={int(1e6 * sf)} docs={int(5e4 * sf)} "
             f"lineitem={int(6e6 * sf)}"
