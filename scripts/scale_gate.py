@@ -23,7 +23,9 @@ Writes a summary line per query; exit 1 on any FAIL.
 
 from __future__ import annotations
 
+import argparse
 import os
+import re
 import sys
 import time
 
@@ -61,12 +63,11 @@ ORACLE_QUADRATIC = {
 # intermediates stay exact. At the gate SF they are exact (driver-
 # green); at 30-100x the magnitudes/row counts make a last-ulp
 # difference land on a rounding or bucket boundary eventually.
-# Verified by diff at sf0.3 (round-12): each mismatch is 1 ulp /
-# one boundary row, not a semantic error.
+# Round-13: orders_holt_forecast, orders_revenue_trend_ols, and
+# events_value_equidepth were REFORMULATED on exact integer/dyadic
+# arithmetic (DECIMAL(38,0)/HUGEINT recurrences, integer rank
+# selection) and left this table — green at sf0.3 and sf1.
 ORACLE_FLOAT_BOUNDARY = {
-    "orders_holt_forecast": "sequential float recurrence at ~1e10 magnitudes (ulp > 1e-6 quantum)",
-    "orders_revenue_trend_ols": "OLS normal-equation sums at slice magnitudes",
-    "events_value_equidepth": "quantile-interpolation ulp shifts bucket membership counts",
     "performance_metrics_5m": "avg() partial-sum association lands on a round(,6) half-tie (3 of 43,200 rows at sf1, diff = 1e-6)",
     "serving_perf_pivot": "pivot of performance_metrics_5m — same half-tie rows",
 }
@@ -75,27 +76,54 @@ ORACLE_QUADRATIC.update(
 )
 
 
+def _classify_exception(name, exc, oracle_sql, present):
+    """Return a SKIP reason iff the failure is provably an
+    absent-slice-table artifact; None means FAIL (a false FAIL is
+    investigable, a false SKIP is invisible — ADVICE r12)."""
+    msg = str(exc)
+    absent = [t for t in TABLES if t not in present]
+    # The oracle references an absent table as a word (not substring:
+    # 'part' must not match 'parquet'/'partition').
+    referenced = [
+        t for t in absent if re.search(rf"\b{t}\b", oracle_sql)
+    ]
+    if referenced:
+        return f"needs table absent from slice: {referenced}"
+    # Spark path error naming an absent table's parquet path, or
+    # DuckDB naming the absent table in quotes.
+    for t in absent:
+        if f"/{t}.parquet" in msg or f"'{t}'" in msg or f'"{t}"' in msg:
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "does not exist" in msg
+                or "Table with name" in msg
+            ):
+                return f"absent table '{t}' referenced by error"
+    return None
+
+
 def main() -> int:
-    args = sys.argv[1:]
-    sf_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".scale",
-        "sf1",
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sf",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale",
+            "sf1",
+        ),
     )
-    if "--sf" in args:
-        i = args.index("--sf")
-        sf_dir = args[i + 1]
-        del args[i : i + 2]
-    only = None
-    if "--only" in args:
-        i = args.index("--only")
-        only = set(args[i + 1 :])
-    skip_extra = set()
-    if "--skip" in args:
-        i = args.index("--skip")
-        end = args.index("--only") if "--only" in args[i:] else len(args)
-        skip_extra = set(args[i + 1 : end])
-        del args[i:end]
+    ap.add_argument("--only", nargs="+", default=None)
+    ap.add_argument("--skip", nargs="+", default=[])
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="run classified-skip queries anyway (measurement mode: "
+        "is a skip entry still earning its place?)",
+    )
+    ns = ap.parse_args()
+    sf_dir = ns.sf
+    only = set(ns.only) if ns.only is not None else None
+    skip_extra = set(ns.skip)
 
     spark = get_pristine_spark()
     con = duckdb.connect()
@@ -117,7 +145,7 @@ def main() -> int:
             continue
         if name not in oracles:
             continue  # rows-only: nothing to compare against
-        if name in ORACLE_QUADRATIC or name in skip_extra:
+        if (name in ORACLE_QUADRATIC and not ns.force) or name in skip_extra:
             why = ORACLE_QUADRATIC.get(name, "--skip (caller)")
             print(f"  {name}: SKIP ({why})")
             skip += 1
@@ -130,14 +158,9 @@ def main() -> int:
             ddf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001 — classify, don't die
             msg = str(exc).split("\n")[0][:120]
-            missing = [
-                t
-                for t in TABLES
-                if t not in present
-                and (f" {t} " in oracles[name] or f"'{t}'" in msg or t in msg)
-            ]
-            if missing or "PATH_NOT_FOUND" in str(exc) or "does not exist" in str(exc) or "Table with name" in str(exc):
-                print(f"  {name}: SKIP (needs table absent from slice: {missing or msg})")
+            reason = _classify_exception(name, exc, oracles[name], present)
+            if reason is not None:
+                print(f"  {name}: SKIP ({reason})")
                 skip += 1
             else:
                 print(f"  {name}: FAIL ({msg})")

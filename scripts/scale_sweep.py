@@ -190,6 +190,12 @@ SWEEP = [
      "PPM build + mapInPandas decode + channel sums", True),
     ("dedup_incremental_minhash", "documents", 3,
      "incremental LSH: batch bands vs corpus buckets + verify", True),
+    # round-13 (VERDICT r12 item 3): the PERSISTED-store read path —
+    # rep 1 per SF builds the store (bootstrap), median-of-3 reports
+    # the warm daily shape; its row must print ~FLAT in corpus size
+    # where the in-plan twin above prints linear (a ~ 0.97).
+    ("dedup_incremental_minhash_stored", "documents", 3,
+     "incremental LSH vs PERSISTED bucket store (daily shape)", True),
     ("dedup_incremental_components", "documents", 3,
      "incremental CC assignment (bounded, shared pair memo)", True),
     ("multimodal_audio_channel_stats", "documents", 3,
@@ -419,7 +425,12 @@ def main() -> None:
         "both sweep linear-shaped (a ~ 0.88 / 0.97 over 0.1->1) — the",
         "16-perm md5 signature scan dominates; the production xxhash64",
         "siblings (dedup_minhash_lsh_3gram) carry the cheap-hash",
-        "constant. The audio/video decode rows are map-only mapInPandas",
+        "constant. Round-13: dedup_incremental_minhash_stored is the",
+        "PERSISTED-bucket-store read path of the same query (store",
+        "built on rep 1 per SF, median-of-3 = warm daily shape) — its",
+        "a row is the flat-in-corpus per-increment cost the in-plan",
+        "twin's linear bootstrap row deliberately does not measure.",
+        "The audio/video decode rows are map-only mapInPandas",
         "passes and sweep like the image row (a ~ 0.4-0.6, payload-",
         "build + Arrow transfer bound).",
         "",

@@ -208,3 +208,67 @@ def test_incremental_verdicts_empty_sides(spark):
     batch = spark.createDataFrame([(5, "zeta eta theta iota")], schema)
     rows = D.minhash_incremental_verdicts(empty, batch).collect()
     assert len(rows) == 1 and rows[0].verdict == "novel"
+
+
+def test_stored_path_equals_inplan_and_reuses_store(spark):
+    """Round-13 (VERDICT r12 item 3): the persisted-bucket-store read
+    path must return EXACTLY the in-plan twin's rows (the store holds
+    exactly what the twin derives), and a second call must reuse the
+    on-disk store rather than rebuild it (the measured daily shape)."""
+    import os
+
+    from realtime_analytics_pipeline_spark import registry_docs as RD
+
+    inplan = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_incremental_minhash"](
+                spark, SF_CORRECTNESS
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_incremental_minhash_stored"](
+                spark, SF_CORRECTNESS
+            ).collect(),
+        )
+    )
+    assert stored == inplan
+
+    root = RD._minhash_bucket_store(spark, SF_CORRECTNESS)
+    marker = os.path.join(root, "buckets", "_SUCCESS")
+    mtime = os.stat(marker).st_mtime_ns
+    # warm call: store untouched (memo + on-disk _SUCCESS reuse)
+    QUERIES["dedup_incremental_minhash_stored"](
+        spark, SF_CORRECTNESS
+    ).count()
+    assert os.stat(marker).st_mtime_ns == mtime
+
+
+def test_store_invalidates_on_corpus_regeneration(spark, tmp_path):
+    """The store key includes documents.parquet's mtime/size: a
+    regenerated corpus must map to a DIFFERENT store root (stale
+    buckets can never serve a new corpus generation)."""
+    import os
+    import shutil
+
+    from realtime_analytics_pipeline_spark import registry_docs as RD
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    r1 = RD._minhash_bucket_store(spark, d)
+    # rewrite the file (same bytes, new mtime) = new generation
+    src = os.path.join(d, "documents.parquet")
+    with open(src, "rb") as f:
+        payload = f.read()
+    with open(src, "wb") as f:
+        f.write(payload)
+    os.utime(src, ns=(os.stat(src).st_atime_ns, os.stat(src).st_mtime_ns + 7))
+    r2 = RD._minhash_bucket_store(spark, d)
+    assert r1 != r2
