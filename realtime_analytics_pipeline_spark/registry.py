@@ -402,68 +402,64 @@ from realtime_analytics_pipeline_spark import registry_formats  # noqa: E402,F40
 # --------------------------------------------------------------------------
 
 _VERIFY_WINDOW = [
-    # ROUND 12 window (propose_window.py --refresh output pasted
-    # verbatim, VERDICT r11 item 1; re-refreshed after the round's
-    # three later additions registered): the 14 never-driver-verified
-    # oracled names lead (the 10 round-11 additions, plus round-12's
-    # dedup_incremental_minhash / dedup_incremental_components and
-    # the real WAV-audio + PPM-stream-video decode queries), then the
-    # 36 OLDEST-latest-green re-verification slots. Expected after
-    # CORRECTNESS_r12: cumulative driver-green = 324/324 oracled at
-    # least once.
-    "tpch_q22_recent_idle_customers",  # registry_relational
-    "docs_lsh_blocking_quality",  # registry_docs
-    "sample_docs_temperature_mix",  # registry_docs
-    "split_docs_group_aware",  # registry_docs
-    "docs_token_budget_apportionment",  # registry_docs
-    "docs_curriculum_order",  # registry_docs
-    "split_docs_dedup_aware",  # registry_docs
-    "docs_lsh_recall_audit",  # registry_docs
-    "dedup_keep_best_survivors",  # registry_docs
-    "multimodal_image_channel_stats",  # registry_multimodal
-    "dedup_incremental_minhash",  # registry_docs
-    "dedup_incremental_components",  # registry_docs
-    "multimodal_audio_channel_stats",  # registry_multimodal
-    "multimodal_video_frame_stats",  # registry_multimodal
-    "dq_constraint_report",  # registry_analytics
-    "value_p95_sketch_rollup_1h",  # registry_analytics
-    "text_pii_redaction",  # registry_curation
-    "text_tfidf_top_terms",  # registry_curation
-    "dedup_canonical_docs",  # registry_curation
-    "events_cohort_retention",  # registry_curation
-    "events_value_mad_outliers",  # registry_curation
-    "text_token_counts",  # registry_curation
-    "dedup_semantic_clustered",  # registry_curation
-    "pyds_feed_scan",  # registry_feed
-    "streaming_pyds_feed",  # registry_feed
-    "tpch_q12_shipmode_priority",  # registry_relational
-    "tpch_q14_promo_effect",  # registry_relational
-    "tpch_q18_large_volume",  # registry_relational
-    "tpch_q15_top_supplier",  # registry_relational
-    "tpch_q11_important_stock",  # registry_relational
-    "tpch_q16_supplier_cnt",  # registry_relational
-    "tpch_q20_excess_stock",  # registry_relational
-    "parts_skyline_price_qty",  # registry_relational
-    "sim_mmr_rerank",  # registry_docs
-    "emb_pq_codes",  # registry_docs
-    "pipeline_curation_full",  # registry_docs
-    "text_repetition_metrics",  # registry_docs
-    "emb_truncated_recall",  # registry_docs
-    "docs_rake_phrases",  # registry_docs
-    "text_bigram_logprob",  # registry_docs
-    "streaming_sliding_window_5m1m",  # registry_streaming
-    "streaming_stateful_totals_final",  # registry_streaming
-    "streaming_interval_join_full",  # registry_streaming
-    "multimodal_chunks",  # registry_multimodal
-    "multimodal_dedup_digest",  # registry_multimodal
-    "events_grouping_sets",  # registry_analytics
-    "orders_rolling_median_7d",  # registry_analytics
-    "orders_holt_forecast",  # registry_analytics
-    "users_activity_similarity",  # registry_analytics
-    "events_cep_pattern",  # registry_analytics
+    # ROUND 13 window (propose_window.py --refresh output pasted
+    # verbatim, VERDICT r12 item 5): all 324 previously-oracled names
+    # are driver-certified, so the single round-13 virgin
+    # (dedup_incremental_minhash_stored) leads and the remaining 49
+    # slots re-verify the OLDEST greens (r1-r4 era).
+    "dedup_incremental_minhash_stored",  # registry_docs
+    "orders_decimal_money",  # registry_analytics
+    "orders_changepoint_cusum",  # registry_analytics
+    "sessions_cep_conversion",  # registry_analytics
+    "events_ab_cuped",  # registry_analytics
+    "orders_forecast_backtest",  # registry_analytics
+    "events_mann_whitney",  # registry_analytics
+    "events_ab_srm_check",  # registry_analytics
+    "events_ab_did",  # registry_analytics
+    "events_hourly_anomaly_stl",  # registry_analytics
+    "events_bootstrap_ci",  # registry_analytics
+    "events_hbos_outliers",  # registry_analytics
+    "dedup_graph_pagerank",  # registry_curation
+    "customers_cdc_merge",  # registry_curation
+    "events_nullsafe_bucket_join",  # registry_curation
+    "basket_graph_triangles",  # registry_curation
+    "orders_snapshot_diff",  # registry_curation
+    "docs_blocklist_filter",  # registry_curation
+    "streaming_feed_windows",  # registry_feed
+    "orders_monthly_spine_recursive",  # registry_sql_features
+    "events_props_variant",  # registry_sql_features
+    "sessions_udtf",  # registry_sql_features
+    "events_xml_roundtrip",  # registry_sql_features
+    "orders_lateral_top3",  # registry_sql_features
+    "sql_pipe_demo",  # registry_sql_features
+    "jdbc_metrics_roundtrip",  # registry_jdbc
+    "customers_fuzzy_name_pairs",  # registry_relational
+    "revenue_share_hierarchy",  # registry_relational
+    "orders_rolling_aov_28d",  # registry_relational
+    "orders_shipping_delay_stats",  # registry_relational
+    "orders_cohort_ltv",  # registry_relational
+    "orders_seasonal_index",  # registry_relational
+    "suppliers_nation_hhi",  # registry_relational
+    "customers_abc_classification",  # registry_relational
+    "parts_price_elasticity",  # registry_relational
+    "nations_trade_balance",  # registry_relational
+    "sample_docs_hash",  # registry_docs
+    "sample_docs_stratified",  # registry_docs
+    "train_eval_split",  # registry_docs
+    "pipeline_quality_dedup_sample",  # registry_docs
+    "source_mixing_weights",  # registry_docs
+    "pipeline_decontaminated_corpus",  # registry_docs
+    "text_dup_ngram_fraction",  # registry_docs
+    "text_boilerplate_chunks",  # registry_docs
+    "docs_zipf_fit",  # registry_docs
+    "docs_pmi_collocations",  # registry_docs
+    "docs_winnowing_fingerprints",  # registry_docs
+    "docs_winnowing_overlap",  # registry_docs
+    "docs_winnowing_fingerprints_kernel",  # registry_docs
+    "streaming_interval_join",  # registry_streaming
     # --- pool note (machine-generated by propose_window.py) ---
-    # Oracled: 324. Driver-green (CORRECTNESS_r*): 310. Never-driver-verified: 14.
-    # Refresh window: 14 virgin + 36 oldest-green re-verification slots; the 274 fresher greens keep their rows.
+    # Oracled: 325. Driver-green (CORRECTNESS_r*): 324. Never-driver-verified: 1.
+    # Refresh window: 1 virgin + 49 oldest-green re-verification slots; the 275 fresher greens keep their rows.
 ]
 
 _VERIFY_WINDOW_R10 = [
