@@ -4465,6 +4465,36 @@ FROM metrics
 _LSH_BLOCKING_SQL = _lsh_blocking_sql()
 
 
+_MD5_SIG_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _md5_corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized 16-perm md5 MinHash signature table over the
+    FULL documents table (localCheckpoint, eager) — the single most
+    expensive derived frame in the docs family (16 md5+conv per
+    distinct trigram). Shared by docs_lsh_blocking_quality and the
+    3-gram half of docs_lsh_recall_audit (VERDICT r12 item 6; the
+    signature is a pure per-doc function, so the audit's bounded
+    doc_id < 300 slice is a filter of this frame, not a re-derivation).
+    dedup_incremental_minhash deliberately does NOT use it: its row
+    measures the bootstrap shape (see the stored twin for the daily
+    shape). num_docs x 16 longs, a few MB at any slice SF."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        "md5sigs",
+    )
+    got = _MD5_SIG_MEMO.get(key)
+    if got is None:
+        got = D.minhash_md5_signatures(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+        _memo_put(spark, _MD5_SIG_MEMO, key, got)
+    return got
+
+
 @register("docs_lsh_blocking_quality", _LSH_BLOCKING_SQL)
 def q_docs_lsh_blocking_quality(
     spark: SparkSession, sf_dir: str
@@ -4496,28 +4526,8 @@ def q_docs_lsh_blocking_quality(
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = D.minhash_md5_signatures(docs)
-    mh_keys = sigs.select(
-        F.explode(
-            F.array(*[
-                F.md5(
-                    F.concat(
-                        F.lit(f"{j}:"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")
-                                .getItem(j * 4 + k)
-                                .cast("string")
-                                for k in range(4)
-                            ],
-                        ),
-                    )
-                )
-                for j in range(4)
-            ])
-        ).alias("k")
-    )
+    sigs = _md5_corpus_sigs(spark, sf_dir)
+    mh_keys = _md5_band_keys(sigs, "doc_id").select("k")
     mh_sizes = mh_keys.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
     km_sizes = (
         kmeans_lite(emb)
@@ -4909,20 +4919,23 @@ FROM labeled
 _BOUNDED_CC_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _memo_put(spark: SparkSession, key: tuple, df: DataFrame) -> None:
-    """Insert into the bounded-CC memo, first evicting entries from
-    dead SparkContexts (their localCheckpoint blocks are gone with the
-    context) and from other sf_dirs of the live app beyond a small
-    cap — long sessions sweeping many slices must not pin dead
-    DataFrame references (ADVICE r12)."""
+def _memo_put(
+    spark: SparkSession, memo: dict, key: tuple, df: DataFrame
+) -> None:
+    """Insert into a per-session DataFrame memo, first evicting
+    entries from dead SparkContexts (their localCheckpoint blocks are
+    gone with the context) and from other keys of the live app beyond
+    a small cap — long sessions sweeping many slices must not pin
+    dead DataFrame references (ADVICE r12). Every memo key starts
+    with the applicationId."""
     app = spark.sparkContext.applicationId
-    stale = [k for k in _BOUNDED_CC_MEMO if k[0] != app]
-    live = [k for k in _BOUNDED_CC_MEMO if k[0] == app]
+    stale = [k for k in memo if k[0] != app]
+    live = [k for k in memo if k[0] == app]
     for k in stale:
-        del _BOUNDED_CC_MEMO[k]
+        del memo[k]
     if len(live) >= 8:  # 4 sf_dirs x 2 kinds is plenty for any sweep
-        del _BOUNDED_CC_MEMO[live[0]]
-    _BOUNDED_CC_MEMO[key] = df
+        del memo[live[0]]
+    memo[key] = df
 
 
 def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4941,7 +4954,7 @@ def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
             .localCheckpoint(eager=True)
         )
-        _memo_put(spark, key, got)
+        _memo_put(spark, _BOUNDED_CC_MEMO, key, got)
     return got
 
 
@@ -4973,7 +4986,7 @@ def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    _memo_put(spark, key, labeled)
+    _memo_put(spark, _BOUNDED_CC_MEMO, key, labeled)
     return labeled
 
 
@@ -5125,7 +5138,7 @@ def q_docs_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = F.array_distinct(ws)
 
-    def row(gram_arr, label):
+    def row(gram_arr, label, sig=None):
         g = docs.select(
             "doc_id", F.explode(gram_arr).alias("gram")
         ).distinct()
@@ -5158,60 +5171,42 @@ def q_docs_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_a", "doc_b")
         )
-        perm = g.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit(f"{i}#"), F.col("gram")
-                                    )
-                                ),
-                                1, 12,
-                            ), 16, 10,
-                        ).cast("long").alias("h"),
-                    )
-                    for i in range(16)
-                ])
-            ).alias("p"),
-        ).select("doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h"))
-        sig = (
-            perm.groupBy("doc_id", "i")
-            .agg(F.min("h").alias("m"))
-            .groupBy("doc_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("i", "m"))).alias(
-                    "sig"
-                )
-            )
-            .select("doc_id", F.col("sig.m").alias("sig"))
-        )
-        bk = sig.select(
-            "doc_id",
-            F.explode(
-                F.array(*[
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{j}:"),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")
-                                    .getItem(j * 4 + k)
-                                    .cast("string")
-                                    for k in range(4)
-                                ],
-                            ),
+        if sig is None:
+            perm = g.select(
+                "doc_id",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{i}#"), F.col("gram")
+                                        )
+                                    ),
+                                    1, 12,
+                                ), 16, 10,
+                            ).cast("long").alias("h"),
                         )
-                    )
-                    for j in range(4)
-                ])
-            ).alias("k"),
-        )
+                        for i in range(16)
+                    ])
+                ).alias("p"),
+            ).select(
+                "doc_id", F.col("p.i").alias("i"), F.col("p.h").alias("h")
+            )
+            sig = (
+                perm.groupBy("doc_id", "i")
+                .agg(F.min("h").alias("m"))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "m"))
+                    ).alias("sig")
+                )
+                .select("doc_id", F.col("sig.m").alias("sig"))
+            )
+        bk = _md5_band_keys(sig, "doc_id")
         ba, bb = bk.alias("ba"), bk.alias("bb")
         cand = (
             ba.join(
@@ -5266,7 +5261,13 @@ def q_docs_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_ppm"),
         )
 
-    return row(tri, "3gram").unionByName(row(uni, "1gram"))
+    # the 3-gram branch's signatures ARE the corpus signature frame
+    # restricted to the bounded slice (per-doc function) — reuse the
+    # session memo instead of re-deriving (VERDICT r12 item 6); the
+    # 1-gram branch's unigram-shingle signatures have no full-corpus
+    # twin and stay in-plan.
+    tri_sig = _md5_corpus_sigs(spark, sf_dir).where(F.col("doc_id") < 300)
+    return row(tri, "3gram", sig=tri_sig).unionByName(row(uni, "1gram"))
 
 
 _KEEP_BEST_SQL = f"""
