@@ -96,6 +96,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     train_iterations: int = 2,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k search.
 
@@ -112,8 +113,13 @@ def ivf_topk(
     Output matches cosine_topk (query_id, neighbor_id, cos, rnk);
     recall measured against the exact baseline in tests.
     """
-    assigned = kmeans_lite(
-        embeddings, k=n_centroids, iterations=train_iterations
+    # cells: optional precomputed kmeans_lite output (the grams=
+    # sharing pattern) — callers with a session-memoized cell
+    # assignment pass it to skip re-training the coarse quantizer.
+    assigned = (
+        cells
+        if cells is not None
+        else kmeans_lite(embeddings, k=n_centroids, iterations=train_iterations)
     ).select("vec_id", "cluster")
     e = embeddings.select(
         "vec_id", unit(as_double("embedding")).alias("v")
@@ -211,6 +217,7 @@ def clustered_dup_pairs(
     threshold: float = 0.3,
     k: int = 8,
     iterations: int = 3,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-scoped embedding near-dup — the SCALE PATH for semantic
     deduplication (cf. the exact all-pairs baseline in
@@ -245,9 +252,9 @@ def clustered_dup_pairs(
         _salted_pairs,
     )
 
-    assigned = kmeans_lite(embeddings, k, iterations).select(
-        "vec_id", "cluster"
-    )
+    assigned = (
+        cells if cells is not None else kmeans_lite(embeddings, k, iterations)
+    ).select("vec_id", "cluster")
     ev = (
         embeddings.select("vec_id", unit(as_double("embedding")).alias("v"))
         .join(assigned, "vec_id")
@@ -341,6 +348,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     m: int = 8,
     pq_k: int = 16,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse inverted-file probing + product-quantized
     compressed-domain scoring — the full memory-bound ANN index.
@@ -368,8 +376,10 @@ def ivfpq_topk(
     )
 
     # --- coarse lists (same machinery as ivf_topk) -------------------
-    assigned = kmeans_lite(
-        embeddings, k=n_centroids, iterations=2
+    assigned = (
+        cells
+        if cells is not None
+        else kmeans_lite(embeddings, k=n_centroids, iterations=2)
     ).select("vec_id", "cluster")
 
     # --- PQ codes + codebooks ---------------------------------------

@@ -320,9 +320,14 @@ def q_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.operators.clustering import (
         clustered_dup_pairs,
     )
+    from realtime_analytics_pipeline_spark.registry_docs import (
+        _kmeans_cells,
+    )
 
     return clustered_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        cells=_kmeans_cells(spark, sf_dir),
     )
 
 
