@@ -189,6 +189,11 @@ HEADLINE = [
     "dedup_incremental_components",
     "multimodal_audio_channel_stats",
     "multimodal_video_frame_stats",
+    # round-13: the persisted-bucket-store incremental path — rep 1
+    # builds the store, min-of-reps reports the warm daily shape (the
+    # production per-increment cost; the in-plan row above is the
+    # bootstrap shape)
+    "dedup_incremental_minhash_stored",
 ]
 
 

@@ -1251,7 +1251,9 @@ def minhash_md5_signatures(
 
 
 def minhash_calibration(
-    documents: DataFrame, sample_bucket_max: int = 6553
+    documents: DataFrame,
+    sample_bucket_max: int = 6553,
+    doc_cap: int = 1000,
 ) -> DataFrame:
     """MinHash accuracy audit: per exact-Jaccard decile, how often the
     16-perm md5 MinHash estimate lands within 2/16 of truth.
@@ -1265,8 +1267,21 @@ def minhash_calibration(
     cross-engine hash cannot flake. Pairs are md5-sampled (~10% via
     16-bit bucket < sample_bucket_max) to bound the all-pairs term;
     the audit is a *calibration tool* run on a sample by construction,
-    not a corpus-scale dedup path.
+    not a corpus-scale dedup path. The doc set is first capped to a
+    FIXED md5-ordered ``doc_cap`` slice (round-13, the
+    dedup_tokenset_jaccard convention; does not bind at the driver
+    gate SFs' <= 500 docs): a calibration needs fixed sample
+    precision, and a fraction-of-pairs sample grows quadratically.
     """
+    documents = documents.join(
+        F.broadcast(
+            documents.select("doc_id")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .limit(doc_cap)
+        ),
+        "doc_id",
+        "left_semi",
+    )
     grams = md5_trigrams(documents)
     sigs = minhash_md5_signatures(documents, grams=grams)
     sets_ = grams.groupBy("doc_id").agg(

@@ -417,12 +417,23 @@ def pq_quantize(
 
 
 def pair_cosine_histogram(
-    embeddings: DataFrame, sample_bucket_max: int = 6553
+    embeddings: DataFrame,
+    sample_bucket_max: int = 6553,
+    vec_cap: int = 2000,
 ) -> DataFrame:
     """Distribution of pairwise cosine similarity over an md5-sampled
-    ~10% of vector pairs — the "is my embedding space collapsed?"
-    diagnostic (a healthy space spreads mass across buckets; a
-    collapsed one piles into [0.9, 1.0)).
+    ~10% of pairs of an md5-ordered ``vec_cap``-vector slice — the
+    "is my embedding space collapsed?" diagnostic (a healthy space
+    spreads mass across buckets; a collapsed one piles into
+    [0.9, 1.0)).
+
+    The vector slice is a FIXED-SIZE deterministic cap (md5-ordered
+    LIMIT, the dedup_tokenset_jaccard convention) rather than a
+    fraction: a distribution diagnostic needs fixed sample precision,
+    not a pair count that grows quadratically with the corpus —
+    round-13, closing the scale gate's quadratic-replay skip. The cap
+    does not bind at the driver gate SFs (<= 500 vectors), so gate
+    outputs there are unchanged.
 
     Buckets are floor(round(cos, 6) * 10) clamped to [-10, 9] — the
     round-6 happens BEFORE bucketing so the oracle's
@@ -443,6 +454,15 @@ def pair_cosine_histogram(
         all_pairs_equi,
     )
 
+    embeddings = embeddings.join(
+        F.broadcast(
+            embeddings.select("vec_id")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(vec_cap)
+        ),
+        "vec_id",
+        "left_semi",
+    )
     ids = embeddings.select("vec_id")
     pair_ids = all_pairs_equi(ids, "vec_id").where(
         F.conv(

@@ -249,11 +249,18 @@ def knn_topk_blas(
     switches to the ANN buckets).
     """
     spark = embeddings.sparkSession
+    # query_pred: boolean Column, or a DataFrame of query vec_ids
+    # (fixed-size md5-ordered caps pass the id frame — round-13)
+    qsrc = (
+        embeddings.join(
+            query_pred.select("vec_id"), "vec_id", "left_semi"
+        )
+        if isinstance(query_pred, DataFrame)
+        else embeddings.where(query_pred)
+    )
     q_rows = [
         (r.vec_id, r.embedding)
-        for r in embeddings.where(query_pred)
-        .select("vec_id", "embedding")
-        .collect()
+        for r in qsrc.select("vec_id", "embedding").collect()
     ]
     q_ids, q_mat = _unit_matrix(q_rows)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))

@@ -3701,10 +3701,17 @@ def _minhash_cal_oracle() -> str:
         4,
     )
     return f"""
-WITH g AS (
+WITH capped AS (
+    -- fixed md5-ordered doc cap (round-13; does not bind at the
+    -- driver gate SFs): calibration needs fixed sample precision,
+    -- not a pair count that grows quadratically with the corpus
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+),
+g AS (
     SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id, unnest({_TRIGRAM_LIST}) AS gram
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM capped)
     )
 ),
 perms AS (
@@ -3769,16 +3776,23 @@ def _pair_hist_oracle() -> str:
         4,
     )
     return f"""
-WITH p AS (
+WITH capped AS (
+    -- fixed-size md5-ordered vector slice (does not bind at the
+    -- driver gate SFs): a distribution diagnostic needs fixed sample
+    -- precision, not a quadratically growing pair count
+    SELECT * FROM embeddings
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2000
+),
+p AS (
     SELECT a.vec_id AS ia, b.vec_id AS ib
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM capped a JOIN capped b ON a.vec_id < b.vec_id
     WHERE {bucket} < 6553
 ),
 c AS (
     SELECT round(list_cosine_similarity(
                ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
-    FROM p JOIN embeddings ea ON ea.vec_id = p.ia
-           JOIN embeddings eb ON eb.vec_id = p.ib
+    FROM p JOIN capped ea ON ea.vec_id = p.ia
+           JOIN capped eb ON eb.vec_id = p.ib
 )
 SELECT CAST(greatest(-10, least(9, floor(cos * 10))) AS BIGINT)
            AS cos_bucket,
@@ -3789,8 +3803,9 @@ FROM c GROUP BY 1
 
 @register("emb_pair_cosine_hist", _pair_hist_oracle())
 def q_pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise-cosine distribution over an md5-sampled ~10% of pairs —
-    the embedding-space-collapse diagnostic."""
+    """Pairwise-cosine distribution over an md5-sampled ~10% of pairs
+    of a fixed md5-ordered 2000-vector slice — the embedding-space-
+    collapse diagnostic, flat-cost at any corpus size."""
     return S.pair_cosine_histogram(load_table(spark, sf_dir, "embeddings"))
 
 
@@ -3845,17 +3860,17 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_query_sample_sql() -> str:
-    from realtime_analytics_pipeline_spark.operators.sampling import (
-        md5_bucket_sql,
-    )
-
-    return md5_bucket_sql("CAST(vec_id AS VARCHAR)", "knn") + " < 13107"
-
-
-_KNN_ACC_SQL = f"""
+_KNN_ACC_SQL = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT * FROM e WHERE {_knn_query_sample_sql()}),
+qids AS (
+    -- fixed md5-ordered query cap (round-13, was a ~20% fraction):
+    -- a label-accuracy eval needs a fixed-precision query sample;
+    -- the corpus side stays FULL (exact neighbors), so gate cost is
+    -- linear in corpus, never quadratic
+    SELECT vec_id FROM embeddings
+    ORDER BY md5('knn' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 400
+),
+q AS (SELECT * FROM e WHERE vec_id IN (SELECT vec_id FROM qids)),
 s AS (
     SELECT a.vec_id AS query_id, a.label AS true_label,
            b.label AS n_label,
@@ -3906,21 +3921,27 @@ def q_emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the same vote runs over ANN candidates
     (sim_ann_lsh_topk / IVF) — recall floors pinned in
     tests/test_ann_quality.py. Integer votes and ppm accuracy keep the
-    hash exact."""
+    hash exact. Round-13: the query sample is a FIXED md5-ordered
+    400-vector cap (was a ~20% fraction — a fixed-precision eval
+    whose cost is linear in corpus, closing the scale gate's
+    quadratic-replay skip); the corpus side stays full."""
     from pyspark.sql import Window
 
-    from realtime_analytics_pipeline_spark.operators.sampling import (
-        hash_bucket,
-    )
     from realtime_analytics_pipeline_spark.operators.similarity_blas import (
         knn_topk_blas,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
-    knn = knn_topk_blas(
-        emb, hash_bucket("vec_id", "knn") < 13107, k=5
+    qids = (
+        emb.select("vec_id")
+        .orderBy(
+            F.md5(F.concat(F.lit("knn"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(400)
     )
+    knn = knn_topk_blas(emb, qids, k=5)
     knn = (
         knn.join(
             labels.select(

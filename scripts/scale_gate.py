@@ -43,18 +43,30 @@ from scripts.verify_driver_gate import (  # noqa: E402
 
 # DuckDB-side pair-space enumerations that a cap/sample only prunes
 # AFTER the join forms (linear on Spark, quadratic to replay
-# single-threaded at slice scale). The Spark half of each is covered
-# by SCALING.md sweep rows instead.
-ORACLE_QUADRATIC = {
-    "dedup_minhash_calibration": "md5-sampled all-pairs replay (1.25e9 pair terms at sf1)",
-    "emb_pair_cosine_hist": "md5-sampled all-pairs cosine replay (2e8 pairs at sf1)",
-    "emb_knn_label_accuracy": "query-sample x corpus cosine replay (4e7 x 64-dim at sf1)",
-    "dedup_tokenset_jaccard": "md5-capped 1000-doc set-intersection replay (5e5 list intersects)",
-    "users_activity_similarity": "md5-capped 500-user day-vector pair replay",
-    "users_activity_similarity_blas": "same capped pair replay as the join form",
-    "dedup_embedding_cosine": "banded all-pairs cosine replay",
-    "decontaminate_eval_overlap": "eval x corpus containment replay",
-    "dedup_jaccard_prefix_bounded": "reads .scale documents_bounded via its own loader; covered by the SCALING row",
+# single-threaded at slice scale). Round-13 emptied this class: the
+# nine r12 entries were re-measured with --force — six passed as-is
+# at sf0.3 AND sf1 (their caps were already absolute-size: md5-ordered
+# LIMIT or bounded tables, so replay cost never grew), and the three
+# genuinely fraction-sampled diagnostics (minhash calibration, pair
+# cosine histogram, kNN label accuracy) were converted to FIXED
+# md5-ordered sample caps — the statistically-right shape for a
+# calibration/eval (fixed sample precision, cost flat or linear in
+# corpus) — then verified green at sf0.001/0.01/0.3/1.
+ORACLE_QUADRATIC = {}
+
+# The one true quadratic left: users_activity_similarity_blas carries
+# the FULL uncapped users^2 oracle on purpose — the gemm kernel's
+# exactness claim is only meaningful against an uncapped replay (its
+# r12 skip reason mis-stated it as capped). Green via --force at
+# sf0.3 (32 s); one decade later the replay is DuckDB-infeasible, so
+# the skip binds only above a measured events-row threshold instead
+# of unconditionally.
+ORACLE_QUADRATIC_LARGE = {
+    "users_activity_similarity_blas": (
+        "uncapped users^2 oracle replay (exactness claim carries the "
+        "FULL oracle; green at sf0.3 via --force, infeasible at sf1)",
+        500_000,
+    ),
 }
 
 # Documented cross-engine float-rounding boundary class (the repo's
@@ -138,6 +150,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    n_events = (
+        con.execute("SELECT count(*) FROM events").fetchone()[0]
+        if "events" in present
+        else 0
+    )
     ok = fail = skip = 0
     failures = []
     for name, fn in queries.items():
@@ -145,6 +162,11 @@ def main() -> int:
             continue
         if name not in oracles:
             continue  # rows-only: nothing to compare against
+        large = ORACLE_QUADRATIC_LARGE.get(name)
+        if large is not None and n_events > large[1] and not ns.force:
+            print(f"  {name}: SKIP ({large[0]})")
+            skip += 1
+            continue
         if (name in ORACLE_QUADRATIC and not ns.force) or name in skip_extra:
             why = ORACLE_QUADRATIC.get(name, "--skip (caller)")
             print(f"  {name}: SKIP ({why})")
