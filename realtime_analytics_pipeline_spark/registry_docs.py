@@ -1474,9 +1474,15 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs vs embedding cosine of the same id pairs (doc_id == vec_id in
 # the synthetic corpus).
 _MODALITY_SQL = """
-WITH sh AS (
+WITH capped AS (
+    -- md5-ordered fixed cap (round-13; does not bind at the driver
+    -- gate SFs): the uncapped unigram inverted-index self-join is
+    -- replay-infeasible at sf1 (hot shingles make it quadratic)
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 2000),
+sh AS (
     SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS shingle
-    FROM documents),
+    FROM capped),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -1507,7 +1513,11 @@ def q_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modality dedup verification: every token-set Jaccard
     candidate pair is re-scored with embedding cosine (id-joined to the
     embedding table) and flagged where the second modality confirms.
-    The join is pair-keyed — candidate-set-sized, not corpus-sized."""
+    The join is pair-keyed — candidate-set-sized, not corpus-sized.
+    Round-13: the pair-forming doc set rides the md5-ordered 2000-doc
+    cap (the dedup_tokenset_jaccard convention; non-binding at driver
+    SFs) so the exact-verifier oracle replays at any SF — LSH remains
+    the uncapped scale path."""
     from realtime_analytics_pipeline_spark.functions.vectors import (
         as_double,
         unit,
@@ -1515,6 +1525,15 @@ def q_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_analytics_pipeline_spark.functions.vectors import dot
 
     docs = load_table(spark, sf_dir, "documents")
+    docs = docs.join(
+        F.broadcast(
+            docs.select("doc_id")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .limit(2000)
+        ),
+        "doc_id",
+        "left_semi",
+    )
     pairs = D.jaccard_pairs(docs, n=1, threshold=0.9)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", unit(as_double("embedding")).alias("v")
@@ -2784,8 +2803,15 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_SWEEP_SQL = f"""
-WITH sh AS (
-    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM documents
+WITH capped AS (
+    -- md5-ordered fixed cap (round-13; does not bind at the driver
+    -- gate SFs): a threshold-sensitivity curve needs a fixed-size
+    -- sample, and the uncapped replay is quadratic in hot shingles
+    SELECT * FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 2000
+),
+sh AS (
+    SELECT doc_id, unnest(list_distinct({_SPLIT})) AS shingle FROM capped
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -2814,12 +2840,22 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts at Jaccard cutoffs 0.5-0.9 from ONE pair-scoring pass
     (pairs are scored once; the threshold sweep is a broadcast of five
     constants, not five re-scans) — the curve that picks the
-    production dedup cutoff. Inherits the documented O(n²)-in-
-    cooccurring-docs bound of the exact verifier; the LSH family is
-    the scale path once the cutoff is chosen."""
-    pairs = D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.5
-    ).select("jaccard")
+    production dedup cutoff. Round-13: runs on the md5-ordered
+    2000-doc cap (non-binding at driver SFs) — a sensitivity curve
+    needs a fixed-precision sample, and the cap keeps the exact
+    verifier's oracle replayable at any SF; the LSH family is the
+    scale path once the cutoff is chosen."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.join(
+        F.broadcast(
+            docs.select("doc_id")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            .limit(2000)
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.5).select("jaccard")
     th = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "t double"
     )
