@@ -405,9 +405,20 @@ _VERIFY_WINDOW = [
     # ROUND 13 window (propose_window.py --refresh output pasted
     # verbatim, VERDICT r12 item 5): all 324 previously-oracled names
     # are driver-certified, so the single round-13 virgin
-    # (dedup_incremental_minhash_stored) leads and the remaining 49
-    # slots re-verify the OLDEST greens (r1-r4 era).
+    # (dedup_incremental_minhash_stored) leads and the remaining
+    # slots re-verify the OLDEST greens (r1-r4 era). Manually
+    # promoted behind the virgin: the five queries whose OUTPUTS
+    # changed this round (fixed-size sample caps — knn 400-query cap
+    # binds at sf0.01; the other four caps bind only at scale SFs
+    # but the sample rule changed) — their old driver rows describe
+    # the pre-cap form, so they re-certify first; the five OLDEST
+    # re-verification slots were dropped to make room.
     "dedup_incremental_minhash_stored",  # registry_docs
+    "emb_knn_label_accuracy",  # registry_docs (re-capped r13)
+    "emb_pair_cosine_hist",  # registry_docs (re-capped r13)
+    "dedup_minhash_calibration",  # registry_docs (re-capped r13)
+    "dedup_modality_agreement",  # registry_docs (re-capped r13)
+    "dedup_threshold_sweep",  # registry_docs (re-capped r13)
     "orders_decimal_money",  # registry_analytics
     "orders_changepoint_cusum",  # registry_analytics
     "sessions_cep_conversion",  # registry_analytics
@@ -452,11 +463,11 @@ _VERIFY_WINDOW = [
     "text_dup_ngram_fraction",  # registry_docs
     "text_boilerplate_chunks",  # registry_docs
     "docs_zipf_fit",  # registry_docs
-    "docs_pmi_collocations",  # registry_docs
-    "docs_winnowing_fingerprints",  # registry_docs
-    "docs_winnowing_overlap",  # registry_docs
-    "docs_winnowing_fingerprints_kernel",  # registry_docs
-    "streaming_interval_join",  # registry_streaming
+    # (docs_pmi_collocations, docs_winnowing_fingerprints,
+    #  docs_winnowing_overlap, docs_winnowing_fingerprints_kernel,
+    #  streaming_interval_join dropped — displaced by the five
+    #  re-capped queries above; they stay fresher-green from r4-r6
+    #  rows and the full replica re-verifies them every round)
     # --- pool note (machine-generated by propose_window.py) ---
     # Oracled: 325. Driver-green (CORRECTNESS_r*): 324. Never-driver-verified: 1.
     # Refresh window: 1 virgin + 49 oldest-green re-verification slots; the 275 fresher greens keep their rows.
