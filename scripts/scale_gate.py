@@ -82,6 +82,7 @@ ORACLE_QUADRATIC_LARGE = {
 ORACLE_FLOAT_BOUNDARY = {
     "performance_metrics_5m": "avg() partial-sum association lands on a round(,6) half-tie (3 of 43,200 rows at sf1, diff = 1e-6)",
     "serving_perf_pivot": "pivot of performance_metrics_5m — same half-tie rows",
+    "serving_unpivot": "unpivot of the same avg_load_time values — row-diffed at sf1 (r13): exactly the 3 sibling half-tie rows of 86,400, diff = 1e-6",
 }
 ORACLE_QUADRATIC.update(
     {k: f"float-boundary: {v}" for k, v in ORACLE_FLOAT_BOUNDARY.items()}
