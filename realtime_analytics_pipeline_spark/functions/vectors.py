@@ -37,6 +37,17 @@ def unit(a: Column) -> Column:
 
     Normalizing once per vector instead of per pair turns an O(pairs)
     norm cost into O(vectors) — the difference between 3 and 1 array
-    traversals per candidate pair in all-pairs/top-k similarity."""
+    traversals per candidate pair in all-pairs/top-k similarity.
+
+    Implementation note (optimization round 13, guide §4 per-task
+    work): ``transform(a, x -> x / l2_norm(a))`` re-evaluates the
+    norm subtree PER ELEMENT — higher-order lambdas are interpreted
+    with no loop-invariant hoisting, so a d-dim vector paid O(d²).
+    ``zip_with`` against ``array_repeat(norm, d)`` evaluates the norm
+    ONCE per row (it is an argument expression, not a lambda-body
+    subtree); each element still divides by the exact same double, so
+    results are bit-identical."""
     n = l2_norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.zip_with(
+        a, F.array_repeat(n, F.size(a)), lambda x, nn: x / nn
+    )

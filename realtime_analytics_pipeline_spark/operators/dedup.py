@@ -117,7 +117,17 @@ def _salted_pairs(
 
 
 def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs + per-doc set size."""
+    """(doc_id, shingle) distinct pairs + per-doc set size.
+
+    Measured r13 note: a spread() scan floor here was tried and
+    REVERTED — the shingle pass is cheap per row (one split + slice
+    per shingle), every consumer references this frame twice (df-freq
+    agg + join back), and the added Exchange deepened the already
+    exchange-heavy prefix-filter plans for a net LOSS (jaccard family
+    ×1.45 at sf0.1, A/B in OPTIMIZATION_r13.md). The heavy per-row
+    passes that DO profit from the floor (duplicate_spans window
+    hashes, simhash bit-sums, md5 signature derivation) spread at
+    their own call sites."""
     toks = documents.select(
         "doc_id", tokens("text").alias("toks")
     ).select("doc_id", shingle_expr("toks", n).alias("shingles"))
@@ -610,7 +620,12 @@ def simhash_pairs(
     candidates via equal-chunk pigeonhole (hamming ≤ 3 ⟹ some chunk
     of 4 equal); exact hamming via bit_count(xor).
     """
-    tok = documents.select(
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
+    # r13: spread the scan (one-row-group input ⇒ single-task scan
+    # stage) so tokenize+hash+64 partial bit-sums run on every core;
+    # integer sums are reduction-order-insensitive.
+    tok = spread(documents, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = tok.groupBy("doc_id").agg(
@@ -628,7 +643,14 @@ def simhash_pairs(
             for k in range(16)
         )
         chunk_exprs.append(F.expr(terms).cast("long").alias(f"c{c}"))
-    sketches = bit_sums.select("doc_id", *chunk_exprs)
+    # r13: three consumers (pigeonhole chunks + both join sides) each
+    # re-derived the full 64-sum sketch aggregation; materialize the
+    # num_docs×4-long sketch table once (the shape a 100 TB run would
+    # persist anyway) — localCheckpoint, the repo's standard
+    # multi-consumer materialization.
+    sketches = bit_sums.select("doc_id", *chunk_exprs).localCheckpoint(
+        eager=True
+    )
 
     chunks = sketches.select(
         "doc_id",
@@ -1025,8 +1047,15 @@ def duplicate_spans(
     """
     from pyspark.sql import Window as Wnd
 
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
     W = window_tokens
-    toks = F.split(F.col("text"), " ")
+    # r13 (guide §4): the token split used to live inside the transform
+    # lambda (re-split per window, O(words²)/doc) and the whole
+    # window-hash pass sat in a single-task scan stage. Hoist the token
+    # array into a child projection and spread the scan; fingerprints
+    # unchanged.
+    toks = F.col("_tk")
     win_structs = F.when(
         F.size(toks) >= W,
         F.transform(
@@ -1037,9 +1066,12 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    wins = documents.select(
-        "doc_id", F.explode(win_structs).alias("w")
-    ).select("doc_id", "w.pos", "w.h")
+    wins = (
+        spread(documents, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("_tk"))
+        .select("doc_id", F.explode(win_structs).alias("w"))
+        .select("doc_id", "w.pos", "w.h")
+    )
     dup_hashes = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1193,17 +1225,26 @@ def md5_trigrams(documents: DataFrame) -> DataFrame:
     """Distinct word-trigram shingles per doc — the oracle-replayable
     shingle base shared by minhash_calibration and the LSH
     blocking-quality audit (DuckDB twin: _TRIGRAM_LIST)."""
-    return documents.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text,' ')) >= 3 THEN "
-                "transform(sequence(1, size(split(text,' ')) - 2), "
-                "i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
-                "ELSE slice(split(text,' '), 1, 0) END"
-            )
-        ).alias("gram"),
-    ).distinct()
+    # Optimization round 13 (guide §4): ``split(text, ' ')`` used to sit
+    # INSIDE the transform lambda, so interpreted HOF evaluation re-split
+    # the document per trigram (O(words²)/doc). Hoisting the token array
+    # into a child projection (multi-referenced → CollapseProject keeps
+    # it) makes the lambda read an attribute instead; identical grams.
+    return (
+        documents.select("doc_id", F.split("text", " ").alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 3 THEN "
+                    "transform(sequence(1, size(_tk) - 2), "
+                    "i -> concat_ws(' ', slice(_tk, i, 3))) "
+                    "ELSE slice(_tk, 1, 0) END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
 
 
 def minhash_md5_signatures(
@@ -1221,7 +1262,32 @@ def minhash_md5_signatures(
     caller that also needs it (ADVICE r11: minhash_calibration was
     paying the explode+distinct twice after the helper extraction)."""
     if grams is None:
-        grams = md5_trigrams(documents)
+        # min() per permutation is duplicate-insensitive, so the
+        # signature path can skip md5_trigrams' distinct (one whole
+        # Exchange of the gram stream removed — guide §2.4); spread()
+        # first so the split/md5 map work isn't serialized by the
+        # one-row-group scan (functions/scale.py), and hash-partition
+        # by doc_id so the groupBy below reuses the partitioning
+        # (no second Exchange).
+        from realtime_analytics_pipeline_spark.functions.scale import (
+            spread,
+        )
+
+        grams = (
+            spread(documents, "doc_id")
+            .select("doc_id", F.split("text", " ").alias("_tk"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(_tk) >= 3 THEN "
+                        "transform(sequence(1, size(_tk) - 2), "
+                        "i -> concat_ws(' ', slice(_tk, i, 3))) "
+                        "ELSE slice(_tk, 1, 0) END"
+                    )
+                ).alias("gram"),
+            )
+        )
     # One groupBy with num_perm min-aggregates (the production
     # minhash_signatures shape) instead of exploding num_perm struct
     # rows per gram: the per-permutation mins combine MAP-SIDE, so the

@@ -177,20 +177,38 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     array-HOF Column expressions — map-only at any corpus size; all
     arithmetic in DOUBLE (float32 widens exactly, so the DuckDB oracle
     computes bit-identical values)."""
+    # Optimization round 13 (guide §4): the original
+    # ``transform(v, x -> ... x / scale ...)`` re-evaluated the whole
+    # O(d) ``scale`` subtree per element (interpreted HOF lambdas have
+    # no loop-invariant hoisting → O(d²)/row). Hoist ``scale`` into a
+    # child projection (multi-referenced, so CollapseProject keeps it)
+    # and divide via zip_with/array_repeat — scale now evaluates once
+    # per row; every arithmetic op and operand is unchanged, so the
+    # emitted doubles are bit-identical. spread(): the per-row pass is
+    # the scan stage's only work, and one-row-group parquet scans are
+    # single-task (functions/scale.py).
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
     v = F.transform("embedding", lambda x: x.cast("double"))
     d = F.size("embedding")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
-    errs = F.transform(
-        v, lambda x: F.abs(x - F.round(x / scale) * scale)
+    staged = spread(embeddings, "vec_id").select(
+        "vec_id", v.alias("v"), d.alias("d"), scale.alias("scale")
     )
+    errs = F.zip_with(
+        "v",
+        F.array_repeat("scale", F.col("d")),
+        lambda x, s: F.abs(x - F.round(x / s) * s),
+    )
+    staged = staged.select("vec_id", "d", "scale", errs.alias("errs"))
     mse = F.aggregate(
-        errs, F.lit(0.0), lambda acc, e: acc + e * e
-    ) / d.cast("double")
-    return embeddings.select(
+        "errs", F.lit(0.0), lambda acc, e: acc + e * e
+    ) / F.col("d").cast("double")
+    return staged.select(
         "vec_id",
-        d.cast("long").alias("n_dims"),
-        F.round(scale, 9).alias("scale"),
-        F.round(F.array_max(errs), 9).alias("max_abs_err"),
+        F.col("d").cast("long").alias("n_dims"),
+        F.round("scale", 9).alias("scale"),
+        F.round(F.array_max("errs"), 9).alias("max_abs_err"),
         F.round(mse, 12).alias("mse"),
     )
 

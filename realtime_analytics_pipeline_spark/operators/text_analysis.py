@@ -118,7 +118,15 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     - keep: 3 ≤ mean_word_len ≤ 10 AND top_token_ratio ≤ 0.20
       AND dup_bigram_ratio ≤ 0.50
     """
-    toks = tokens("text")
+    # r13 (guide §4): the token split used to be re-evaluated inside
+    # the nested per-distinct-token filter lambda (O(n²) splits/doc);
+    # hoist the token and bigram arrays into child projections
+    # (multi-referenced aliases, so CollapseProject keeps them) and
+    # spread the single-task scan. Same expressions over the same
+    # arrays — values bit-identical.
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
+    toks = F.col("_tk")
     n = F.size(toks).cast("double")
     mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n
     top_cnt = F.aggregate(
@@ -133,12 +141,23 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         F.slice(toks, 2, F.size(toks) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    nb = F.size(bigrams).cast("double")
+    staged = (
+        spread(documents, "doc_id")
+        .select("doc_id", "text", tokens("text").alias("_tk"))
+        .select(
+            "doc_id",
+            mean_wl.alias("_mean_wl"),
+            n.alias("_n"),
+            top_cnt.alias("_top_cnt"),
+            bigrams.alias("_bg"),
+        )
+    )
+    nb = F.size("_bg").cast("double")
     dup_ratio = F.when(
-        nb > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / nb
+        nb > 0, F.lit(1.0) - F.size(F.array_distinct("_bg")) / nb
     ).otherwise(F.lit(0.0))
-    mean_r = F.round(mean_wl, 6)
-    top_r = F.round(top_cnt / n, 6)
+    mean_r = F.round("_mean_wl", 6)
+    top_r = F.round(F.col("_top_cnt") / F.col("_n"), 6)
     dup_r = F.round(dup_ratio, 6)
     keep = (
         (mean_r >= 3.0)
@@ -146,7 +165,7 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         & (top_r <= 0.20)
         & (dup_r <= 0.50)
     )
-    return documents.select(
+    return staged.select(
         "doc_id",
         mean_r.alias("mean_word_len"),
         top_r.alias("top_token_ratio"),

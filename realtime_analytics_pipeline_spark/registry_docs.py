@@ -5584,8 +5584,15 @@ def q_dedup_incremental_minhash(
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("source") != "src0")
     batch = docs.where(F.col("source") == "src0")
-    csig = D.minhash_md5_signatures(corpus)
-    bsig = D.minhash_md5_signatures(batch)
+    # r13: both signature tables feed TWO consumers each (band keys +
+    # slot-match verification) and the planner re-derived the full
+    # shingle+16-md5 aggregation per consumer (no exchange reuse across
+    # the differing projections). Materialize each once —
+    # num_docs×16-long frames, the exact thing a production bootstrap
+    # would persist before banding. Still computed in-plan from the
+    # parquet input on every run (bootstrap shape unchanged).
+    csig = D.minhash_md5_signatures(corpus).localCheckpoint(eager=True)
+    bsig = D.minhash_md5_signatures(batch).localCheckpoint(eager=True)
     cands = (
         F.broadcast(_md5_band_keys(bsig, "doc_id"))
         .join(_md5_band_keys(csig, "corpus_doc_id"), "k")
