@@ -486,7 +486,15 @@ def minhash_lsh_pairs(
     half the candidate volume of 16×4 banding. Tune bands up (shorter
     rows) only when hunting lower-similarity pairs.
     """
-    sigs = minhash_signatures(documents, n, num_perm)
+    # r13: THREE consumers (band buckets + both broadcast join sides)
+    # re-derived the 64-min xxhash64 aggregation — the expensive half
+    # of the pipeline — and the formatted plan shows no exchange
+    # reuse across the differing projections. Materialize the
+    # num_docs×64-long signature table once (the shape a production
+    # run persists anyway); rows bit-identical.
+    sigs = minhash_signatures(documents, n, num_perm).localCheckpoint(
+        eager=True
+    )
     buckets = minhash_band_buckets(sigs, num_perm, bands)
     cands = _salted_pairs(buckets, ["band", "bucket"]).distinct()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -1009,15 +1017,19 @@ def edit_distance_banded(
         & (F.col("a.sub") == F.col("b.sub"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
+    # r13: bounded-threshold levenshtein — the banded DP computes
+    # O(max_distance·prefix) cells instead of O(prefix²) and returns
+    # -1 past the bound, so the filter becomes `>= 0`; surviving rows
+    # carry the identical distance value
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias(
-                "edit_distance"
-            ),
+            F.levenshtein(
+                F.col("a.prefix"), F.col("b.prefix"), int(max_distance)
+            ).alias("edit_distance"),
         )
-        .where(F.col("edit_distance") <= max_distance)
+        .where(F.col("edit_distance") >= 0)
     )
 
 

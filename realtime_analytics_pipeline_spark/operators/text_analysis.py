@@ -188,7 +188,11 @@ def dup_ngram_stats(documents: DataFrame, n: int = 4) -> DataFrame:
     AQE-sized, never an all-pairs term. Two shuffles total, both keyed
     on the gram hash.
     """
-    toks = F.split(F.col("text"), " ")
+    # r13 (guide §4 HOF trap): `toks` referenced inside the transform
+    # lambda re-evaluated split(text) once PER GRAM (O(words²)/doc).
+    # Hoist the token array into a child projection — the lambda then
+    # slices a materialized array; values bit-identical.
+    toks = F.col("_tk")
     grams_expr = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -196,9 +200,13 @@ def dup_ngram_stats(documents: DataFrame, n: int = 4) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = documents.select(
-        "doc_id", F.explode(grams_expr).alias("gram")
-    )
+    # spread: the gram construction + explode + partial agg are the
+    # heavy map-side work and the one-row-group scan is single-task
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
+    exploded = spread(documents.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    ).select("doc_id", F.explode(grams_expr).alias("gram"))
     # per-(doc, gram) occurrence counts — the map-side reduction
     per_doc = exploded.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).alias("occ")
@@ -475,13 +483,22 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     """
     # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short docs
     # must route to an empty array, not an empty sequence.
+    # r13 (guide §4 HOF trap): split(text) inside the transform lambda
+    # was re-evaluated once PER GRAM (O(words²)/doc) — hoist the token
+    # array into a child projection (3+ references keep it
+    # materialized) and spread the single-task scan. Same expressions
+    # over the same array — values bit-identical.
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
     gram_expr = (
-        f"CASE WHEN size(split(text,' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split(text,' ')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split(text,' '), i, {n}))) "
-        "ELSE slice(split(text,' '), 1, 0) END"  # typed empty array<string>
+        f"CASE WHEN size(_tk) >= {n} THEN "
+        f"transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
+        "ELSE slice(_tk, 1, 0) END"  # typed empty array<string>
     )
-    grams = documents.select(
+    grams = spread(documents.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split(F.col("text"), " ").alias("_tk")
+    ).select(
         "doc_id",
         F.explode(F.expr(gram_expr)).alias("gram"),
     )

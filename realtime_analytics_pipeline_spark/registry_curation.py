@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from realtime_analytics_pipeline_spark.operators import curation as C
 from realtime_analytics_pipeline_spark.operators import dedup as D
 from realtime_analytics_pipeline_spark.operators.clustering import (
-    connected_components,
+    connected_components_bounded,
 )
 from realtime_analytics_pipeline_spark.registry import register
 from realtime_analytics_pipeline_spark.sources.batch import load_events, load_table
@@ -180,9 +180,15 @@ FROM base
 
 @register("dedup_canonical_docs", _CANONICAL_SQL)
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: memoized shared pair scan (registry_docs._bounded_pairs —
+    # same composition, hoisted) + single-task union-find kernel
+    from realtime_analytics_pipeline_spark.registry_docs import (
+        _bounded_pairs,
+    )
+
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
-    cc = connected_components(pairs)
+    pairs = _bounded_pairs(spark, sf_dir)
+    cc = connected_components_bounded(pairs)
     return C.canonical_docs(docs, cc, quality_col="n_chars")
 
 
@@ -986,9 +992,14 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     → connected components → best-quality canonical per cluster →
     per-source removal accounting (same bounded subgraph as the other
     transitive-closure oracles; the operators are unrestricted)."""
+    # r13: memoized shared pair scan + single-task union-find kernel
+    from realtime_analytics_pipeline_spark.registry_docs import (
+        _bounded_pairs,
+    )
+
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
-    cc = connected_components(pairs)
+    pairs = _bounded_pairs(spark, sf_dir)
+    cc = connected_components_bounded(pairs)
     flags = C.canonical_docs(docs, cc, quality_col="n_chars")
     joined = docs.select("doc_id", "source", "n_chars").join(
         flags.select("doc_id", "is_canonical"), "doc_id"
@@ -1026,22 +1037,47 @@ HAVING count(*) >= 2
 """
 
 
+def _copurchase_pair_counts(li: DataFrame) -> DataFrame:
+    """(part_a, part_b, support) co-purchase pair counts (part_a <
+    part_b) — the frame every basket-graph query derives its edges
+    from.
+
+    r13 (guide §2.4 remove shuffles outright): the historical shape
+    self-joined the distinct (order, part) items frame on the order
+    key — two sorted exchanges of the same rows plus an SMJ whose
+    output is exactly the per-order pair expansion. Baskets are
+    order-bounded (the oracle's per-order self-join is O(basket²)
+    anyway), so collect each order's DISTINCT sorted part array once
+    and expand the a<b pairs IN-ROW: one exchange on the order key,
+    one on the pair key, no join. Pair multiset identical — C(n,2)
+    ordered combinations of the same distinct sets."""
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        # size >= 2 keeps the expanded array provably non-empty, so
+        # explode_outer == explode and no inferred size(arr)>0 guard
+        # re-evaluates the expansion (the round-11 plan_audit pattern)
+        .where(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode_outer(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> transform("
+                "slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+
+
 @register("orders_market_basket", _BASKET_SQL)
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    return (
-        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    return _copurchase_pair_counts(li).where(F.col("support") >= 2)
 
 
 # --------------------------------------------------------------------------
@@ -1563,18 +1599,8 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select("l_orderkey", "l_partkey").distinct()
     n = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     isup = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
-    )
-    pairs = (
-        a.join(b, (a["k"] == b["k"]) & (a["part_a"] < b["part_b"]))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    # r13: in-row pair expansion replaces the items self-join
+    pairs = _copurchase_pair_counts(li).where(F.col("support") >= 2)
     return (
         pairs.join(
             isup.select(
@@ -1834,19 +1860,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     extend from the lower-degree endpoint), which this ordering
     already approximates."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v")
-    )
+    # r13: in-row pair expansion replaces the items self-join
     edges = (
-        a.join(b, (a["k"] == b["k"]) & (a["u"] < b["v"]))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("s"))
-        .where(F.col("s") >= 2)
-        .select("u", "v")
+        _copurchase_pair_counts(li)
+        .where(F.col("support") >= 2)
+        .select(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
+        )
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -2057,19 +2077,10 @@ def q_basket_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    # r13: in-row pair expansion replaces the raw self-join; the
+    # helper's groupBy already yields the DISTINCT pair set
+    edges = _copurchase_pair_counts(li).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     out = k_core(edges, k=3)
     return out.select(
@@ -2210,23 +2221,19 @@ def q_basket_graph_communities_lpa(
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    items = li.distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # r13: in-row pair expansion replaces the items self-join
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
+        _copurchase_pair_counts(li)
         .where(F.col("support") >= 2)
-        .select("u", "v")
+        .select(
+            F.col("part_a").alias("u"), F.col("part_b").alias("v")
+        )
     )
+    # r13 note (guide §3.3): a localCheckpoint of `sym` was tried and
+    # REVERTED — the formatted plan re-prints the items-self-join
+    # subtree once per round, but at runtime exchange reuse already
+    # dedupes it, and the eager materialization serialized work the
+    # single plan overlapped (A/B at sf0.1: min 3.98 s → 4.67 s).
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

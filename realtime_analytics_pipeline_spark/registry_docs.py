@@ -502,9 +502,11 @@ FROM reach GROUP BY u
 
 @register("dedup_connected_components", _CC_SQL)
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate clusters via iterative min-label
-    propagation (DataFrame loop with lineage checkpoints); oracle is a
-    recursive-CTE transitive closure over the same pair set."""
+    """Near-dup pairs → duplicate clusters (min-label components);
+    oracle is a recursive-CTE transitive closure over the same pair
+    set. The gate subgraph is bounded by construction, so CC runs in
+    the single-task union-find kernel; the iterative DataFrame loop
+    (`connected_components`) remains the unbounded scale path."""
     from realtime_analytics_pipeline_spark.operators.clustering import (
         dedup_cluster_representatives,
     )
@@ -513,9 +515,12 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle is quadratic in component size and the degenerate corpus
     # forms one giant component at larger SFs; the operator itself is
     # unrestricted (tests cover arbitrary graphs)
-    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
-    return dedup_cluster_representatives(pairs)
+    # r13: share the memoized pair scan (the expensive half) with the
+    # other bounded diagnostics, and collapse the CC loop into the
+    # single-task union-find kernel (output row-identical; the
+    # 2-jobs-per-round driver storm is gone)
+    pairs = _bounded_pairs(spark, sf_dir)
+    return dedup_cluster_representatives(pairs, bounded=True)
 
 
 def _kmeans_oracle_sql(
@@ -2088,12 +2093,12 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, how many docs they hold) — the summary a dedup pass reports;
     same bounded subgraph discipline as dedup_connected_components."""
     from realtime_analytics_pipeline_spark.operators.clustering import (
-        connected_components,
+        connected_components_bounded,
     )
 
-    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95)
-    comps = connected_components(pairs)
+    # r13: memoized shared pair scan + single-task union-find kernel
+    pairs = _bounded_pairs(spark, sf_dir)
+    comps = connected_components_bounded(pairs)
     szs = comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -2410,16 +2415,27 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves its row, which is what makes this metric free at 100 TB.
     Both engines compute the same lambda pipeline (DuckDB
     list_transform/list_filter mirror Spark's transform/filter)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    base = docs.select(
+    # r13 (guide §4 HOF trap): split(text) inside the trigram lambda
+    # re-evaluated once PER TRIGRAM (O(words²)/doc) — hoist the token
+    # array into a child projection and spread the single-task scan
+    # (map-only pass; values bit-identical).
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id",
-        ws.alias("ws"),
-        F.size(ws).alias("n_words"),
-        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+    )
+    staged = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    base = staged.select(
+        "doc_id",
+        "ws",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " g -> concat_ws(' ', slice(split(text, ' '), g + 1, 3)))"
+            "transform(sequence(0, size(ws) - 3),"
+            " g -> concat_ws(' ', slice(ws, g + 1, 3)))"
         ).alias("tg"),
     ).where(F.col("n_words") >= 3)
     return base.select(
@@ -2507,35 +2523,71 @@ def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from realtime_analytics_pipeline_spark.functions import vectors as V
 
+    # r13 (guide §4 per-task work / §2.3 narrower rows): scoring used
+    # to explode 4 dim-prefix rows per pair BEFORE scoring, each
+    # recomputing the pair products AND both prefix norms from the
+    # full 64-dim arrays (3 zip_with+aggregate passes per (pair, d) —
+    # ~360 element-ops plus 6 array allocations per pair per prefix).
+    # Prefix norms are per-VECTOR, not per-pair: hoist them into the
+    # corpus/query projections (O(N·4) instead of O(N·50·4)), compute
+    # the element products ONCE per pair, and derive all 4 dots as
+    # left-to-right folds over prefixes of that one product array —
+    # bit-identical doubles (same element values, same summation
+    # order, same dot/(nq·nv) grouping), verified hash== at 2 SFs.
+    DIMS = (8, 16, 32, 64)
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double("embedding").alias("v")
+        "vec_id",
+        V.as_double("embedding").alias("v"),
     )
-    q = emb.where(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    c = emb.select(
+        "vec_id",
+        "v",
+        *[
+            V.l2_norm(F.slice("v", 1, d)).alias(f"nv{d}")
+            for d in DIMS
+        ],
     )
-    pairs = (
-        emb.crossJoin(F.broadcast(q))
+    q = c.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        *[F.col(f"nv{d}").alias(f"nq{d}") for d in DIMS],
+    )
+    prod = (
+        c.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "qv",
-            "v",
-            F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias(
-                "d"
-            ),
-        )
+        .withColumn("prod", F.zip_with("qv", "v", lambda x, y: x * y))
     )
-    scored = pairs.select(
-        "d",
+
+    def _cos(d):
+        dot_d = F.aggregate(
+            F.slice("prod", 1, d), F.lit(0.0), lambda acc, x: acc + x
+        )
+        return F.round(
+            dot_d / (F.col(f"nq{d}") * F.col(f"nv{d}")), 6
+        )
+
+    scored = prod.select(
+        F.col("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        # explode_outer: the 4-struct array is non-empty by
+        # construction, and plain explode lets Catalyst infer a
+        # size(arr)>0 guard that re-evaluates the fold array (the
+        # round-11 plan_audit red-flag pattern)
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cos(d).alias("cos")
+                    )
+                    for d in DIMS
+                ]
+            )
+        ).alias("dc"),
+    ).select(
+        F.col("dc.d").alias("d"),
         "query_id",
         "neighbor_id",
-        F.round(
-            V.cosine(
-                F.slice("qv", 1, F.col("d")), F.slice("v", 1, F.col("d"))
-            ),
-            6,
-        ).alias("cos"),
+        F.col("dc.cos").alias("cos"),
     )
     w = Window.partitionBy("d", "query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -2545,27 +2597,29 @@ def q_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("d", "query_id", "neighbor_id")
     )
-    full = (
-        ranked.where(F.col("d") == 64)
-        .select(
-            F.col("query_id").alias("f_query"),
-            F.col("neighbor_id").alias("f_neighbor"),
-        )
-        .alias("f")
+    # r13 (guide §2.4): the trunc ⋈ full self-join of `ranked`
+    # duplicated the ENTIRE scoring pipeline in the physical plan
+    # (two corpus×query passes — visible as twin zip_with subtrees in
+    # the before plan). Equivalent join-free form: per (query,
+    # neighbor) collect the set of prefix dims where it ranked top-5;
+    # each d<64 membership contributes a row to group (d, query) —
+    # exactly the 5 ranked rows the oracle's LEFT JOIN groups by — and
+    # the contribution counts 1 iff 64 is also in the set. One
+    # scoring pass, one extra narrow groupBy, no join; verified
+    # hash== at both gate SFs.
+    flags = ranked.groupBy("query_id", "neighbor_id").agg(
+        F.collect_set("d").alias("ds")
     )
-    trunc = ranked.where(F.col("d") < 64).alias("r")
     return (
-        trunc.join(
-            full,
-            (F.col("r.query_id") == F.col("f.f_query"))
-            & (F.col("r.neighbor_id") == F.col("f.f_neighbor")),
-            "left",
+        flags.select(
+            "query_id",
+            F.array_contains("ds", 64).cast("long").alias("in64"),
+            F.explode(
+                F.filter("ds", lambda dd: dd < F.lit(64))
+            ).alias("dim_prefix"),
         )
-        .groupBy(
-            F.col("r.d").alias("dim_prefix"),
-            F.col("r.query_id").alias("query_id"),
-        )
-        .agg(F.count("f.f_neighbor").alias("overlap5"))
+        .groupBy("dim_prefix", "query_id")
+        .agg(F.sum("in64").alias("overlap5"))
     )
 
 
@@ -5067,7 +5121,7 @@ def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
     pairs = _bounded_pairs(spark, sf_dir)
-    comp = dedup_cluster_representatives(pairs).select(
+    comp = dedup_cluster_representatives(pairs, bounded=True).select(
         F.col("vertex").alias("doc_id"), "component"
     )
     labeled = (
@@ -5223,15 +5277,21 @@ def q_docs_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     theory, now a gate-checked number. At 100 TB the truth half runs
     on a sampled subgraph like this one (recall estimation needs a
     sample, not the corpus — the EM-vs-linking separation again)."""
-    docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
-    ws = F.split(F.col("text"), " ")
-    tri = F.expr(
-        "CASE WHEN size(split(text,' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text,' ')) - 2), "
-        "i -> concat_ws(' ', slice(split(text,' '), i, 3))) "
-        "ELSE slice(split(text,' '), 1, 0) END"
+    # r13 (guide §4 HOF trap): split(text) inside the trigram lambda
+    # re-evaluated once per trigram — hoist the token array into a
+    # child projection; values bit-identical.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id < 300")
+        .select("doc_id", F.split(F.col("text"), " ").alias("_ws"))
     )
-    uni = F.array_distinct(ws)
+    tri = F.expr(
+        "CASE WHEN size(_ws) >= 3 THEN "
+        "transform(sequence(1, size(_ws) - 2), "
+        "i -> concat_ws(' ', slice(_ws, i, 3))) "
+        "ELSE slice(_ws, 1, 0) END"
+    )
+    uni = F.array_distinct(F.col("_ws"))
 
     def row(gram_arr, label, sig=None):
         g = docs.select(
@@ -5655,13 +5715,18 @@ def _minhash_bucket_store(spark: SparkSession, sf_dir: str) -> str:
     """Return the root of the persisted corpus MinHash store for
     ``sf_dir`` (subdirs ``buckets/`` = (corpus_doc_id, k) band keys,
     ``sigs/`` = (corpus_doc_id, sig)), building it on first use. The
-    store is keyed by documents.parquet's identity (realpath + mtime
-    + size) so a regenerated slice invalidates it; an on-disk
-    ``_SUCCESS`` pair makes it reusable across processes — bench
-    reps and sweep points after the first measure the warm daily
-    path, which is the point of this query."""
+    store root is scoped PER PROCESS (pid in the path, rebuilt fresh
+    the first time each process asks): every bench/oracle invocation
+    recomputes the store from the parquet inputs — rep 1 pays the
+    bootstrap build, later reps measure the warm daily read path,
+    which is the declared semantics of this query. Nothing persists
+    across runs (optimization-round no-cross-run-caching rule); the
+    key still carries documents.parquet's identity so a slice
+    regenerated MID-process invalidates the store."""
     import hashlib
     import os
+    import shutil
+    import tempfile
 
     src = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
     st = os.stat(src)
@@ -5670,28 +5735,26 @@ def _minhash_bucket_store(spark: SparkSession, sf_dir: str) -> str:
     if got is not None:
         return got
     root = os.path.join(
-        "/tmp",
-        "rtap_minhash_store",
+        tempfile.gettempdir(),
+        f"rtap_minhash_store_{os.getpid()}",
         hashlib.md5(key.encode()).hexdigest()[:16],
     )
     bdir, sdir = os.path.join(root, "buckets"), os.path.join(root, "sigs")
-    if not (
-        os.path.exists(os.path.join(bdir, "_SUCCESS"))
-        and os.path.exists(os.path.join(sdir, "_SUCCESS"))
-    ):
-        corpus = load_table(spark, sf_dir, "documents").where(
-            F.col("source") != "src0"
-        )
-        csig = D.minhash_md5_signatures(corpus)
-        # In production the store is PARTITIONED/bucketed by k so the
-        # daily key-join prunes; at slice scale one parquet dir
-        # suffices — the measured quantity is "corpus never re-signed".
-        csig.select(
-            F.col("doc_id").alias("corpus_doc_id"), "sig"
-        ).write.mode("overwrite").parquet(sdir)
-        _md5_band_keys(csig, "corpus_doc_id").write.mode(
-            "overwrite"
-        ).parquet(bdir)
+    # fresh per-process build (rmtree guards pid-reuse leftovers)
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = load_table(spark, sf_dir, "documents").where(
+        F.col("source") != "src0"
+    )
+    csig = D.minhash_md5_signatures(corpus)
+    # In production the store is PARTITIONED/bucketed by k so the
+    # daily key-join prunes; at slice scale one parquet dir
+    # suffices — the measured quantity is "corpus never re-signed".
+    csig.select(
+        F.col("doc_id").alias("corpus_doc_id"), "sig"
+    ).write.mode("overwrite").parquet(sdir)
+    _md5_band_keys(csig, "corpus_doc_id").write.mode(
+        "overwrite"
+    ).parquet(bdir)
     _MINHASH_STORE_MEMO[key] = root
     return root
 
@@ -5884,88 +5947,110 @@ def q_dedup_incremental_components(
     Bounded doc_id < 300 gate subgraph (CC-family convention; the
     recursive-CTE oracle is quadratic in component size); the pair
     scan is shared with split_docs_dedup_aware / keep_best via
-    _bounded_pairs."""
-    from realtime_analytics_pipeline_spark.operators.clustering import (
-        connected_components,
-    )
+    _bounded_pairs.
+
+    r13 (guide §1.2 the distributed algorithm): everything after the
+    shared pair scan is driver-scale BY CONSTRUCTION (≤300 docs), yet
+    the two-phase DataFrame composition cost 2 chained Python stages
+    + ~8 joins — 2 s of pure plan construction and 14 AQE jobs per
+    run. Both union-finds now run in ONE cogrouped Arrow kernel over
+    (edges + endpoint flags, batch ids); the phase structure, the
+    <1e6 / 1e6+doc_id encoding, and min-label semantics are replayed
+    verbatim, pinned by the partition==full-CC pytest and hash== at
+    both gate SFs."""
+    import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
     src = docs.select("doc_id", "source")
     pairs = _bounded_pairs(spark, sf_dir)
     is_batch = F.col("source") == "src0"
-    corpus_ids = src.where(~is_batch).select("doc_id")
-    batch_ids = src.where(is_batch).select("doc_id")
-
-    # phase 1: existing corpus components (corpus-only edges)
-    ce = (
+    flags = src.select("doc_id", is_batch.alias("b"))
+    edges = (
         pairs.join(
-            corpus_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-        ).join(corpus_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-    )
-    ccomp = (
-        corpus_ids.join(
-            connected_components(ce).withColumnRenamed("vertex", "doc_id"),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-        )
-    )
-
-    # phase 2: batch-touching edges over encoded nodes
-    ENC = 1_000_000
-    ba = pairs.join(
-        batch_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a"
-    )
-    bb_edges = ba.join(
-        batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-    ).select(
-        (F.col("doc_a") + ENC).alias("doc_a"),
-        (F.col("doc_b") + ENC).alias("doc_b"),
-    )
-    bc_edges = (
-        ba.join(
-            ccomp.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-        ).select(
-            (F.col("doc_a") + ENC).alias("doc_a"),
-            F.col("component").alias("doc_b"),
-        )
-        .unionByName(
-            pairs.join(
-                batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-            )
-            .join(ccomp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-            .select(
-                (F.col("doc_b") + ENC).alias("doc_a"),
-                F.col("component").alias("doc_b"),
-            )
-        )
-    )
-    enc_cc = connected_components(bb_edges.unionByName(bc_edges))
-    return (
-        batch_ids.join(
-            enc_cc.select(
-                (F.col("vertex") - ENC).alias("doc_id"),
-                F.col("component").alias("enc"),
+            F.broadcast(
+                flags.select(
+                    F.col("doc_id").alias("doc_a"), F.col("b").alias("ba")
+                )
             ),
-            "doc_id",
-            "left",
+            "doc_a",
         )
-        .select(
-            "doc_id",
-            F.coalesce("enc", F.col("doc_id") + ENC).alias("enc"),
+        .join(
+            F.broadcast(
+                flags.select(
+                    F.col("doc_id").alias("doc_b"), F.col("b").alias("bb")
+                )
+            ),
+            "doc_b",
         )
-        .select(
-            "doc_id",
-            F.when(F.col("enc") < ENC, F.col("enc"))
-            .otherwise(F.col("enc") - ENC)
-            .cast("bigint")
-            .alias("component"),
-            F.when(F.col("enc") < ENC, F.lit(0))
-            .otherwise(F.lit(1))
-            .cast("bigint")
-            .alias("is_new_cluster"),
+        .select("doc_a", "doc_b", "ba", "bb")
+    )
+    batch_ids = src.where(is_batch).select("doc_id")
+    ENC = 1_000_000
+
+    def _incr_cc(e_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        def mk_find(parent):
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:
+                    parent[x], x = r, parent[x]
+                return r
+
+            return find
+
+        def union_min(parent, find, a, b):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+
+        # phase 1: existing corpus components (corpus-only edges)
+        cp: dict[int, int] = {}
+        cfind = mk_find(cp)
+        rows = list(
+            zip(e_pdf["doc_a"], e_pdf["doc_b"], e_pdf["ba"], e_pdf["bb"])
+        )
+        for a, b, ba, bb in rows:
+            if not ba and not bb:
+                union_min(cp, cfind, int(a), int(b))
+
+        def ccomp(d: int) -> int:
+            # corpus doc's existing label: min reachable in the
+            # corpus-only graph, else its own id (the left-join
+            # coalesce of the composed form)
+            return cfind(d) if d in cp else d
+
+        # phase 2: batch-touching edges over encoded nodes
+        ep: dict[int, int] = {}
+        efind = mk_find(ep)
+        for a, b, ba, bb in rows:
+            a, b = int(a), int(b)
+            if ba and bb:
+                union_min(ep, efind, a + ENC, b + ENC)
+            elif ba:
+                union_min(ep, efind, a + ENC, ccomp(b))
+            elif bb:
+                union_min(ep, efind, b + ENC, ccomp(a))
+        out = []
+        for d in sorted(int(x) for x in b_pdf["doc_id"]):
+            enc = efind(d + ENC) if d + ENC in ep else d + ENC
+            out.append(
+                (d, enc if enc < ENC else enc - ENC, 0 if enc < ENC else 1)
+            )
+        return pd.DataFrame(
+            out, columns=["doc_id", "component", "is_new_cluster"]
+        )
+
+    return (
+        edges.groupBy(F.lit(1).alias("_g"))
+        .cogroup(batch_ids.groupBy(F.lit(1).alias("_g")))
+        .applyInPandas(
+            lambda e, b: _incr_cc(e, b),
+            "doc_id long, component long, is_new_cluster long",
         )
     )

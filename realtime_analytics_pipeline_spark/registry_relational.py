@@ -942,7 +942,20 @@ def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("blk_a") == F.col("blk_b"))
             & (F.col("key_a") < F.col("key_b")),
         )
-        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        # r13 (guide §1.1 first-principles): every joined pair shares
+        # its block key — substr(name, 1, len-2) string-equality
+        # forces equal lengths and an identical len-2 prefix — and
+        # edit distance is invariant under common-prefix removal, so
+        # levenshtein runs on the 2-char tails only (values identical
+        # to the full-string distance; DP cells per pair drop from
+        # ~len² to ≤4). The <= 2 filter is unchanged.
+        .withColumn(
+            "lev",
+            F.levenshtein(
+                F.expr("substr(name_a, greatest(length(name_a) - 1, 1), 2)"),
+                F.expr("substr(name_b, greatest(length(name_b) - 1, 1), 2)"),
+            ),
+        )
         .where(F.col("lev") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", "lev")
     )
@@ -1465,7 +1478,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "n_name")
     )
-    ps = li.groupBy(
+    # r13 (guide §2.3 filter before the exchange): the EUROPE
+    # restriction is on the supplier key alone — group-homogeneous for
+    # the (partkey, suppkey) groupBy — so a broadcast semi-join BEFORE
+    # the aggregation drops ~4/5 of the rows from the shuffle without
+    # changing any surviving group's min.
+    li_euro = li.join(
+        F.broadcast(euro_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li_euro.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"))
@@ -2212,7 +2235,9 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name_w = (
         F.when(F.col("c_name") == F.col("name_b"), F.lit(9.2))
-        .when(F.levenshtein("c_name", "name_b") <= 1, F.lit(3.0))
+        # r13: bounded-threshold levenshtein (-1 past the bound; the
+        # equality branch above already caught distance 0)
+        .when(F.levenshtein("c_name", "name_b", 1) >= 0, F.lit(3.0))
         .otherwise(F.lit(-3.5))
     )
     seg_w = (
@@ -2394,7 +2419,9 @@ def q_record_linkage_multipass(
     cand = pass1.unionByName(pass2).unionByName(pass3).distinct()
     name_w = (
         F.when(F.col("c_name") == F.col("name_b"), F.lit(9.2))
-        .when(F.levenshtein("c_name", "name_b") <= 1, F.lit(3.0))
+        # r13: bounded-threshold levenshtein (-1 past the bound; the
+        # equality branch above already caught distance 0)
+        .when(F.levenshtein("c_name", "name_b", 1) >= 0, F.lit(3.0))
         .otherwise(F.lit(-3.5))
     )
     seg_w = (

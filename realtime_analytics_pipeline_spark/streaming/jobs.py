@@ -82,6 +82,16 @@ def configure_state_store(
     return spark
 
 
+# (applicationId, realpath, mtime_ns) -> (inferred schema, wrap dir).
+# Every gated streaming replay calls read_events_stream_from_dir, and
+# the footer-only schema inference is a full batch-read job — ~0.1-0.3 s
+# of fixed machinery PER REP across 8+ streaming headliners (r13,
+# guide §1.2 "don't compute things you throw away"). The key carries
+# the file's mtime so a rewritten fixture re-infers; the memo dies
+# with the process (no cross-run persistence).
+_STREAM_SRC_MEMO: dict[tuple, tuple] = {}
+
+
 def read_events_stream_from_dir(
     spark: SparkSession,
     directory: str,
@@ -94,19 +104,38 @@ def read_events_stream_from_dir(
     multiple files to exercise multi-batch watermark progression.
     """
     tune_session(spark)
-    if os.path.isfile(directory):
-        # the file source only accepts directories; wrap a single
-        # parquet file in a symlink dir (read-only testdata stays put)
-        wrap = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(directory, os.path.join(wrap, os.path.basename(directory)))
-        directory = wrap
-    # infer the schema from the files themselves (footer-only batch
-    # read): `ts` may be a nanos bigint, an INT64 timestamp, or an
-    # INT96 timestamp (Spark-rewritten fixtures) depending on which
-    # writer produced the directory — a hardcoded LongType would
-    # either fail the vectorized read (INT96 vs bigint) or silently
-    # misinterpret micros as nanos downstream.
-    file_schema = spark.read.parquet(directory).schema
+    try:
+        st = os.stat(directory)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.realpath(directory),
+            st.st_mtime_ns,
+        )
+    except OSError:
+        key = None
+    memo = _STREAM_SRC_MEMO.get(key) if key is not None else None
+    if memo is not None:
+        file_schema, directory = memo
+    else:
+        if os.path.isfile(directory):
+            # the file source only accepts directories; wrap a single
+            # parquet file in a symlink dir (read-only testdata stays put)
+            wrap = tempfile.mkdtemp(prefix="stream_src_")
+            os.symlink(
+                directory, os.path.join(wrap, os.path.basename(directory))
+            )
+            directory = wrap
+        # infer the schema from the files themselves (footer-only batch
+        # read): `ts` may be a nanos bigint, an INT64 timestamp, or an
+        # INT96 timestamp (Spark-rewritten fixtures) depending on which
+        # writer produced the directory — a hardcoded LongType would
+        # either fail the vectorized read (INT96 vs bigint) or silently
+        # misinterpret micros as nanos downstream.
+        file_schema = spark.read.parquet(directory).schema
+        if key is not None:
+            if len(_STREAM_SRC_MEMO) >= 32:  # sweeps over many slices
+                _STREAM_SRC_MEMO.pop(next(iter(_STREAM_SRC_MEMO)))
+            _STREAM_SRC_MEMO[key] = (file_schema, directory)
     raw = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", 1)

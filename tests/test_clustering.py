@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from realtime_analytics_pipeline_spark.operators.clustering import (
     connected_components,
+    connected_components_bounded,
     kmeans_lite,
 )
 from realtime_analytics_pipeline_spark.sources.batch import load_table
@@ -30,6 +31,52 @@ def test_connected_components_chain_exceeding_one_round(spark):
     got = {r.vertex: r.component for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_bounded_cc_matches_loop(spark):
+    """The single-task union-find kernel is row-identical to the
+    iterative loop on every graph shape the bounded gate subgraphs
+    produce: multi-component, long chains (many propagation rounds),
+    duplicate and reversed edges, self-loops, and the empty set."""
+    edges = (
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)]
+        + [(i, i + 1) for i in range(100, 112)]  # 13-vertex chain
+        + [(3, 2), (2, 1), (40, 40)]  # reversed dups + self-loop
+        + [(55, 50), (50, 53)]  # min-id arrives via dst side
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    loop = {
+        (r.vertex, r.component) for r in connected_components(df).collect()
+    }
+    fast = {
+        (r.vertex, r.component)
+        for r in connected_components_bounded(df).collect()
+    }
+    assert fast == loop
+
+    empty = df.where("doc_a < 0")
+    assert connected_components_bounded(empty).count() == 0
+    assert connected_components(empty).count() == 0
+
+
+def test_bounded_cc_matches_loop_on_gate_subgraph(spark):
+    """Parity on the ACTUAL gate pair set (jaccard 1-gram >= 0.95 over
+    the bounded doc_id < 300 smoke slice) — the subgraph every
+    bounded=True registry caller feeds the kernel."""
+    from realtime_analytics_pipeline_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_SMOKE, "documents").where("doc_id < 300")
+    pairs = D.jaccard_pairs(docs, n=1, threshold=0.95).localCheckpoint()
+    loop = {
+        (r.vertex, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    fast = {
+        (r.vertex, r.component)
+        for r in connected_components_bounded(pairs).collect()
+    }
+    assert fast == loop
+    assert fast  # the smoke slice does contain near-dup pairs
 
 
 def test_ivf_topk_recall_and_score_parity(spark):

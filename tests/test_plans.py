@@ -161,15 +161,31 @@ def test_session_window_single_shuffle(spark):
     assert len(exchanges) == 1, plan
 
 
+def _assert_map_only_modulo_spread(plan, key="doc_id"):
+    """Map-only plan check, r13 form: the only Exchange allowed is the
+    spread() scan-parallelism-floor repartition (explicit hash
+    REPARTITION on the row key) — never an aggregation/join/sort
+    exchange. One-row-group testdata scans are single-task, so the
+    heavy per-row HOF passes hash-spread deliberately."""
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^,)]+)[,)][^\n]*", plan)
+    assert len(exchanges) <= 1, plan
+    for kind, k in exchanges:
+        assert kind == "hashpartitioning" and k.startswith(key), plan
+    if exchanges:
+        assert "REPARTITION" in plan, plan
+
+
 def test_gopher_flags_map_only(spark):
     """Quality flags are pure Column expressions over the token array:
-    the plan must contain NO Exchange — scan → project only."""
+    scan → project (+ at most the spread repartition)."""
     from realtime_analytics_pipeline_spark.operators.text_analysis import (
         gopher_quality_flags,
     )
 
     plan = plan_of(gopher_quality_flags(load_table(spark, SF_SMOKE, "documents")))
-    assert "Exchange" not in plan
+    _assert_map_only_modulo_spread(plan)
     # scan pruned to the referenced columns
     assert "lang" not in plan.split("ReadSchema")[1].splitlines()[0]
 
@@ -181,7 +197,7 @@ def test_quantize_int8_map_only(spark):
     )
 
     plan = plan_of(quantize_int8(load_table(spark, SF_SMOKE, "embeddings")))
-    assert "Exchange" not in plan
+    _assert_map_only_modulo_spread(plan, key="vec_id")
     assert "label" not in plan.split("ReadSchema")[1].splitlines()[0]
 
 
@@ -420,7 +436,7 @@ def test_repetition_metrics_map_only(spark):
     from realtime_analytics_pipeline_spark import registry
 
     plan = plan_of(registry.QUERIES["text_repetition_metrics"](spark, SF_SMOKE))
-    assert "Exchange" not in plan
+    _assert_map_only_modulo_spread(plan)
     assert "Generate" not in plan  # no explode: row count never amplifies
 
 
