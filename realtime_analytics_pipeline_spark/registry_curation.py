@@ -2228,12 +2228,17 @@ def q_basket_graph_communities_lpa(
         .select(
             F.col("part_a").alias("u"), F.col("part_b").alias("v")
         )
+        .localCheckpoint(eager=True)
     )
-    # r13 note (guide §3.3): a localCheckpoint of `sym` was tried and
-    # REVERTED — the formatted plan re-prints the items-self-join
-    # subtree once per round, but at runtime exchange reuse already
-    # dedupes it, and the eager materialization serialized work the
-    # single plan overlapped (A/B at sf0.1: min 3.98 s → 4.67 s).
+    # r13 note (guide §3.3): under the OLD self-join pair shape a
+    # localCheckpoint of `sym` was tried and REVERTED (exchange reuse
+    # already deduped the subtree; eager materialization serialized
+    # overlapped work — A/B at sf0.1: min 3.98 s → 4.67 s). Under the
+    # in-row expansion the tradeoff FLIPS: without a checkpoint the 4
+    # unrolled rounds regressed LPA ×1.3 (min 3.2 → 4.3/4.5 s,
+    # interleaved A/B), and checkpointing the small support>=2 edge
+    # list restores it (min 2.94 s). Measured both ways; the
+    # expansion now runs exactly once per invocation.
     sym = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

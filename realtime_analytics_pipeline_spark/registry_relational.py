@@ -2970,6 +2970,12 @@ def q_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = cand.groupBy("g_name", "g_seg", "g_bal").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # r13: cells has TWO consumers (the w1 sums and the c2 crossJoin),
+    # and each in-plan occurrence re-derives the whole candidate
+    # subtree — TakeOrdered(3000) twice, the nation-block levenshtein
+    # join twice. Materialize the <=18 exact-integer rows once; all
+    # downstream float arithmetic is untouched (guide §3.3).
+    cells = cells.localCheckpoint(eager=True)
 
     def pick(col, lv2, lv1, lv0):
         return (
