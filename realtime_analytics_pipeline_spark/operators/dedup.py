@@ -433,7 +433,18 @@ def minhash_signatures(
     """MinHash signatures: sig[i] = min over shingles of
     xxhash64(i, shingle). One explode + one groupBy; the i-th
     permutation is the i-th seed column, all JVM-side."""
-    sh = _doc_shingles(documents, n)
+    from realtime_analytics_pipeline_spark.functions.scale import spread
+
+    # r13: the 64-seed xxhash64 partial min-agg is the heavy map pass
+    # of the LSH family, and one-row-group parquet leaves its scan
+    # stage single-task. spread() HERE — at the heavy call site, not
+    # inside the shared _doc_shingles (the batch-1 revert) — floors
+    # its parallelism. Interleaved A/B at sf0.1: the unigram path
+    # (hot buckets ⇒ the signature pass dominates) 15.6-18.4 s →
+    # 5.9-6.8 s (×0.38) across two rounds; the 3gram headliner
+    # unchanged within noise. min() is reduction-order-insensitive:
+    # rows bit-identical.
+    sh = spread(_doc_shingles(documents, n), "doc_id")
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
