@@ -367,63 +367,84 @@ def pq_quantize(
     update, which aggregates k·dims rows. Codes compress dims·4 bytes
     to m bytes per vector.
     """
-    sub = None
     e = embeddings.select(
         "vec_id", as_double("embedding").alias("full")
     ).localCheckpoint()
     dims = len(e.select("full").first()["full"])
     assert dims % m == 0, "embedding dims must divide evenly into m"
     sub = dims // m
-    parts = []
-    for j in range(m):
-        ej = e.select(
-            "vec_id", F.slice("full", j * sub + 1, sub).alias("v")
+    # r13 (guide §1.2 job-count): the historical per-subspace loop ran
+    # m independent k-means pipelines with an eager localCheckpoint
+    # per (subspace, iteration) — 2·m driver-serialized jobs — then an
+    # m-way join chain to assemble codes. MELTED: one (vec_id, j, v)
+    # frame trains every subspace in the same jobs (2 checkpoints
+    # total), and a conditional-agg pivot assembles the codes. Every
+    # per-(subspace) candidate pair, argmin tie-break (dist asc,
+    # cluster), centroid-mean group, and the final _d0.._dm-1 sum
+    # order are identical to the loop form; oracle hash== re-verified
+    # at sf0.001/sf0.01 (emb_pq_codes) after the change.
+    ej = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("full", j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("j", "v"),
+    )
+    init_ids = (
+        e.select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster"))
+    )
+    centroids = ej.join(
+        F.broadcast(init_ids), ej["vec_id"] == init_ids["cluster"]
+    ).select("j", "cluster", F.col("v").alias("cv"))
+    assigned = None
+    for it in range(iterations):
+        scored = ej.join(F.broadcast(centroids), "j").withColumn(
+            "dist", _sqdist(F.col("v"), F.col("cv"))
         )
-        centroids = ej.orderBy("vec_id").limit(k).select(
-            F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+        w = Window.partitionBy("vec_id", "j").orderBy(
+            F.col("dist").asc(), F.col("cluster")
         )
-        assigned = None
-        for it in range(iterations):
-            scored = ej.join(F.broadcast(centroids)).withColumn(
-                "dist", _sqdist(F.col("v"), F.col("cv"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "j", "cluster", "v", "dist")
+            .localCheckpoint()
+        )
+        if it < iterations - 1:
+            dims_df = assigned.select(
+                "j", "cluster", F.posexplode("v").alias("d", "x")
             )
-            w = Window.partitionBy("vec_id").orderBy(
-                F.col("dist").asc(), F.col("cluster")
-            )
-            assigned = (
-                scored.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("vec_id", "cluster", "v", "dist")
-                .localCheckpoint()
-            )
-            if it < iterations - 1:
-                dims_df = assigned.select(
-                    "cluster", F.posexplode("v").alias("d", "x")
+            centroids = (
+                dims_df.groupBy("j", "cluster", "d")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("j", "cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("d", "mu"))
+                    ).alias("dm")
                 )
-                centroids = (
-                    dims_df.groupBy("cluster", "d")
-                    .agg(F.avg("x").alias("mu"))
-                    .groupBy("cluster")
-                    .agg(
-                        F.array_sort(
-                            F.collect_list(F.struct("d", "mu"))
-                        ).alias("dm")
-                    )
-                    .select(
-                        "cluster",
-                        F.expr("transform(dm, p -> p.mu)").alias("cv"),
-                    )
+                .select(
+                    "j",
+                    "cluster",
+                    F.expr("transform(dm, p -> p.mu)").alias("cv"),
                 )
-        parts.append(
-            assigned.select(
-                "vec_id",
-                F.col("cluster").alias(f"code{j}"),
-                F.col("dist").alias(f"_d{j}"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.join(p, "vec_id")
+    out = assigned.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("cluster"))).alias(
+                f"code{j}"
+            )
+            for j in range(m)
+        ],
+        *[
+            F.max(F.when(F.col("j") == j, F.col("dist"))).alias(f"_d{j}")
+            for j in range(m)
+        ],
+    )
     err = F.sqrt(
         sum((F.col(f"_d{j}") for j in range(1, m)), F.col("_d0"))
     )
