@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from realtime_analytics_pipeline_spark import registry  # noqa: E402
+from realtime_analytics_pipeline_spark import registry_docs  # noqa: E402
 from realtime_analytics_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: every operator family, excluding the O(n²)-by-design
@@ -320,10 +321,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     contended: list[str] = []
+    # Cold-vs-warm honesty (VERDICT r13 item 1): a few queries share
+    # session-memoized intermediates (bounded-CC pairs, md5 corpus
+    # signatures, k-means cells). Unscoped, rep 1 of the FIRST
+    # consuming query builds the frame and every later rep and sibling
+    # query reuses it — so their medians measured warm-memo reps.
+    # Bumping the memo epoch before every timed rep makes each rep
+    # rebuild everything it consumes inside its own timed region: the
+    # reported median is the honest COLD per-query cost. Queries that
+    # did build a memo get ONE extra untimed-epoch (warm) rep, reported
+    # separately in BENCH_LOCAL's queries_warm — the shared-index
+    # production shape, measured instead of silently blended in.
+    warm: dict[str, float] = {}
+    rep_seq = 0
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        builds_before = registry_docs.memo_build_count()
 
-        def one_run() -> float:
+        def one_run(cold: bool = True) -> float:
+            nonlocal rep_seq
+            if cold:
+                rep_seq += 1
+                registry_docs.set_memo_epoch(f"bench:{rep_seq}")
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -350,11 +369,19 @@ def main() -> None:
             runs += [one_run(), one_run()]
         timings[name] = round(statistics.median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        warm_note = ""
+        if registry_docs.memo_build_count() > builds_before:
+            # this query built at least one shared intermediate during
+            # its cold reps: also measure one warm (memo-hit) rep
+            warm[name] = round(one_run(cold=False), 3)
+            warm_note = f" warm {warm[name]:.2f}s"
         print(
             f"  {name}: median {timings[name]:.2f}s "
-            f"[{spread[name][0]:.2f}, {spread[name][1]:.2f}] x{len(runs)}",
+            f"[{spread[name][0]:.2f}, {spread[name][1]:.2f}] "
+            f"x{len(runs)}{warm_note}",
             file=sys.stderr,
         )
+    registry_docs.set_memo_epoch("")
 
     total = round(sum(timings.values()), 3)
     # noise-floor total: VM noise is strictly ADDITIVE, so the sum of
@@ -402,8 +429,28 @@ def main() -> None:
     # a SHORT headline line only (~200 bytes — no per-query dict);
     # the full payload including per-query medians and min/max spread
     # lives in BENCH_LOCAL.json, committed for provenance.
-    with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
-        json.dump({**payload, "spread": spread}, f)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # queries_warm: one memo-hit rep for each query whose cold reps
+    # built a shared intermediate (see the epoch comment above) — the
+    # warm half of the cold/warm schema VERDICT r13 item 1 asked for.
+    local_payload = {**payload, "queries_warm": warm, "spread": spread}
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(local_payload, f)
+    # Per-round snapshot (VERDICT r13 item 2): BENCH_LOCAL.json is
+    # overwritten by every run (the driver's low-core scaling run
+    # clobbered the r13 32-core detail), which left PERF's per_query
+    # diff empty two rounds running. Also write the detail to a
+    # round-numbered file — the next round in progress is
+    # 1 + max(committed BENCH_r{N}.json) — so per-query medians
+    # survive for the driver's round-over-round comparison.
+    rounds = [
+        int(m.group(1))
+        for f_name in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f_name))
+    ]
+    snap = f"BENCH_LOCAL_r{(max(rounds) + 1) if rounds else 0}.json"
+    with open(os.path.join(repo_dir, snap), "w") as f:
+        json.dump(local_payload, f)
     headline = {
         "metric": "total_query_wall_sec",
         "value": total,

@@ -77,7 +77,10 @@ def connected_components(
 
 
 def connected_components_bounded(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_edges: int = 1_000_000,
 ) -> DataFrame:
     """CC of a subgraph that is BOUNDED BY CONSTRUCTION (the repo's
     doc_id < 300 gate convention, or a corpus-components-collapsed
@@ -95,7 +98,15 @@ def connected_components_bounded(
     driver jobs / ~10 s of wall for a ≤300-vertex graph whose edges
     fit in one Arrow batch. The loop remains the UNBOUNDED scale
     path; this kernel is for subgraphs a caller has already bounded,
-    where per-group state is O(edges) by construction."""
+    where per-group state is O(edges) by construction.
+
+    ``max_edges`` is the boundedness guard (VERDICT r13 item 6): the
+    single-group funnel is correct ONLY because callers bound the pair
+    set, and nothing else stops a future caller handing it an
+    unbounded graph — a silent single-executor OOM at scale. The
+    kernel counts the edges it actually receives and fails LOUDLY past
+    the limit, naming the fallback (:func:`connected_components`).
+    Checked inside the task — no extra driver job."""
     import pandas as pd
 
     edges = pairs.select(
@@ -103,6 +114,15 @@ def connected_components_bounded(
     )
 
     def _cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_edges:
+            raise ValueError(
+                f"connected_components_bounded received {len(pdf)} edges "
+                f"(> max_edges={max_edges}): this kernel funnels ALL "
+                "edges into one task by design and must only see "
+                "subgraphs the caller has already bounded — use the "
+                "iterative connected_components() loop for unbounded "
+                "graphs"
+            )
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -487,7 +507,10 @@ def ivfpq_topk(
         "vec_id", F.posexplode("full").alias("dg", "x")
     ).select(
         "vec_id",
-        (F.col("dg") / sub).cast("int").alias("j"),
+        # integer division (ADVICE r13): same index as the former
+        # double-divide-then-truncate for every realistic dims, but
+        # exact by construction, mirroring the integer 'dg % sub'
+        F.expr(f"dg div {sub}").cast("int").alias("j"),
         (F.col("dg") % sub).alias("d"),
         "x",
     )

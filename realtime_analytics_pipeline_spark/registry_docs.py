@@ -454,6 +454,10 @@ def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-gemm twin are the registered scale paths."""
     from pyspark.sql import functions as F
 
+    from realtime_analytics_pipeline_spark.operators.similarity_blas import (
+        embedding_dup_pairs_blas,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     sample = (
         emb.select("vec_id")
@@ -461,7 +465,17 @@ def q_emb_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(2000)
     )
     capped = emb.join(F.broadcast(sample), "vec_id", "left_semi")
-    return D.embedding_dup_pairs(capped, threshold=0.3)
+    # r14 (VERDICT r13 item 7): same pairs, same doubles policy, but
+    # scored through the block-gemm Arrow kernel instead of the
+    # interpreted per-pair zip_with+aggregate lambda — the lambda ran
+    # the whole O(pairs·d) verifier on ONE scan task (~21-31 s
+    # standalone). The kernel is pinned tuple-identical to
+    # D.embedding_dup_pairs on the smoke slice
+    # (tests/test_similarity_blas.py::test_pairs_blas_matches_exact)
+    # and its uncapped twin dedup_embedding_cosine_blas is
+    # driver-verified hash== against the SAME cosine/round-6 oracle
+    # SQL. D.embedding_dup_pairs stays the uncapped library verifier.
+    return embedding_dup_pairs_blas(capped, threshold=0.3)
 
 
 _CC_SQL = f"""
@@ -4580,6 +4594,34 @@ FROM metrics
 _LSH_BLOCKING_SQL = _lsh_blocking_sql()
 
 
+# Memo epoch (optimization r14, VERDICT r13 item 1): every session
+# memo key below carries this token. Outside the bench it stays ""
+# and the memos behave exactly as before (one build per app+sf_dir —
+# the production shape: an index/signature table is derived once and
+# consumed by many queries). bench.py bumps the epoch BEFORE EVERY
+# TIMED REP so each benched query rebuilds every intermediate it
+# consumes inside its own timed region — per-query medians measure
+# honest cold cost instead of warm-memo reps, while legitimate
+# within-one-query reuse (one build feeding several consumers in the
+# same plan) is unchanged. _MEMO_BUILDS counts builds so the bench
+# can tell which queries consumed a memo and report a warm rep too.
+_MEMO_EPOCH: list[str] = [""]
+_MEMO_BUILDS: list[int] = [0]
+
+
+def set_memo_epoch(epoch: str) -> None:
+    """Scope the session memos below to ``epoch`` (bench cold-timing
+    hook; "" = unscoped, the default)."""
+    _MEMO_EPOCH[0] = epoch
+
+
+def memo_build_count() -> int:
+    """Total memo builds this process — lets the bench detect that a
+    query's reps rebuilt shared intermediates (and therefore deserve
+    an extra warm rep for the warm-vs-cold report)."""
+    return _MEMO_BUILDS[0]
+
+
 _KMEANS_CELL_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -4605,12 +4647,14 @@ def _kmeans_cells(
 
     key = (
         spark.sparkContext.applicationId,
+        _MEMO_EPOCH[0],
         os.path.realpath(sf_dir),
         k,
         iterations,
     )
     got = _KMEANS_CELL_MEMO.get(key)
     if got is None:
+        _MEMO_BUILDS[0] += 1
         got = kmeans_lite(
             load_table(spark, sf_dir, "embeddings"), k=k, iterations=iterations
         ).localCheckpoint(eager=True)
@@ -4636,11 +4680,13 @@ def _md5_corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (
         spark.sparkContext.applicationId,
+        _MEMO_EPOCH[0],
         os.path.realpath(sf_dir),
         "md5sigs",
     )
     got = _MD5_SIG_MEMO.get(key)
     if got is None:
+        _MEMO_BUILDS[0] += 1
         got = D.minhash_md5_signatures(
             load_table(spark, sf_dir, "documents")
         ).localCheckpoint(eager=True)
@@ -5094,9 +5140,10 @@ def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once per (application, sf_dir). Round-12: hoisted out
     of _bounded_cc_labels so the incremental-components query shares
     the pair scan too (three consumers, one computation)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "pairs")
+    key = (spark.sparkContext.applicationId, _MEMO_EPOCH[0], sf_dir, "pairs")
     got = _BOUNDED_CC_MEMO.get(key)
     if got is None:
+        _MEMO_BUILDS[0] += 1
         docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
         got = (
             D.jaccard_pairs(docs, n=1, threshold=0.95)
@@ -5111,7 +5158,7 @@ def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) for the doc_id < 300 gate subgraph:
     connected components of 1-gram Jaccard >= 0.95 pairs, singletons
     labeled by their own doc_id."""
-    key = (spark.sparkContext.applicationId, sf_dir, "labels")
+    key = (spark.sparkContext.applicationId, _MEMO_EPOCH[0], sf_dir, "labels")
     got = _BOUNDED_CC_MEMO.get(key)
     if got is not None:
         return got
@@ -5119,6 +5166,7 @@ def _bounded_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_cluster_representatives,
     )
 
+    _MEMO_BUILDS[0] += 1
     docs = load_table(spark, sf_dir, "documents").where("doc_id < 300")
     pairs = _bounded_pairs(spark, sf_dir)
     comp = dedup_cluster_representatives(pairs, bounded=True).select(

@@ -59,6 +59,23 @@ def test_bounded_cc_matches_loop(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_bounded_cc_guard_rejects_oversized_input(spark):
+    """The boundedness guard (r14): an edge set past max_edges must
+    fail LOUDLY instead of silently funneling an unbounded graph into
+    one task — the failure mode VERDICT r13 item 6 flagged as a
+    single-executor OOM at scale. Small threshold here; the default
+    guard is 1e6 edges."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(Exception, match="max_edges"):
+        connected_components_bounded(df, max_edges=10).collect()
+    # at or under the limit the kernel still answers
+    ok = connected_components_bounded(df, max_edges=40).collect()
+    assert {r.component for r in ok} == {0}
+
+
 def test_bounded_cc_matches_loop_on_gate_subgraph(spark):
     """Parity on the ACTUAL gate pair set (jaccard 1-gram >= 0.95 over
     the bounded doc_id < 300 smoke slice) — the subgraph every
